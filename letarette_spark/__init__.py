@@ -1,0 +1,23 @@
+"""letarette_spark — a PySpark-native full-text indexing + BM25 query engine.
+
+A from-scratch reimplementation of the query/data-processing capabilities of
+erkkah/letarette (SQLite FTS5 + NATS, Go) re-expressed Spark-first:
+
+- tokenization via vectorized Arrow/pandas UDFs (unicode61-style rules +
+  Porter stemming, reproducing the reference tokenizer contract —
+  /root/reference/internal/snowball/snowball.c:174-233);
+- inverted-index build as a DataFrame pipeline (per-partition sorted posting
+  lists, delta+varbyte compression, salted aggregation against Zipf skew);
+- BM25(k1=1.2, b=0.75) top-k queries with column weights (title 5x, body 1x —
+  /root/reference/internal/letarette/db.go:357-361) and the full Letarette
+  query algebra (NEAR conjunction, NOT exclusion, quoted phrases, prefix
+  wildcard — /root/reference/internal/letarette/db_search.go:27-56);
+- checkpointed, resumable builds with per-partition lineage manifests
+  (analog of the interest-list protocol,
+  /root/reference/internal/letarette/db_index.go:122-176).
+
+Nothing here is a port: the reference's architecture (SQLite B-trees, NATS
+messaging, goroutines) is replaced by Catalyst plans over Parquet tables.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,129 @@
+"""Analyzer pipeline: unicode61 base tokenization + stemming + token rules.
+
+Reproduces the reference tokenizer contract
+(/root/reference/internal/snowball/snowball.c:174-233):
+
+1. unicode61 split + case fold + diacritic removal (unicode61.py);
+2. drop tokens shorter than ``min_token_length`` (default 2, bytes —
+   snowball.c:184 compares byte length) unless the token is all ASCII digits
+   (snowball.c:164-172, 184-187);
+3. stem tokens whose byte length is within [stem_min, stem_max] = [3, 40]
+   (snowball.c:27-28, 202); stemmers in the chain are tried in order until
+   one changes the token's length (snowball.c:210-220);
+4. index-time: no stopword removal, no synonyms — those are query-time only
+   (snowball.c:248-262) and live in letarette_spark.query.
+
+Three analyzer modes:
+
+- ``simple``  — lowercase ASCII ``[a-z0-9]+`` runs, min length 2, no stemming.
+  Chosen because it is exactly expressible in ANSI SQL (the DuckDB
+  correctness oracle reproduces it with regexp_split_to_array).
+- ``porter``  — unicode61 + Porter(1980) on every token, no length rules.
+  Exactly FTS5's ``tokenize='porter unicode61'`` — verified against live
+  SQLite FTS5 in tests (the rank-identity oracle mode).
+- ``letarette`` — unicode61 + the reference rules above with the snowball
+  "english" (Porter2) stemmer chain; default engine mode.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Callable, NamedTuple
+
+from letarette_spark.analysis import porter, unicode61
+
+_SIMPLE_RE = re.compile(r"[a-z0-9]+")
+_DIGITS_RE = re.compile(r"^[0-9]+$")
+
+
+class Token(NamedTuple):
+    term: str
+    pos: int        # emitted-token index (dropped tokens do not consume a position)
+    start: int      # char offset into the source text
+    end: int
+
+
+def _porter2_stem(word: str) -> str:
+    # Deferred import: porter2 lands as its own module; fall back to Porter1
+    # so the pipeline stays usable while porter2 is being built out.
+    try:
+        from letarette_spark.analysis import porter2
+
+        return porter2.stem(word)
+    except ImportError:  # pragma: no cover
+        return porter.stem(word)
+
+
+_STEMMERS: dict[str, Callable[[str], str]] = {
+    "porter": porter.stem,
+    "english": _porter2_stem,
+}
+
+
+@dataclass(frozen=True)
+class AnalyzerConfig:
+    """Tokenizer settings; stamped into the index manifest — an index is only
+    valid for the exact settings that built it (reference persists stemmer
+    state and refuses mismatches, internal/letarette/stemmer.go:32-59)."""
+
+    mode: str = "letarette"              # simple | porter | letarette
+    languages: tuple[str, ...] = ("english",)
+    min_token_length: int = 2            # bytes; db.go:377-383
+    stem_min: int = 3                    # bytes; snowball.c:27
+    stem_max: int = 40                   # bytes; snowball.c:28
+
+    def key(self) -> dict:
+        return {
+            "mode": self.mode,
+            "languages": list(self.languages),
+            "min_token_length": self.min_token_length,
+            "stem_min": self.stem_min,
+            "stem_max": self.stem_max,
+        }
+
+
+@dataclass
+class Analyzer:
+    config: AnalyzerConfig = field(default_factory=AnalyzerConfig)
+
+    def tokens(self, text: str) -> list[Token]:
+        """Index-time analysis of one document column."""
+        mode = self.config.mode
+        if mode == "simple":
+            out = []
+            pos = 0
+            for m in _SIMPLE_RE.finditer(text.lower()):
+                t = m.group(0)
+                if len(t) >= self.config.min_token_length:
+                    out.append(Token(t, pos, m.start(), m.end()))
+                    pos += 1
+            return out
+
+        out = []
+        pos = 0
+        for folded, start, end in unicode61.raw_tokens(text):
+            if mode == "porter":
+                out.append(Token(porter.stem(folded), pos, start, end))
+                pos += 1
+                continue
+            # letarette rules (byte lengths, per snowball.c)
+            nbytes = len(folded.encode("utf-8"))
+            if nbytes < self.config.min_token_length and not _DIGITS_RE.match(folded):
+                continue
+            term = self._stem_chain(folded, nbytes)
+            out.append(Token(term, pos, start, end))
+            pos += 1
+        return out
+
+    def terms(self, text: str) -> list[str]:
+        return [t.term for t in self.tokens(text)]
+
+    def _stem_chain(self, folded: str, nbytes: int) -> str:
+        if not (self.config.stem_min <= nbytes <= self.config.stem_max):
+            return folded
+        for lang in self.config.languages:
+            stemmed = _STEMMERS[lang](folded)
+            if len(stemmed) != len(folded):
+                return stemmed
+        return stemmed if self.config.languages else folded
