@@ -1,0 +1,273 @@
+"""Inverted-index build: docs DataFrame → postings / term_stats / docs tables.
+
+Spark-first dataflow (SURVEY.md §3.3, replacing the reference's SQLite
+trigger-maintained FTS5 index, migrations/1_init.up.sql:65-97):
+
+  docs ── mapInPandas(tokenize+per-doc aggregate) ──> posting rows
+       (term, rowid, tf/positions per column, dl)     [NO shuffle: the
+        per-(doc,term) aggregation happens inside the Arrow batch]
+       ── repartitionByRange(term) + sortWithinPartitions ──> parquet files
+        whose row-group min/max on `term` give file/row-group pruning for
+        query-time term lookups (the analog of FTS5's term B-tree)
+  postings ── groupBy(term).agg(count, sum) ──> term_stats
+        [1 row per (term, rowid) already, so df == count(*): a pure
+         partial-aggregatable shuffle — no distinct, no skew blowup]
+
+The build is chunked by a stable hash of doc_id; each chunk commits its
+files plus a lineage record, so a killed build resumes from the last
+committed chunk (manifest.py). Statistics and the query-visible snapshot
+commit only after every chunk is durable.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from letarette_spark.analysis.tokenizer import Analyzer, AnalyzerConfig
+from letarette_spark.index.manifest import Manifest
+
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("rowid", T.LongType(), False),
+        T.StructField("space", T.StringType(), True),
+        T.StructField("tf0", T.IntegerType(), False),   # title hits
+        T.StructField("tf1", T.IntegerType(), False),   # body hits
+        T.StructField("pos0", T.ArrayType(T.IntegerType()), False),
+        T.StructField("pos1", T.ArrayType(T.IntegerType()), False),
+        T.StructField("dl", T.IntegerType(), False),    # unweighted total tokens
+    ]
+)
+
+TITLE_WEIGHT = 5.0  # reference rank config bm25(5.0, 1.0), db.go:357-361
+BODY_WEIGHT = 1.0
+
+
+def tokenize_postings(docs: DataFrame, config: AnalyzerConfig) -> DataFrame:
+    """Vectorized tokenize + in-batch per-(doc, term) aggregation.
+
+    One posting row per distinct term per document, carrying per-column
+    term frequencies, position lists (for phrase/NEAR evaluation) and the
+    document's unweighted token count (dl) — denormalized so BM25 scoring
+    never joins a doc-length table.
+    """
+    cfg = config.key()
+
+    def tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        analyzer = Analyzer(AnalyzerConfig(
+            mode=cfg["mode"],
+            languages=tuple(cfg["languages"]),
+            min_token_length=cfg["min_token_length"],
+            stem_min=cfg["stem_min"],
+            stem_max=cfg["stem_max"],
+        ))
+        for pdf in batches:
+            out_term, out_rowid, out_space = [], [], []
+            out_tf0, out_tf1, out_p0, out_p1, out_dl = [], [], [], [], []
+            for rowid, space, title, body in zip(
+                pdf["rowid"], pdf["space"], pdf["title"], pdf["body"]
+            ):
+                t0 = analyzer.tokens(title or "")
+                t1 = analyzer.tokens(body or "")
+                dl = len(t0) + len(t1)
+                agg: dict[str, tuple[list, list]] = {}
+                for tk in t0:
+                    agg.setdefault(tk.term, ([], []))[0].append(tk.pos)
+                for tk in t1:
+                    agg.setdefault(tk.term, ([], []))[1].append(tk.pos)
+                for term, (p0, p1) in agg.items():
+                    out_term.append(term)
+                    out_rowid.append(rowid)
+                    out_space.append(space)
+                    out_tf0.append(len(p0))
+                    out_tf1.append(len(p1))
+                    out_p0.append(p0)
+                    out_p1.append(p1)
+                    out_dl.append(dl)
+            yield pd.DataFrame(
+                {
+                    "term": out_term,
+                    "rowid": out_rowid,
+                    "space": out_space,
+                    "tf0": out_tf0,
+                    "tf1": out_tf1,
+                    "pos0": out_p0,
+                    "pos1": out_p1,
+                    "dl": out_dl,
+                }
+            )
+
+    cols = docs.select("rowid", "space", "title", "body")
+    return cols.mapInPandas(tok, schema=POSTINGS_SCHEMA)
+
+
+@dataclass
+class BuildResult:
+    root: str
+    ndocs: int
+    nterms: int
+    sum_dl: int
+    chunks_built: int
+    chunks_skipped: int
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    root: str,
+    config: AnalyzerConfig | None = None,
+    n_build_partitions: int = 16,
+    chunk_size: int = 8,
+    files_per_chunk: int | None = None,
+    verify_sha256: bool = False,
+    fail_after_chunks: int | None = None,  # test hook: simulate a killed build
+) -> BuildResult:
+    """Build (or resume) the inverted index at *root*.
+
+    ``docs`` must have columns (doc_id, space, title, body, alive) and
+    optionally rowid / content_sha256. Chunking key is a stable hash of
+    doc_id, so a resumed build over the same input processes exactly the
+    not-yet-committed chunks regardless of input partitioning.
+    """
+    config = config or AnalyzerConfig()
+    if "rowid" not in docs.columns:
+        docs = docs.withColumn("rowid", F.xxhash64("doc_id"))
+
+    if verify_sha256 and "content_sha256" in docs.columns:
+        bad = docs.filter(F.sha2(F.col("body"), 256) != F.col("content_sha256")).count()
+        if bad:
+            raise ValueError(f"content_sha256 invariant violated for {bad} rows")
+
+    man = Manifest(root)
+    plan = {
+        "n_parts": n_build_partitions,
+        "chunk_size": chunk_size,
+        "analyzer": config.key(),
+    }
+    lineage = man.start_plan(plan)
+    done = set(lineage["chunks"])
+
+    docs = docs.withColumn(
+        "build_part", F.pmod(F.xxhash64("doc_id"), F.lit(n_build_partitions))
+    )
+    chunk_ids = list(range(0, n_build_partitions, chunk_size))
+    files_per_chunk = files_per_chunk or max(
+        2, spark.sparkContext.defaultParallelism // 2
+    )
+
+    built = skipped = 0
+    for ci, start in enumerate(chunk_ids):
+        if str(ci) in done:
+            skipped += 1
+            continue
+        if fail_after_chunks is not None and built >= fail_after_chunks:
+            raise RuntimeError(f"injected failure after {built} chunks")
+        parts = list(range(start, min(start + chunk_size, n_build_partitions)))
+        chunk_docs = docs.filter(F.col("build_part").isin(parts)).drop("build_part")
+
+        docs_dir = os.path.join(root, "docs", f"chunk={ci}")
+        post_dir = os.path.join(root, "postings", f"chunk={ci}")
+        # overwrite per-chunk dirs: a chunk that wrote files but died before
+        # its lineage record is cleanly rewritten on resume (idempotent).
+        keep = ["rowid", "doc_id", "space", "title", "body", "alive"]
+        if "content_sha256" in chunk_docs.columns:
+            keep.append("content_sha256")
+        chunk_docs.select(*keep).write.mode("overwrite").parquet(docs_dir)
+
+        postings = tokenize_postings(chunk_docs.filter(F.col("alive")), config)
+        (
+            postings.repartitionByRange(files_per_chunk, "term", "rowid")
+            .sortWithinPartitions("term", "rowid")
+            .write.mode("overwrite")
+            .parquet(post_dir)
+        )
+        man.record_chunk(ci, {"parts": parts, "status": "done"})
+        built += 1
+
+    # ---- finalize: global stats + snapshot commit ----
+    postings_all = spark.read.option("basePath", os.path.join(root, "postings")).parquet(
+        os.path.join(root, "postings", "chunk=*")
+    )
+    term_stats = postings_all.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum(F.col("tf0") + F.col("tf1")).alias("cnt"),
+    )
+    ts_tmp = os.path.join(root, "term_stats.tmp")
+    ts_dir = os.path.join(root, "term_stats")
+    term_stats.repartitionByRange(
+        max(2, files_per_chunk), "term"
+    ).sortWithinPartitions("term").write.mode("overwrite").parquet(ts_tmp)
+    if os.path.exists(ts_dir):
+        shutil.rmtree(ts_dir)
+    os.replace(ts_tmp, ts_dir)
+
+    docs_all = spark.read.option("basePath", os.path.join(root, "docs")).parquet(
+        os.path.join(root, "docs", "chunk=*")
+    )
+    ndocs = docs_all.filter(F.col("alive")).count()
+    agg = postings_all.agg(
+        F.coalesce(F.sum(F.col("tf0") + F.col("tf1")), F.lit(0)).alias("sum_dl"),
+        F.count(F.lit(1)).alias("nrows"),
+    ).collect()[0]
+    nterms = term_stats.count()
+
+    man.commit_snapshot(
+        {
+            "analyzer": config.key(),
+            "ndocs": ndocs,
+            "sum_dl": int(agg["sum_dl"]),
+            "nterms": nterms,
+            "weights": {"title": TITLE_WEIGHT, "body": BODY_WEIGHT},
+            "plan": plan,
+        }
+    )
+    man.clear_plan()
+    return BuildResult(root, ndocs, nterms, int(agg["sum_dl"]), built, skipped)
+
+
+@dataclass
+class Index:
+    spark: SparkSession
+    root: str
+    meta: dict
+
+    @classmethod
+    def open(cls, spark: SparkSession, root: str, config: AnalyzerConfig | None = None) -> "Index":
+        man = Manifest.load(root)
+        if config is not None:
+            man.require_analyzer(config.key())
+        return cls(spark, root, man.state)
+
+    @property
+    def analyzer_config(self) -> AnalyzerConfig:
+        a = self.meta["analyzer"]
+        return AnalyzerConfig(
+            mode=a["mode"],
+            languages=tuple(a["languages"]),
+            min_token_length=a["min_token_length"],
+            stem_min=a["stem_min"],
+            stem_max=a["stem_max"],
+        )
+
+    def postings(self) -> DataFrame:
+        base = os.path.join(self.root, "postings")
+        return self.spark.read.option("basePath", base).parquet(
+            os.path.join(base, "chunk=*")
+        ).drop("chunk")
+
+    def docs(self) -> DataFrame:
+        base = os.path.join(self.root, "docs")
+        return self.spark.read.option("basePath", base).parquet(
+            os.path.join(base, "chunk=*")
+        ).drop("chunk")
+
+    def term_stats(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.root, "term_stats"))

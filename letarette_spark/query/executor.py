@@ -1,0 +1,381 @@
+"""BM25 top-k query execution over the inverted index.
+
+Spark-first translation of the reference search path
+(/root/reference/internal/letarette/searcher.go:29-132 +
+sql/search_1.sql): parse -> reduce -> per-phrase posting retrieval ->
+NEAR/NOT evaluation -> BM25 scoring -> global top-k.
+
+Scoring contract (verified empirically against SQLite FTS5's bm25() and
+pinned by tests/test_search_rank_identity.py):
+
+    idf_i = ln((N - n_i + 0.5) / (n_i + 0.5)), clamped to 1e-6 when <= 0
+    tf_i  = sum_col w_col * instances(phrase i, col)        (weighted)
+    dl    = total tokens across columns (UNWEIGHTED)
+    avgdl = sum(dl) / N                                      (unweighted)
+    score = -sum_i idf_i * tf_i*(k1+1) / (tf_i + k1*(1 - b + b*dl/avgdl))
+
+with k1=1.2, b=0.75, weights title=5.0 body=1.0 (db.go:357-361); ascending
+score = best first, ties broken by rowid (FTS5 visits rowids in order).
+
+NEAR semantics (empirical, matching FTS5): all include phrases must occur
+in the SAME column with a selection of one instance per phrase such that
+max(start) - min(end) - 1 <= N tokens. tf counts are NOT restricted to
+instances inside the NEAR window.
+
+Scale notes: per-phrase retrieval is a term-predicate scan over the
+range-partitioned postings table (file/row-group pruning on `term`);
+multi-phrase conjunction is a shuffle join keyed on rowid; the NEAR check
+is an Arrow-batched pandas UDF over the (already capped) candidate rows;
+scoring is pure JVM column arithmetic (whole-stage codegen); doc metadata
+is attached to only the final top-k rows.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import reduce as _reduce
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from letarette_spark.analysis.tokenizer import Analyzer
+from letarette_spark.index.builder import BODY_WEIGHT, TITLE_WEIGHT, Index
+from letarette_spark.query.parser import Phrase, parse_query, reduce_phrases
+
+K1 = 1.2
+B = 0.75
+NEAR_RANGE = 15          # db_search.go:46-50
+DEFAULT_CAP = 10000      # config.go:70
+MAX_PAGE_LIMIT = 500     # searcher.go:51-52
+
+
+@dataclass
+class Hit:
+    space: str
+    doc_id: str
+    rowid: int
+    score: float
+
+
+@dataclass
+class SearchResult:
+    hits: list[Hit]
+    total_hits: int
+    capped: bool
+    respelt: str = ""
+    respelt_distance: int = 0
+
+
+@dataclass
+class Searcher:
+    index: Index
+    w_title: float = TITLE_WEIGHT
+    w_body: float = BODY_WEIGHT
+    cap: int = DEFAULT_CAP
+    stopwords: frozenset[str] = field(default_factory=frozenset)
+
+    def __post_init__(self):
+        self.analyzer = Analyzer(self.index.analyzer_config)
+        self.ndocs = int(self.index.meta["ndocs"])
+        self.avgdl = (
+            float(self.index.meta["sum_dl"]) / self.ndocs if self.ndocs else 1.0
+        )
+
+    # ------------------------------------------------------------------
+    def analyze_phrase(self, p: Phrase) -> list[str]:
+        """Query-time analysis of one phrase. Stopword removal applies only
+        to single-word, non-prefix phrases (snowball.c:248-262: a space in
+        the phrase or the PREFIX flag disables it)."""
+        terms = self.analyzer.terms(p.text)
+        if (
+            self.stopwords
+            and not p.wildcard
+            and " " not in p.text
+            and len(terms) == 1
+            and terms[0] in self.stopwords
+        ):
+            return []
+        return terms
+
+    # ------------------------------------------------------------------
+    def _phrase_hits(self, terms: list[str], wildcard: bool) -> DataFrame:
+        """DataFrame (rowid, space, dl, tf0, tf1, pos0, pos1) of every doc
+        containing the phrase; positions are phrase start positions."""
+        post = self.index.postings()
+        last = len(terms) - 1
+
+        def term_posts(i: int, t: str) -> DataFrame:
+            if wildcard and i == last:
+                cond = F.col("term").startswith(t)
+            else:
+                cond = F.col("term") == t
+            df = post.filter(cond)
+            if wildcard and i == last:
+                # prefix match: a doc may contain several matching terms —
+                # union their instance lists (FTS5 prefix-query semantics).
+                df = df.groupBy("rowid").agg(
+                    F.first("space").alias("space"),
+                    F.first("dl").alias("dl"),
+                    F.array_sort(F.flatten(F.collect_list("pos0"))).alias("pos0"),
+                    F.array_sort(F.flatten(F.collect_list("pos1"))).alias("pos1"),
+                )
+            else:
+                df = df.select("rowid", "space", "dl", "pos0", "pos1")
+            return df
+
+        cur = term_posts(0, terms[0])
+        for i, t in enumerate(terms[1:], start=1):
+            nxt = term_posts(i, t).select(
+                F.col("rowid").alias("rowid_j"),
+                F.col("pos0").alias("q0"),
+                F.col("pos1").alias("q1"),
+            )
+            cur = (
+                cur.join(nxt, cur["rowid"] == nxt["rowid_j"], "inner")
+                .withColumn(
+                    "pos0",
+                    F.expr(f"filter(pos0, x -> array_contains(q0, x + {i}))"),
+                )
+                .withColumn(
+                    "pos1",
+                    F.expr(f"filter(pos1, x -> array_contains(q1, x + {i}))"),
+                )
+                .drop("rowid_j", "q0", "q1")
+                .filter((F.size("pos0") > 0) | (F.size("pos1") > 0))
+            )
+        return cur.select(
+            "rowid",
+            "space",
+            "dl",
+            F.size("pos0").alias("tf0"),
+            F.size("pos1").alias("tf1"),
+            "pos0",
+            "pos1",
+        )
+
+    # ------------------------------------------------------------------
+    def _idf(self, df_count: int) -> float:
+        v = math.log((self.ndocs - df_count + 0.5) / (df_count + 0.5))
+        return v if v > 0.0 else 1e-6
+
+    def _near_eval(self, n_phrases: int, phrase_lens: list[int], near: int) -> Column:
+        """Arrow-batched NEAR(…, near) evaluation over per-phrase position
+        arrays (columns p{i}c{col}).
+
+        Returns struct(ok boolean, tfw array<double>): ok is true when some
+        column contains a cluster (one instance per phrase with
+        max(start)-min(end)-1 <= near); tfw[i] is phrase i's
+        column-weighted count of *participating* instances — FTS5 trims
+        NEAR position lists before bm25 counts them (verified empirically:
+        non-participating instances, including whole columns without a
+        full cluster, contribute nothing).
+        """
+        w = (self.w_title, self.w_body)
+
+        @F.pandas_udf(
+            T.StructType(
+                [
+                    T.StructField("ok", T.BooleanType()),
+                    T.StructField("tfw", T.ArrayType(T.DoubleType())),
+                ]
+            )
+        )
+        def near_eval(*cols: pd.Series) -> pd.DataFrame:
+            oks, tfws = [], []
+            nrows = len(cols[0])
+            for r in range(nrows):
+                ok = False
+                tfw = [0.0] * n_phrases
+                for c in range(2):
+                    lists = []
+                    for i in range(n_phrases):
+                        lst = cols[i * 2 + c][r]
+                        lists.append([] if lst is None else list(lst))
+                    counts = _near_participants(lists, phrase_lens, near)
+                    if counts is not None:
+                        ok = True
+                        for i in range(n_phrases):
+                            tfw[i] += w[c] * counts[i]
+                oks.append(ok)
+                tfws.append(tfw)
+            return pd.DataFrame({"ok": oks, "tfw": tfws})
+
+        args = [F.col(f"p{i}c{c}") for i in range(n_phrases) for c in (0, 1)]
+        return near_eval(*args)
+
+    # ------------------------------------------------------------------
+    def search_df(
+        self,
+        query: str,
+        spaces: list[str] | None = None,
+        limit: int = 10,
+        offset: int = 0,
+    ) -> tuple[DataFrame | None, int, bool]:
+        """Execute and return (scored top-k DataFrame, total_hits, capped).
+
+        The DataFrame has columns (rowid, space, score) sorted best-first;
+        None when the reduced query is empty (db_search.go:64-66).
+        """
+        limit = max(1, min(limit, MAX_PAGE_LIMIT))
+        phrases = reduce_phrases(parse_query(query))
+        includes = [p for p in phrases if not p.exclude]
+        excludes = [p for p in phrases if p.exclude]
+
+        inc_terms = [(p, self.analyze_phrase(p)) for p in includes]
+        inc_terms = [(p, t) for p, t in inc_terms if t]
+        if not inc_terms:
+            return None, 0, False
+
+        hits = []
+        for p, terms in inc_terms:
+            h = self._phrase_hits(terms, p.wildcard).cache()
+            n_i = h.count()  # phrase document frequency over the whole index
+            hits.append((h, n_i, len(terms)))
+
+        k = len(hits)
+        cand = hits[0][0].select(
+            "rowid",
+            "space",
+            "dl",
+            (F.col("tf0") * self.w_title + F.col("tf1") * self.w_body).alias("tfw_0"),
+            F.col("pos0").alias("p0c0"),
+            F.col("pos1").alias("p0c1"),
+        )
+        for i, (h, _n, _l) in enumerate(hits[1:], start=1):
+            hi = h.select(
+                F.col("rowid").alias("rowid_j"),
+                F.col("pos0").alias(f"p{i}c0"),
+                F.col("pos1").alias(f"p{i}c1"),
+            )
+            cand = cand.join(hi, cand["rowid"] == hi["rowid_j"], "inner").drop("rowid_j")
+
+        if k > 1:
+            # NEAR conjunction: cluster test + participant-filtered tf
+            ne = self._near_eval(k, [l for _h, _n, l in hits], NEAR_RANGE)
+            cand = cand.withColumn("ne", ne).filter(F.col("ne.ok"))
+            for i in range(k):
+                cand = cand.withColumn(f"tfw_{i}", F.element_at("ne.tfw", i + 1))
+
+        for p in excludes:
+            terms = self.analyzer.terms(p.text)
+            if not terms:
+                continue
+            ex = self._phrase_hits(terms, p.wildcard).select("rowid")
+            cand = cand.join(ex, "rowid", "left_anti")
+
+        if spaces:
+            cand = cand.filter(F.col("space").isin(spaces))
+
+        # BM25 scoring — pure JVM arithmetic, float64 throughout.
+        denom_dl = K1 * (1.0 - B + B * F.col("dl") / F.lit(self.avgdl))
+        score = F.lit(0.0)
+        for i, (_h, n_i, _l) in enumerate(hits):
+            idf = self._idf(n_i)
+            tf = F.col(f"tfw_{i}")
+            score = score + F.lit(idf) * tf * (K1 + 1.0) / (tf + denom_dl)
+        cand = cand.select("rowid", "space", (-score).alias("score"))
+
+        total = cand.count()
+        capped = total > self.cap
+        if capped:
+            # reference cap: first `cap` matches in rowid order, only then
+            # ranked (search_1.sql:29; protocol.go:156-158).
+            cand = cand.orderBy("rowid").limit(self.cap)
+        out = cand.orderBy("score", "rowid").offset(offset).limit(limit)
+        for h, _n, _l in hits:
+            h.unpersist()
+        return out, min(total, self.cap), capped
+
+    # ------------------------------------------------------------------
+    def search(
+        self,
+        query: str,
+        spaces: list[str] | None = None,
+        limit: int = 10,
+        offset: int = 0,
+    ) -> SearchResult:
+        df, total, capped = self.search_df(query, spaces, limit, offset)
+        if df is None:
+            return SearchResult([], 0, False)
+        docs = self.index.docs().select("rowid", "doc_id", "alive")
+        # top-k rows are tiny (<= page limit): broadcast them against docs.
+        rows = (
+            docs.join(F.broadcast(df), "rowid", "inner")
+            .filter(F.col("alive"))
+            .select("space", "doc_id", "rowid", "score")
+            .collect()
+        )
+        hits = [Hit(r["space"], r["doc_id"], r["rowid"], r["score"]) for r in rows]
+        hits.sort(key=lambda h: (h.score, h.rowid))
+        return SearchResult(hits, total, capped)
+
+
+def _merge_intervals(iv: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    iv.sort()
+    out: list[tuple[int, int]] = []
+    for lo, hi in iv:
+        if out and lo <= out[-1][1] + 1:
+            if hi > out[-1][1]:
+                out[-1] = (out[-1][0], hi)
+        else:
+            out.append((lo, hi))
+    return out
+
+
+def _intersect(a: list[tuple[int, int]], b: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    out = []
+    i = j = 0
+    while i < len(a) and j < len(b):
+        lo = max(a[i][0], b[j][0])
+        hi = min(a[i][1], b[j][1])
+        if lo <= hi:
+            out.append((lo, hi))
+        if a[i][1] < b[j][1]:
+            i += 1
+        else:
+            j += 1
+    return out
+
+
+def _near_participants(
+    lists: list[list[int]], lens: list[int], near: int
+) -> list[int] | None:
+    """NEAR participation within one column.
+
+    A selection (one instance per phrase) is a cluster when
+    max(start) - min(end) - 1 <= near. Equivalently: there is an integer t
+    with, for every phrase j, some instance y_j satisfying
+    y_j - near - 1 <= t <= y_j + lens[j] - 1 (t plays the role of the
+    minimum end). Instance y of phrase i *participates* iff its own
+    t-interval meets the intersection of the other phrases' interval
+    unions. Returns per-phrase participating-instance counts, or None when
+    no cluster exists (the column contributes nothing)."""
+    k = len(lists)
+    if any(not l for l in lists):
+        return None
+    unions = [
+        _merge_intervals([(y - near - 1, y + lens[i] - 1) for y in lists[i]])
+        for i in range(k)
+    ]
+    total = unions[0]
+    for u in unions[1:]:
+        total = _intersect(total, u)
+        if not total:
+            return None
+    counts = []
+    for i in range(k):
+        others = None
+        for j in range(k):
+            if j == i:
+                continue
+            others = unions[j] if others is None else _intersect(others, unions[j])
+        c = 0
+        for y in lists[i]:
+            iv = [(y - near - 1, y + lens[i] - 1)]
+            if others is None or _intersect(iv, others):
+                c += 1
+        counts.append(c)
+    return counts

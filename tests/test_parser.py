@@ -1,0 +1,87 @@
+"""Parser golden cases ported (behaviorally) from the reference's
+internal/letarette/parser_test.go:25-244 — see FIXTURES.md §4."""
+
+from __future__ import annotations
+
+import pytest
+
+from letarette_spark.query.parser import (
+    Phrase,
+    canonicalize,
+    compile_match_string,
+    parse_query,
+    reduce_phrases,
+)
+
+
+def P(text, wildcard=False, exclude=False):
+    return Phrase(text, wildcard=wildcard, exclude=exclude)
+
+
+GOLDEN = [
+    ("cat dog banana", [P("cat"), P("dog"), P("banana")]),
+    (
+        "cat -dog banana - fishtank",
+        [P("cat"), P("dog", exclude=True), P("banana"), P("fishtank", exclude=True)],
+    ),
+    (
+        "cat* -dog * banana - fishtank",
+        [
+            P("cat", wildcard=True),
+            P("dog", wildcard=True, exclude=True),
+            P("banana"),
+            P("fishtank", exclude=True),
+        ],
+    ),
+    (
+        "cat- cat-litter - -dog -",
+        [P("cat-"), P("cat-litter"), P("dog", exclude=True)],
+    ),
+    (
+        'cat* cat*litter "*dog*"',
+        [P("cat", wildcard=True), P("cat", wildcard=True), P("litter"), P("*dog*")],
+    ),
+    (
+        '"cat - * - dog" "kawo\\"nka"*',
+        [P("cat - * - dog"), P('kawo"nka', wildcard=True)],
+    ),
+    ('""dog""', [P(""), P("dog"), P("")]),
+    ('(WinkelWolt) )))((( "()"', [P("WinkelWolt"), P("()")]),
+]
+
+
+@pytest.mark.parametrize("query,expected", GOLDEN, ids=[g[0] for g in GOLDEN])
+def test_parse_golden(query, expected):
+    assert parse_query(query) == expected
+
+
+def test_reduce():
+    # parser_test.go:219-226: 1-rune words removed, emptied phrases dropped
+    phrases = parse_query('rökare a a "b b" - angle "grinder u"*t')
+    reduced = reduce_phrases(phrases)
+    assert [p.text for p in reduced] == ["rökare", "angle", "grinder"]
+    assert reduced[2].wildcard  # the quoted phrase kept its prefix flag
+
+
+def test_canonicalize_equivalence():
+    # parser_test.go:231-236
+    a = canonicalize(parse_query("Yabba* -Dabba Doo Doo"))
+    b = canonicalize(parse_query('-daBBa -dAbBa "DOO" "YABBA" *'))
+    assert a == b
+
+
+def test_compile_match_string():
+    # db_search.go:27-56 shapes
+    assert compile_match_string(parse_query("bike")) == '"bike"'
+    assert (
+        compile_match_string(parse_query("london city"))
+        == 'NEAR("london" "city", 15)'
+    )
+    assert (
+        compile_match_string(parse_query("london -city"))
+        == '"london" NOT ("city")'
+    )
+    assert compile_match_string(parse_query("speedway mud*")) == (
+        'NEAR("speedway" "mud"*, 15)'
+    )
+    assert compile_match_string(parse_query("-only -excludes")) == ""
