@@ -1,0 +1,132 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Times the headline paths over $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]:
+
+- index_build: full inverted-index build (porter mode) over the documents
+  table (tokenize -> postings -> term_stats -> snapshot commit)
+- engine query latencies: single-term / NEAR / NOT / phrase / wildcard BM25
+  top-10 through the Searcher
+- relational analytics: simple-analyzer BM25 top-k, minhash signatures,
+  n-gram jaccard pairs, knn cosine
+
+Output: {"metric": ..., "value": total_sec, "unit": "sec",
+         "queries": {name: sec}, "sf": ..., "extra": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+
+    from letarette_spark.session import get_spark
+
+    spark = get_spark(app_name="letarette_bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pyspark.sql import functions as F
+
+    from letarette_spark.analysis.tokenizer import AnalyzerConfig
+    from letarette_spark.functions.dedup import jaccard_pairs, minhash_signatures
+    from letarette_spark.functions.similarity import cosine_topk
+    from letarette_spark.functions.simple_text import bm25_scores
+    from letarette_spark.index.builder import Index, build_index
+    from letarette_spark.query.executor import Searcher
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    # single-file parquet -> one input split; rebalance across cores before
+    # the CPU-bound text work (a real corpus would arrive as many files).
+    documents = spark.read.parquet(docs_path).repartition(cpus).cache()
+    embeddings = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ndocs = documents.count()
+
+    engine_docs = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("lang").alias("space"),
+        F.col("source").alias("title"),
+        F.col("text").alias("body"),
+        F.lit(True).alias("alive"),
+    )
+
+    timings: dict[str, float] = {}
+    root = tempfile.mkdtemp(prefix="letarette_bench_idx_")
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        return out
+
+    try:
+        timed(
+            "index_build",
+            lambda: build_index(
+                spark, engine_docs, root,
+                config=AnalyzerConfig(mode="porter"),
+                n_build_partitions=max(4, cpus // 2),
+                chunk_size=max(4, cpus // 2),  # single chunk: pure throughput
+            ),
+        )
+        idx = Index.open(spark, root)
+        searcher = Searcher(idx)
+
+        for name, q in [
+            ("engine_single", "value"),
+            ("engine_near", "key value"),
+            ("engine_not", "table -key"),
+            ("engine_phrase", '"key value"'),
+            ("engine_wildcard", "val*"),
+        ]:
+            timed(name, lambda q=q: searcher.search_df(q, limit=10)[0].collect())
+
+        timed(
+            "bm25_topk_simple",
+            lambda: bm25_scores(documents, ["key", "value"])
+            .orderBy(F.desc("score")).limit(10).collect(),
+        )
+        timed(
+            "minhash_signatures",
+            lambda: minhash_signatures(documents, k=8).count(),
+        )
+        timed(
+            "jaccard_pairs",
+            lambda: jaccard_pairs(documents, n=3, threshold=0.05).count(),
+        )
+        timed(
+            "knn_cosine",
+            lambda: cosine_topk(embeddings, query_id=0, k=5).collect(),
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+
+    total = round(sum(timings.values()), 4)
+    result = {
+        "metric": "index_build_plus_query_suite",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "extra": {
+            "ndocs": ndocs,
+            "build_docs_per_sec": round(ndocs / timings["index_build"], 2),
+            "cpus": cpus,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""Text analysis operators: quality scoring, token counting, language ID,
+document fingerprinting. JVM-side column expressions throughout."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from letarette_spark.functions.simple_text import token_array
+
+# tiny built-in stopword profiles for the n-gram/stopword language heuristic
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "of", "and", "in", "to", "is", "was", "for", "as", "on"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"],
+    "fr": ["le", "la", "les", "de", "et", "est", "dans", "pour", "que", "une"],
+}
+
+STOPWORDS_EN = LANG_PROFILES["en"]
+
+
+def token_count_expr(text_col: str = "text") -> Column:
+    return F.size(token_array(text_col)).cast("long")
+
+
+def bpe_ish_token_count_expr(text_col: str = "text") -> Column:
+    """Approximate subword count: word-piece-ish regex segmentation
+    (letter-runs, digit-runs, single punctuation) — a cheap proxy for BPE
+    token counting in data pipelines."""
+    pieces = F.filter(
+        F.split(
+            F.regexp_replace(F.col(text_col), r"([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s])", "$1 "),
+            " ",
+        ),
+        lambda x: F.trim(x) != "",
+    )
+    return F.size(pieces).cast("long")
+
+
+def quality_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc quality features: length, token stats, stopword/digit/punct
+    ratios — the standard pretraining-data quality gates."""
+    arr = token_array(text_col)
+    n_tok = F.size(arr).cast("double")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    n_stop = F.size(F.filter(arr, lambda t: F.array_contains(sw, t))).cast("double")
+    n_digit = F.size(F.filter(arr, lambda t: t.rlike("^[0-9]+$"))).cast("double")
+    n_chars = F.length(F.col(text_col)).cast("double")
+    n_alnum_sp = F.length(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", "")
+    ).cast("double")
+    avg_len = F.when(
+        n_tok > 0,
+        F.aggregate(arr, F.lit(0.0), lambda a, t: a + F.length(t)) / n_tok,
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars_measured"),
+        F.round(avg_len, 6).alias("avg_token_len"),
+        F.round(F.when(n_tok > 0, n_stop / n_tok).otherwise(0.0), 6).alias("stopword_ratio"),
+        F.round(F.when(n_tok > 0, n_digit / n_tok).otherwise(0.0), 6).alias("digit_ratio"),
+        F.round(
+            F.when(n_chars > 0, (n_chars - n_alnum_sp) / n_chars).otherwise(0.0), 6
+        ).alias("punct_ratio"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-profile language guess: the language whose profile words
+    occur most (ties -> lexicographically first; 'und' = undetermined)."""
+    arr = token_array(text_col)
+    langs = sorted(LANG_PROFILES)
+    hits = []
+    for i, lang in enumerate(langs):
+        wl = F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])
+        hits.append(
+            F.struct(
+                F.size(F.filter(arr, lambda t: F.array_contains(wl, t))).alias("hits"),
+                # ties resolve to the lexicographically-first language:
+                # higher priority = earlier lang, so max() picks it.
+                F.lit(len(langs) - 1 - i).alias("prio"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*hits))
+    return df.select(
+        F.col(id_col),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_guess"),
+        best["hits"].cast("long").alias("profile_hits"),
+    )
+
+
+def fingerprint64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Order-sensitive 62-bit document fingerprint: two polynomial rolling
+    hashes (Horner, multipliers 31/37, modulus 2^31-1, ANSI-safe — no
+    wrapping arithmetic) over xxhash64 of each token, packed into one long.
+    Distinguishes reordered content where bag-of-words hashes collide."""
+    arr = token_array(text_col)
+    p = F.lit(2147483647).cast("long")  # 2^31 - 1
+
+    def rolling(mult: int, salt: str):
+        return F.aggregate(
+            arr,
+            F.lit(0).cast("long"),
+            lambda acc, t: F.pmod(
+                acc * mult + F.pmod(F.xxhash64(F.concat(t, F.lit(salt))), p), p
+            ),
+        )
+
+    fp = rolling(31, "") * F.lit(2147483648).cast("long") + rolling(37, "#2")
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

@@ -172,6 +172,12 @@ def build_index(
             raise RuntimeError(f"injected failure after {built} chunks")
         parts = list(range(start, min(start + chunk_size, n_build_partitions)))
         chunk_docs = docs.filter(F.col("build_part").isin(parts)).drop("build_part")
+        # Tokenization is CPU-bound Python: spread it over all cores even
+        # when the source is a single parquet file (one input split would
+        # otherwise serialize the whole chunk through one task).
+        chunk_docs = chunk_docs.repartition(
+            max(spark.sparkContext.defaultParallelism, files_per_chunk)
+        )
 
         docs_dir = os.path.join(root, "docs", f"chunk={ci}")
         post_dir = os.path.join(root, "postings", f"chunk={ci}")

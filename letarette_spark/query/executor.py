@@ -83,6 +83,13 @@ class Searcher:
         self.avgdl = (
             float(self.index.meta["sum_dl"]) / self.ndocs if self.ndocs else 1.0
         )
+        self._cached: list[DataFrame] = []
+
+    def _evict_cache(self) -> None:
+        """Release the previous query's cached phrase-hit frames."""
+        for df in self._cached:
+            df.unpersist()
+        self._cached = []
 
     # ------------------------------------------------------------------
     def analyze_phrase(self, p: Phrase) -> list[str]:
@@ -229,11 +236,16 @@ class Searcher:
         if not inc_terms:
             return None, 0, False
 
+        self._evict_cache()
         hits = []
-        for p, terms in inc_terms:
+        for i, (p, terms) in enumerate(inc_terms):
             h = self._phrase_hits(terms, p.wildcard).cache()
-            n_i = h.count()  # phrase document frequency over the whole index
-            hits.append((h, n_i, len(terms)))
+            self._cached.append(h)
+            # phrase document frequency over the whole index — kept as a
+            # 1-row DataFrame and broadcast into the scoring plan (no
+            # driver-side action per phrase)
+            df_i = h.agg(F.count(F.lit(1)).cast("double").alias(f"df_{i}"))
+            hits.append((h, df_i, len(terms)))
 
         k = len(hits)
         cand = hits[0][0].select(
@@ -269,13 +281,20 @@ class Searcher:
         if spaces:
             cand = cand.filter(F.col("space").isin(spaces))
 
-        # BM25 scoring — pure JVM arithmetic, float64 throughout.
+        # BM25 scoring — pure JVM arithmetic, float64 throughout; per-phrase
+        # df scalars ride along as broadcast 1-row frames.
+        for i, (_h, df_i, _l) in enumerate(hits):
+            cand = cand.crossJoin(F.broadcast(df_i))
         denom_dl = K1 * (1.0 - B + B * F.col("dl") / F.lit(self.avgdl))
         score = F.lit(0.0)
-        for i, (_h, n_i, _l) in enumerate(hits):
-            idf = self._idf(n_i)
+        for i in range(k):
+            raw_idf = F.ln(
+                (F.lit(float(self.ndocs)) - F.col(f"df_{i}") + 0.5)
+                / (F.col(f"df_{i}") + 0.5)
+            )
+            idf = F.when(raw_idf <= 0.0, F.lit(1e-6)).otherwise(raw_idf)
             tf = F.col(f"tfw_{i}")
-            score = score + F.lit(idf) * tf * (K1 + 1.0) / (tf + denom_dl)
+            score = score + idf * tf * (K1 + 1.0) / (tf + denom_dl)
         cand = cand.select("rowid", "space", (-score).alias("score"))
 
         total = cand.count()
@@ -285,8 +304,6 @@ class Searcher:
             # ranked (search_1.sql:29; protocol.go:156-158).
             cand = cand.orderBy("rowid").limit(self.cap)
         out = cand.orderBy("score", "rowid").offset(offset).limit(limit)
-        for h, _n, _l in hits:
-            h.unpersist()
         return out, min(total, self.cap), capped
 
     # ------------------------------------------------------------------
