@@ -87,37 +87,68 @@ class AnalyzerConfig:
 class Analyzer:
     config: AnalyzerConfig = field(default_factory=AnalyzerConfig)
 
-    def tokens(self, text: str) -> list[Token]:
-        """Index-time analysis of one document column."""
+    # -- stage 1: mode-aware folded tokens (post drop rules, pre stemming) --
+    def folded_tokens(self, text: str) -> list[tuple[str, int, int]]:
         mode = self.config.mode
         if mode == "simple":
-            out = []
-            pos = 0
-            for m in _SIMPLE_RE.finditer(text.lower()):
-                t = m.group(0)
-                if len(t) >= self.config.min_token_length:
-                    out.append(Token(t, pos, m.start(), m.end()))
-                    pos += 1
-            return out
-
+            return [
+                (m.group(0), m.start(), m.end())
+                for m in _SIMPLE_RE.finditer(text.lower())
+                if len(m.group(0)) >= self.config.min_token_length
+            ]
         out = []
-        pos = 0
         for folded, start, end in unicode61.raw_tokens(text):
-            if mode == "porter":
-                out.append(Token(porter.stem(folded), pos, start, end))
-                pos += 1
-                continue
-            # letarette rules (byte lengths, per snowball.c)
-            nbytes = len(folded.encode("utf-8"))
-            if nbytes < self.config.min_token_length and not _DIGITS_RE.match(folded):
-                continue
-            term = self._stem_chain(folded, nbytes)
-            out.append(Token(term, pos, start, end))
-            pos += 1
+            if mode == "letarette":
+                # letarette rules (byte lengths, per snowball.c:184-187)
+                nbytes = len(folded.encode("utf-8"))
+                if nbytes < self.config.min_token_length and not _DIGITS_RE.match(
+                    folded
+                ):
+                    continue
+            out.append((folded, start, end))
         return out
+
+    # -- stage 2: term finalization (stemming) --
+    def term_of(self, folded: str) -> str:
+        mode = self.config.mode
+        if mode == "simple":
+            return folded
+        if mode == "porter":
+            return porter.stem(folded)
+        return self._stem_chain(folded, len(folded.encode("utf-8")))
+
+    def tokens(self, text: str) -> list[Token]:
+        """Index-time analysis of one document column."""
+        return [
+            Token(self.term_of(folded), pos, start, end)
+            for pos, (folded, start, end) in enumerate(self.folded_tokens(text))
+        ]
 
     def terms(self, text: str) -> list[str]:
         return [t.term for t in self.tokens(text)]
+
+    def query_alternatives(
+        self,
+        text: str,
+        synonyms: dict[str, list[str]] | None = None,
+        prefix: bool = False,
+    ) -> list[list[str]]:
+        """Query-time analysis: per token position, the list of acceptable
+        terms — the analyzed primary plus analyzed synonyms of the folded
+        *surface* token (reference emits synonyms as colocated tokens
+        looked up on the unstemmed surface word, snowball.c:123-162;
+        disabled for prefix queries, snowball.c:248-262)."""
+        out = []
+        for folded, _s, _e in self.folded_tokens(text):
+            alts = [self.term_of(folded)]
+            if synonyms and not prefix:
+                for syn in synonyms.get(folded, []):
+                    for sf, _a, _b in self.folded_tokens(syn):
+                        st = self.term_of(sf)
+                        if st not in alts:
+                            alts.append(st)
+            out.append(alts)
+        return out
 
     def _stem_chain(self, folded: str, nbytes: int) -> str:
         if not (self.config.stem_min <= nbytes <= self.config.stem_max):

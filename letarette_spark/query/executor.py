@@ -58,6 +58,7 @@ class Hit:
     doc_id: str
     rowid: int
     score: float
+    snippet: str = ""
 
 
 @dataclass
@@ -75,14 +76,21 @@ class Searcher:
     w_title: float = TITLE_WEIGHT
     w_body: float = BODY_WEIGHT
     cap: int = DEFAULT_CAP
-    stopwords: frozenset[str] = field(default_factory=frozenset)
+    stopwords: frozenset[str] | None = None     # None -> load from index
+    synonyms: dict[str, list[str]] | None = None  # None -> load from index
 
     def __post_init__(self):
+        from letarette_spark.index.auxiliary import load_stopwords, load_synonyms
+
         self.analyzer = Analyzer(self.index.analyzer_config)
         self.ndocs = int(self.index.meta["ndocs"])
         self.avgdl = (
             float(self.index.meta["sum_dl"]) / self.ndocs if self.ndocs else 1.0
         )
+        if self.stopwords is None:
+            self.stopwords = load_stopwords(self.index)
+        if self.synonyms is None:
+            self.synonyms = load_synonyms(self.index)
         self._cached: list[DataFrame] = []
 
     def _evict_cache(self) -> None:
@@ -92,37 +100,45 @@ class Searcher:
         self._cached = []
 
     # ------------------------------------------------------------------
-    def analyze_phrase(self, p: Phrase) -> list[str]:
-        """Query-time analysis of one phrase. Stopword removal applies only
-        to single-word, non-prefix phrases (snowball.c:248-262: a space in
-        the phrase or the PREFIX flag disables it)."""
-        terms = self.analyzer.terms(p.text)
+    def analyze_phrase(self, p: Phrase) -> list[list[str]]:
+        """Query-time analysis of one phrase: per-position term
+        alternatives (primary + colocated synonyms). Stopword removal
+        applies only to single-word, non-prefix phrases (snowball.c:248-262:
+        a space in the phrase or the PREFIX flag disables it)."""
+        alts = self.analyzer.query_alternatives(
+            p.text, synonyms=self.synonyms, prefix=p.wildcard
+        )
         if (
             self.stopwords
             and not p.wildcard
             and " " not in p.text
-            and len(terms) == 1
-            and terms[0] in self.stopwords
+            and len(alts) == 1
+            and alts[0][0] in self.stopwords
         ):
             return []
-        return terms
+        return alts
 
     # ------------------------------------------------------------------
-    def _phrase_hits(self, terms: list[str], wildcard: bool) -> DataFrame:
+    def _phrase_hits(self, alts: list[list[str]], wildcard: bool) -> DataFrame:
         """DataFrame (rowid, space, dl, tf0, tf1, pos0, pos1) of every doc
-        containing the phrase; positions are phrase start positions."""
+        containing the phrase; positions are phrase start positions.
+        ``alts[i]`` = acceptable terms at phrase position i (synonym
+        expansion -> union of posting lists, like FTS5 colocated tokens)."""
         post = self.index.postings()
-        last = len(terms) - 1
+        last = len(alts) - 1
 
-        def term_posts(i: int, t: str) -> DataFrame:
+        def term_posts(i: int, terms_i: list[str]) -> DataFrame:
             if wildcard and i == last:
-                cond = F.col("term").startswith(t)
+                cond = F.col("term").startswith(terms_i[0])
+            elif len(terms_i) == 1:
+                cond = F.col("term") == terms_i[0]
             else:
-                cond = F.col("term") == t
+                cond = F.col("term").isin(terms_i)
             df = post.filter(cond)
-            if wildcard and i == last:
-                # prefix match: a doc may contain several matching terms —
-                # union their instance lists (FTS5 prefix-query semantics).
+            if (wildcard and i == last) or len(terms_i) > 1:
+                # prefix / synonym match: a doc may contain several matching
+                # terms — union their instance lists (FTS5 prefix-query and
+                # colocated-token semantics).
                 df = df.groupBy("rowid").agg(
                     F.first("space").alias("space"),
                     F.first("dl").alias("dl"),
@@ -133,8 +149,8 @@ class Searcher:
                 df = df.select("rowid", "space", "dl", "pos0", "pos1")
             return df
 
-        cur = term_posts(0, terms[0])
-        for i, t in enumerate(terms[1:], start=1):
+        cur = term_posts(0, alts[0])
+        for i, t in enumerate(alts[1:], start=1):
             nxt = term_posts(i, t).select(
                 F.col("rowid").alias("rowid_j"),
                 F.col("pos0").alias("q0"),
@@ -272,10 +288,12 @@ class Searcher:
                 cand = cand.withColumn(f"tfw_{i}", F.element_at("ne.tfw", i + 1))
 
         for p in excludes:
-            terms = self.analyzer.terms(p.text)
-            if not terms:
+            ex_alts = self.analyzer.query_alternatives(
+                p.text, synonyms=self.synonyms, prefix=p.wildcard
+            )
+            if not ex_alts:
                 continue
-            ex = self._phrase_hits(terms, p.wildcard).select("rowid")
+            ex = self._phrase_hits(ex_alts, p.wildcard).select("rowid")
             cand = cand.join(ex, "rowid", "left_anti")
 
         if spaces:
@@ -313,21 +331,89 @@ class Searcher:
         spaces: list[str] | None = None,
         limit: int = 10,
         offset: int = 0,
+        autocorrect: bool = True,
+        snippets: bool = True,
     ) -> SearchResult:
         df, total, capped = self.search_df(query, spaces, limit, offset)
+        respelt = ""
+        respelt_distance = 0
+        if total == 0 and autocorrect:
+            fixed_q, dist, changed = self._respell(query)
+            if changed:
+                respelt, respelt_distance = fixed_q, dist
+                query = fixed_q
+                df, total, capped = self.search_df(query, spaces, limit, offset)
         if df is None:
-            return SearchResult([], 0, False)
-        docs = self.index.docs().select("rowid", "doc_id", "alive")
+            return SearchResult([], 0, False, respelt, respelt_distance)
+        docs = self.index.docs().select("rowid", "doc_id", "alive", "title", "body")
         # top-k rows are tiny (<= page limit): broadcast them against docs.
         rows = (
             docs.join(F.broadcast(df), "rowid", "inner")
             .filter(F.col("alive"))
-            .select("space", "doc_id", "rowid", "score")
+            .select("space", "doc_id", "rowid", "score", "title", "body")
             .collect()
         )
-        hits = [Hit(r["space"], r["doc_id"], r["rowid"], r["score"]) for r in rows]
-        hits.sort(key=lambda h: (h.score, h.rowid))
-        return SearchResult(hits, total, capped)
+        rows = sorted(rows, key=lambda r: (r["score"], r["rowid"]))
+        builder = None
+        phrase_alts: list[list[list[str]]] = []
+        if snippets:
+            from letarette_spark.query.snippets import SnippetBuilder
+
+            builder = SnippetBuilder(self.analyzer)
+            for p in reduce_phrases(parse_query(query)):
+                if not p.exclude:
+                    alts = self.analyze_phrase(p)
+                    if alts:
+                        phrase_alts.append(alts)
+        hits = []
+        for r in rows:
+            snip = ""
+            if builder is not None and phrase_alts:
+                snip = builder.snippet(r["title"], r["body"], phrase_alts)
+            hits.append(Hit(r["space"], r["doc_id"], r["rowid"], r["score"], snip))
+        return SearchResult(hits, total, capped, respelt, respelt_distance)
+
+    # ------------------------------------------------------------------
+    def _respell(self, query: str) -> tuple[str, int, bool]:
+        """Zero-hit respell (searcher.go:54-76 + db_spelling.go:56-96):
+        single-word, non-stopword phrases whose term has no hits are
+        replaced by the closest dictionary word; multi-word phrases are
+        skipped. Returns (fixed query, summed distance, changed?)."""
+        from letarette_spark.query.spelling import respell_term
+
+        phrases = reduce_phrases(parse_query(query))
+        changed = False
+        dist_sum = 0
+        fixed: list[Phrase] = []
+        for p in phrases:
+            if " " in p.text or p.wildcard:
+                fixed.append(p)
+                continue
+            alts = self.analyzer.query_alternatives(p.text)
+            if not alts:
+                fixed.append(p)
+                continue
+            term = alts[0][0]
+            if self.stopwords and term in self.stopwords:
+                fixed.append(p)
+                continue
+            if self._term_exists(term):
+                fixed.append(p)
+                continue
+            res = respell_term(self.index, term)
+            if res is None:
+                fixed.append(p)
+                continue
+            word, dist = res
+            fixed.append(Phrase(word, wildcard=p.wildcard, exclude=p.exclude))
+            dist_sum += dist
+            changed = True
+        return " ".join(str(p) for p in fixed), dist_sum, changed
+
+    def _term_exists(self, term: str) -> bool:
+        return (
+            self.index.term_stats().filter(F.col("term") == term).limit(1).count() > 0
+        )
 
 
 def _merge_intervals(iv: list[tuple[int, int]]) -> list[tuple[int, int]]:

@@ -1,0 +1,133 @@
+"""Auxiliary parity features: auto-stopwords, synonyms, snippets, spelling
+correction (SURVEY.md §7 Phase 5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from letarette_spark.analysis.tokenizer import AnalyzerConfig
+from letarette_spark.index.auxiliary import (
+    derive_stopwords,
+    load_stopwords,
+    load_synonyms,
+    update_stopwords,
+    update_synonyms,
+)
+from letarette_spark.index.builder import Index, build_index
+from letarette_spark.query.executor import Searcher
+from letarette_spark.query.spelling import (
+    build_speling_table,
+    edit_distance,
+    phonetic_hash,
+    respell_term,
+)
+
+DOCS = [
+    # 'common' dominates term counts -> auto-stopword candidate
+    (1, "alpha report", "common common common common error handler common common"),
+    (2, "beta notes", "common common common failure in parser common common"),
+    (3, "gamma", "common common common common err trace common common common"),
+    (4, "delta", "common unrelated words here common common common common"),
+    (5, "epsilon", "zephyr quixotic common common common common common common"),
+]
+
+
+@pytest.fixture(scope="module")
+def aux_index(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("aux_index"))
+    sdf = spark.createDataFrame(
+        [
+            {"doc_id": f"d{r}", "rowid": r, "space": "main", "title": t,
+             "body": b, "alive": True}
+            for r, t, b in DOCS
+        ]
+    )
+    cfg = AnalyzerConfig(mode="porter")
+    build_index(spark, sdf, root, config=cfg, n_build_partitions=2, chunk_size=2)
+    return Index.open(spark, root, cfg)
+
+
+class TestStopwords:
+    def test_derivation_rule(self, aux_index):
+        words = derive_stopwords(aux_index, cutoff=0.25, top_n=15)
+        assert words == ["common"]  # > 25% of all occurrences
+
+    def test_query_time_only_single_word(self, aux_index):
+        update_stopwords(aux_index, cutoff=0.25)
+        s = Searcher(aux_index)
+        assert s.stopwords == frozenset({"common"})
+        # single stopword phrase -> dropped -> empty query
+        df, total, capped = s.search_df("common")
+        assert df is None and total == 0
+        # inside a multi-word phrase the stopword survives (snowball.c:252-258)
+        df, total, _ = s.search_df('"common error"')
+        assert total == 1
+        # stopword alongside another term: stopword phrase dropped, other kept
+        df, total, _ = s.search_df("common parser")
+        assert total == 1
+
+    def test_index_mode_unaffected(self, aux_index):
+        # stopwords never affect indexed content: df('common') intact
+        ts = aux_index.term_stats().filter("term = 'common'").collect()
+        assert ts and ts[0]["df"] == 5
+
+
+class TestSynonyms:
+    def test_colocated_expansion(self, aux_index, spark):
+        update_synonyms(aux_index, [("errors", ["err", "error", "failure"])])
+        s = Searcher(aux_index)
+        assert "error" in load_synonyms(aux_index)["err"]
+        # 'error' matches docs containing error(1), failure(2), err(3)
+        df, total, _ = s.search_df("error")
+        assert total == 3
+        # without synonyms only doc 1 matches
+        s_plain = Searcher(aux_index, synonyms={})
+        _, total_plain, _ = s_plain.search_df("error")
+        assert total_plain == 1
+
+    def test_prefix_query_skips_synonyms(self, aux_index):
+        s = Searcher(aux_index)
+        _df, total, _ = s.search_df("error*")
+        assert total == 1  # only literal error* prefixes
+
+
+class TestSnippets:
+    def test_snippet_window_and_ellipses(self, aux_index):
+        s = Searcher(aux_index, stopwords=frozenset(), synonyms={})
+        res = s.search("parser", limit=5)
+        assert res.hits and res.hits[0].doc_id == "d2"
+        snip = res.hits[0].snippet
+        # first match at body offset 4 ('parser') -> window starts at token 3
+        assert "parser" in snip
+        assert snip.startswith("…")  # match offset > 1
+        assert not snip.endswith("…")  # column has <= 10 tokens... or does it?
+
+    def test_title_match_snippet(self, aux_index):
+        s = Searcher(aux_index, stopwords=frozenset(), synonyms={})
+        res = s.search("alpha", limit=5)
+        assert res.hits[0].snippet.startswith("alpha")
+
+
+class TestSpelling:
+    def test_phonetic_hash_clusters(self):
+        assert phonetic_hash("parser") == phonetic_hash("parsur")
+        assert phonetic_hash("handler") != phonetic_hash("zephyr")
+
+    def test_edit_distance_ordering(self):
+        assert edit_distance("parser", "parser") == 0
+        assert edit_distance("parser", "parsur") < edit_distance("parser", "handler")
+        assert edit_distance("color", "colour") < 100  # cheap vowel insert
+
+    def test_respell_and_autocorrect(self, aux_index):
+        build_speling_table(aux_index, min_count=1, min_len=4)
+        got = respell_term(aux_index, "parsur")
+        assert got is not None and got[0] == "parser"
+        s = Searcher(aux_index, stopwords=frozenset(), synonyms={})
+        res = s.search("parsur", limit=5)
+        assert res.respelt and "parser" in res.respelt
+        assert res.total_hits == 1 and res.hits[0].doc_id == "d2"
+
+    def test_no_respell_when_hits_exist(self, aux_index):
+        s = Searcher(aux_index, stopwords=frozenset(), synonyms={})
+        res = s.search("zephyr", limit=5)
+        assert res.respelt == "" and res.total_hits == 1
