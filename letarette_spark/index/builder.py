@@ -263,17 +263,62 @@ class Index:
             stem_max=a["stem_max"],
         )
 
+    @property
+    def segments(self) -> list[dict]:
+        """Delta segments from incremental upserts (seq > 0); the chunked
+        base build is seq 0. See index/incremental.py."""
+        return self.meta.get("segments", [])
+
+    def _overlay(self, base: DataFrame, table: str) -> DataFrame:
+        """Union base (seq 0) with delta segments; a row from seq S is dead
+        when any later segment tombstoned its rowid (LSM-style overlay,
+        mirroring FTS5's delete+insert trigger maintenance,
+        1_init.up.sql:65-76)."""
+        segs = self.segments
+        if not segs:
+            return base
+        parts = [base.withColumn("_seq", F.lit(0))]
+        tombs = []
+        for s in segs:
+            p = os.path.join(self.root, s[table])
+            if os.path.exists(p):
+                parts.append(
+                    self.spark.read.parquet(p).withColumn("_seq", F.lit(s["seq"]))
+                )
+            tombs.append(
+                self.spark.read.parquet(os.path.join(self.root, s["tombstones"]))
+                .select(
+                    F.col("rowid").alias("_trowid"), F.lit(s["seq"]).alias("_tseq")
+                )
+            )
+        allrows = parts[0]
+        for p in parts[1:]:
+            allrows = allrows.unionByName(p)
+        tomb = tombs[0]
+        for t in tombs[1:]:
+            tomb = tomb.unionByName(t)
+        # churn between compactions is small relative to the base: broadcast
+        # the tombstone set (at larger churn a bloom-filter join or an
+        # Iceberg MERGE would take over; compaction bounds growth either way)
+        return allrows.join(
+            F.broadcast(tomb),
+            (F.col("rowid") == F.col("_trowid")) & (F.col("_tseq") > F.col("_seq")),
+            "left_anti",
+        ).drop("_seq")
+
     def postings(self) -> DataFrame:
-        base = os.path.join(self.root, "postings")
-        return self.spark.read.option("basePath", base).parquet(
-            os.path.join(base, "chunk=*")
+        base_dir = os.path.join(self.root, "postings")
+        base = self.spark.read.option("basePath", base_dir).parquet(
+            os.path.join(base_dir, "chunk=*")
         ).drop("chunk")
+        return self._overlay(base, "postings")
 
     def docs(self) -> DataFrame:
-        base = os.path.join(self.root, "docs")
-        return self.spark.read.option("basePath", base).parquet(
-            os.path.join(base, "chunk=*")
+        base_dir = os.path.join(self.root, "docs")
+        base = self.spark.read.option("basePath", base_dir).parquet(
+            os.path.join(base_dir, "chunk=*")
         ).drop("chunk")
+        return self._overlay(base, "docs")
 
     def term_stats(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.root, "term_stats"))

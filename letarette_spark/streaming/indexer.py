@@ -1,0 +1,84 @@
+"""Structured-Streaming incremental indexer.
+
+The reference's sync protocol (indexer.go:161-295) is a hand-rolled
+micro-batch stream: pull interest lists of changed doc refs, fetch bodies,
+upsert transactionally, advance a (time, docID) checkpoint. Spark names
+all of those concepts:
+
+  interest list / ReqSize batching  -> micro-batch (maxFilesPerTrigger)
+  (lastUpdatedAtNanos, lastDocID)   -> streaming checkpoint offsets
+  single-writer txn upsert          -> foreachBatch -> delta segment with
+                                       an idempotent batch_id (replays are
+                                       no-ops, db_index.go:56-120 analog)
+  future-document guard (+5 min)    -> watermark/filter on updated_at
+  housekeeping (stopwords/spelling) -> periodic maintenance hook
+
+The sink is ``upsert_documents`` (index/incremental.py); one delta segment
+per micro-batch, compaction on demand.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from letarette_spark.index.incremental import upsert_documents
+
+UPDATE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("space", T.StringType(), True),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("body", T.StringType(), True),
+        T.StructField("alive", T.BooleanType(), True),
+        T.StructField("updated_at", T.TimestampType(), True),
+    ]
+)
+
+
+def stream_document_updates(
+    spark: SparkSession,
+    index_root: str,
+    source_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    future_guard_minutes: int = 5,
+):
+    """Consume document-update parquet files from *source_dir* into the
+    index at *index_root*. Returns the StreamingQuery.
+
+    Documents stamped in the future are deferred (reference drops refs >
+    now+5min, indexer.go:414-421) — they stay in the source and surface in
+    a later batch once the clock catches up is NOT modeled here; they are
+    simply filtered, matching the reference's drop-and-refetch behavior."""
+    reader = spark.readStream.schema(UPDATE_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.filter(
+            (F.col("updated_at").isNull())
+            | (
+                F.col("updated_at")
+                <= F.current_timestamp() + F.expr(f"INTERVAL {future_guard_minutes} MINUTES")
+            )
+        ).drop("updated_at")
+        if batch.isEmpty():
+            return
+        # last write per doc wins inside a batch (the reference serializes
+        # updates through one writer goroutine; a micro-batch may carry
+        # several versions of one doc)
+        batch = batch.dropDuplicates(["doc_id"])
+        upsert_documents(spark, index_root, batch, batch_id=batch_id)
+
+    writer = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,147 @@
+"""Incremental upsert / delete / compaction / streaming ingest.
+
+The strongest check: after a sequence of upserts, the engine must be
+rank-identical to a fresh FTS5 index built from the FINAL corpus state —
+incremental maintenance must be observationally equivalent to a rebuild
+(the reference gets this from SQLite triggers; we get it from delta
+segments + tombstones + stats refresh)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from letarette_spark.analysis.tokenizer import AnalyzerConfig
+from letarette_spark.index.builder import Index, build_index
+from letarette_spark.index.incremental import compact_index, upsert_documents
+from letarette_spark.query.executor import Searcher
+from tests.fts5_oracle import Fts5Index
+
+CFG = AnalyzerConfig(mode="porter")
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(
+        [
+            {"doc_id": f"d{r}", "rowid": r, "space": "main", "title": t,
+             "body": b, "alive": a}
+            for r, t, b, a in rows
+        ]
+    )
+
+
+BASE = [
+    (1, "alpha one", "the quick brown fox jumps over the lazy dog", True),
+    (2, "beta two", "pack my box with five dozen liquor jugs", True),
+    (3, "gamma three", "sphinx of black quartz judge my vow", True),
+    (4, "delta four", "quick zephyrs blow vexing daft jim", True),
+]
+
+UPDATES_1 = [
+    (2, "beta two v2", "a quick movement of the enemy will jeopardize gold", True),
+    (5, "epsilon five", "the five boxing wizards jump quickly", True),
+]
+
+UPDATES_2 = [
+    (3, "gamma three", "", False),                      # tombstone
+    (1, "alpha one v2", "jinxed wizards pluck ivy from the big quilt quickly", True),
+]
+
+FINAL = [
+    (1, "alpha one v2", "jinxed wizards pluck ivy from the big quilt quickly"),
+    (2, "beta two v2", "a quick movement of the enemy will jeopardize gold"),
+    (4, "delta four", "quick zephyrs blow vexing daft jim"),
+    (5, "epsilon five", "the five boxing wizards jump quickly"),
+]
+
+QUERIES = ["quick", "wizard*", "five", "quick jump", '"my box"', "quartz", "the -gold"]
+
+
+def _assert_matches_final_oracle(searcher, oracle):
+    from letarette_spark.query.parser import (
+        compile_match_string, parse_query, reduce_phrases,
+    )
+
+    for q in QUERIES:
+        match = compile_match_string(reduce_phrases(parse_query(q)))
+        expected = oracle.search(match, limit=10) if match else []
+        df, _t, _c = searcher.search_df(q, limit=10)
+        got = [(r["rowid"], r["score"]) for r in df.collect()] if df is not None else []
+        assert [r for r, _ in got] == [r for r, _ in expected], (q, got, expected)
+        for (_, sg), (_, se) in zip(got, expected):
+            assert math.isclose(sg, se, rel_tol=1e-9, abs_tol=1e-12), (q, sg, se)
+
+
+@pytest.fixture(scope="module")
+def upserted(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("inc_index"))
+    build_index(spark, _docs_df(spark, BASE), root, config=CFG,
+                n_build_partitions=2, chunk_size=2)
+    upsert_documents(spark, root, _docs_df(spark, UPDATES_1), batch_id=1)
+    upsert_documents(spark, root, _docs_df(spark, UPDATES_2), batch_id=2)
+    oracle = Fts5Index.build(FINAL)
+    return root, oracle
+
+
+def test_upserts_match_fresh_oracle(spark, upserted):
+    root, oracle = upserted
+    idx = Index.open(spark, root, CFG)
+    assert len(idx.segments) == 2
+    assert idx.meta["ndocs"] == 4
+    _assert_matches_final_oracle(Searcher(idx), oracle)
+
+
+def test_batch_replay_is_noop(spark, upserted):
+    root, oracle = upserted
+    idx = upsert_documents(spark, root, _docs_df(spark, UPDATES_2), batch_id=2)
+    assert len(idx.segments) == 2  # replayed batch id -> unchanged
+    _assert_matches_final_oracle(Searcher(idx), oracle)
+
+
+def test_compaction_preserves_results(spark, upserted):
+    root, oracle = upserted
+    idx = compact_index(spark, root)
+    assert idx.segments == []
+    assert idx.meta["ndocs"] == 4
+    _assert_matches_final_oracle(Searcher(idx), oracle)
+    # tombstoned doc really gone from storage, not just filtered
+    assert idx.docs().filter("rowid = 3 AND alive").count() == 0
+
+
+def test_streaming_ingest(spark, tmp_path):
+    import pandas as pd
+
+    from letarette_spark.streaming.indexer import stream_document_updates
+
+    root = str(tmp_path / "stream_index")
+    # no explicit rowid: both builder and upsert derive xxhash64(doc_id),
+    # the identity contract that makes streamed tombstones land
+    base = _docs_df(spark, BASE).drop("rowid")
+    build_index(spark, base, root, config=CFG, n_build_partitions=2, chunk_size=2)
+
+    src = tmp_path / "updates"
+    src.mkdir()
+    pdf = pd.DataFrame(
+        [
+            {"doc_id": "d5", "space": "main", "title": "epsilon five",
+             "body": "the five boxing wizards jump quickly", "alive": True},
+            {"doc_id": "d3", "space": "main", "title": "gamma three",
+             "body": "", "alive": False},
+        ]
+    )
+    pdf["updated_at"] = pd.Series([pd.NaT, pd.NaT], dtype="datetime64[us]")
+    pdf.to_parquet(src / "batch1.parquet")
+
+    q = stream_document_updates(
+        spark, root, str(src), str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+
+    idx = Index.open(spark, root, CFG)
+    s = Searcher(idx)
+    _df, total, _ = s.search_df("wizard*")
+    assert total == 1
+    _df, total, _ = s.search_df("sphinx")
+    assert total == 0  # d3 tombstoned
+    assert idx.meta["ndocs"] == 4
