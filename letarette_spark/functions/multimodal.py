@@ -1,0 +1,221 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing — schemas, Arrow batch shapes, mapInPandas
+signatures, partitioning — is real and tested; the actual codec work is
+pluggable. This container has no image/audio libraries, so the default
+decoder is a clearly-marked DETERMINISTIC FAKE (features derived from
+sha256 of the payload): pipelines, joins and tests behave exactly as they
+would with a real decoder, and swapping one in is a one-function change
+(`set_decoder`). A real deployment would pass e.g. a PIL/ffmpeg-backed
+decoder; calling `require_real_decoder()` raises NotImplementedError to
+make the boundary explicit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),      # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("data", T.BinaryType(), False),       # opaque payload
+        T.StructField("width", T.IntegerType(), True),      # images/video
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),  # audio
+        T.StructField("duration_ms", T.IntegerType(), True),  # audio/video
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_luma", T.DoubleType(), False),
+        T.StructField("phash", T.LongType(), False),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+    ]
+)
+
+
+def _fake_decode_image(data: bytes) -> dict:
+    """Deterministic fake decode: stats derived from sha256(data)."""
+    h = hashlib.sha256(data).digest()
+    return {
+        "mean_luma": int.from_bytes(h[:4], "big") / 0xFFFFFFFF,
+        "phash": int.from_bytes(h[4:12], "big", signed=True),
+    }
+
+
+_DECODER: Callable[[bytes], dict] = _fake_decode_image
+
+
+def set_decoder(fn: Callable[[bytes], dict]) -> None:
+    global _DECODER
+    _DECODER = fn
+
+
+def require_real_decoder() -> None:
+    """The explicit stub boundary: no real codec ships in this container."""
+    raise NotImplementedError(
+        "real image/audio decoding requires PIL/ffmpeg, not present here; "
+        "install one and call set_decoder()"
+    )
+
+
+def synthesize_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic fake media corpus (payload = seeded pseudo-bytes)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kinds = ["image", "audio", "video"]
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.default_rng((seed << 32) ^ i)
+                kind = kinds[i % 3]
+                data = rng.integers(0, 256, size=256 + (i % 512), dtype=np.uint8).tobytes()
+                rows.append(
+                    {
+                        "media_id": i,
+                        "kind": kind,
+                        "mime": {"image": "image/fake", "audio": "audio/fake",
+                                 "video": "video/fake"}[kind],
+                        "data": data,
+                        "width": 64 + (i % 16) * 8 if kind != "audio" else None,
+                        "height": 48 + (i % 12) * 8 if kind != "audio" else None,
+                        "sample_rate": 16000 if kind == "audio" else None,
+                        "duration_ms": 1000 + i % 9000 if kind != "image" else None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    par = max(spark.sparkContext.defaultParallelism, 2)
+    return spark.range(0, n, numPartitions=par).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode -> per-image features. The decoder runs once
+    per row inside the batch; heavy payloads stay columnar in Arrow."""
+
+    def feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                d = _DECODER(bytes(r.data))
+                rows.append(
+                    {
+                        "media_id": r.media_id,
+                        "width": r.width,
+                        "height": r.height,
+                        "mean_luma": float(d["mean_luma"]),
+                        "phash": int(d["phash"]),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "width", "height", "data")
+        .mapInPandas(feat, schema=IMAGE_FEATURES_SCHEMA)
+    )
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: returns (media_id, data) with the fake 'resized'
+    payload = deterministic function of (payload sha, target dims)."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("data", T.BinaryType(), False),
+        ]
+    )
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                h = hashlib.sha256(bytes(r.data) + f"{width}x{height}".encode()).digest()
+                rows.append({"media_id": r.media_id, "data": h * 4})
+            yield pd.DataFrame(rows, columns=["media_id", "data"])
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "data")
+        .mapInPandas(rs, schema=out_schema)
+    )
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame sampling plumbing: one output row per sampled frame —
+    demonstrates the 1->N mapInPandas fan-out a real ffmpeg sampler uses."""
+
+    def fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                n_frames = max(1, int(r.duration_ms or 0) // every_ms)
+                base = hashlib.sha256(bytes(r.data)).digest()
+                for i in range(n_frames):
+                    rows.append(
+                        {
+                            "media_id": r.media_id,
+                            "frame_idx": i,
+                            "frame": hashlib.sha256(base + i.to_bytes(4, "big")).digest(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "duration_ms", "data")
+        .mapInPandas(fs, schema=FRAME_SCHEMA)
+    )
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """(media_id, duration_ms, rms) — fake rms from payload hash."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("duration_ms", T.IntegerType(), True),
+            T.StructField("rms", T.DoubleType(), False),
+        ]
+    )
+
+    def af(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                h = hashlib.sha256(bytes(r.data)).digest()
+                rows.append(
+                    {
+                        "media_id": r.media_id,
+                        "duration_ms": r.duration_ms,
+                        "rms": int.from_bytes(h[8:12], "big") / 0xFFFFFFFF,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "duration_ms", "rms"])
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", "duration_ms", "data")
+        .mapInPandas(af, schema=out_schema)
+    )

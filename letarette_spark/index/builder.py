@@ -58,10 +58,30 @@ def tokenize_postings(docs: DataFrame, config: AnalyzerConfig) -> DataFrame:
     term frequencies, position lists (for phrase/NEAR evaluation) and the
     document's unweighted token count (dl) — denormalized so BM25 scoring
     never joins a doc-length table.
+
+    Emits Arrow RecordBatches directly (mapInArrow) with position lists as
+    native ListArrays over flat int32 buffers — building pandas rows of
+    Python list objects measured 3-4x slower than the tokenization itself
+    and did not scale with cores.
     """
+    import pyarrow as pa
+
     cfg = config.key()
 
-    def tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    out_type = pa.schema(
+        [
+            ("term", pa.string()),
+            ("rowid", pa.int64()),
+            ("space", pa.string()),
+            ("tf0", pa.int32()),
+            ("tf1", pa.int32()),
+            ("pos0", pa.list_(pa.int32())),
+            ("pos1", pa.list_(pa.int32())),
+            ("dl", pa.int32()),
+        ]
+    )
+
+    def tok(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
         analyzer = Analyzer(AnalyzerConfig(
             mode=cfg["mode"],
             languages=tuple(cfg["languages"]),
@@ -69,44 +89,61 @@ def tokenize_postings(docs: DataFrame, config: AnalyzerConfig) -> DataFrame:
             stem_min=cfg["stem_min"],
             stem_max=cfg["stem_max"],
         ))
-        for pdf in batches:
-            out_term, out_rowid, out_space = [], [], []
-            out_tf0, out_tf1, out_p0, out_p1, out_dl = [], [], [], [], []
-            for rowid, space, title, body in zip(
-                pdf["rowid"], pdf["space"], pdf["title"], pdf["body"]
-            ):
-                t0 = analyzer.tokens(title or "")
-                t1 = analyzer.tokens(body or "")
-                dl = len(t0) + len(t1)
+        for batch in batches:
+            rowids = batch.column("rowid").to_pylist()
+            spaces = batch.column("space").to_pylist()
+            titles = batch.column("title").to_pylist()
+            bodies = batch.column("body").to_pylist()
+            terms: list[str] = []
+            o_rowid: list[int] = []
+            o_space: list[str] = []
+            tf0: list[int] = []
+            tf1: list[int] = []
+            dls: list[int] = []
+            p0_off = [0]
+            p0_val: list[int] = []
+            p1_off = [0]
+            p1_val: list[int] = []
+            for rid, sp, ti, bo in zip(rowids, spaces, titles, bodies):
+                t0 = analyzer.tokens(ti or "")
+                t1 = analyzer.tokens(bo or "")
+                d = len(t0) + len(t1)
                 agg: dict[str, tuple[list, list]] = {}
                 for tk in t0:
                     agg.setdefault(tk.term, ([], []))[0].append(tk.pos)
                 for tk in t1:
                     agg.setdefault(tk.term, ([], []))[1].append(tk.pos)
-                for term, (p0, p1) in agg.items():
-                    out_term.append(term)
-                    out_rowid.append(rowid)
-                    out_space.append(space)
-                    out_tf0.append(len(p0))
-                    out_tf1.append(len(p1))
-                    out_p0.append(p0)
-                    out_p1.append(p1)
-                    out_dl.append(dl)
-            yield pd.DataFrame(
-                {
-                    "term": out_term,
-                    "rowid": out_rowid,
-                    "space": out_space,
-                    "tf0": out_tf0,
-                    "tf1": out_tf1,
-                    "pos0": out_p0,
-                    "pos1": out_p1,
-                    "dl": out_dl,
-                }
+                for term, (a0, a1) in agg.items():
+                    terms.append(term)
+                    o_rowid.append(rid)
+                    o_space.append(sp)
+                    tf0.append(len(a0))
+                    tf1.append(len(a1))
+                    dls.append(d)
+                    p0_val.extend(a0)
+                    p0_off.append(len(p0_val))
+                    p1_val.extend(a1)
+                    p1_off.append(len(p1_val))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(terms, pa.string()),
+                    pa.array(o_rowid, pa.int64()),
+                    pa.array(o_space, pa.string()),
+                    pa.array(tf0, pa.int32()),
+                    pa.array(tf1, pa.int32()),
+                    pa.ListArray.from_arrays(
+                        pa.array(p0_off, pa.int32()), pa.array(p0_val, pa.int32())
+                    ),
+                    pa.ListArray.from_arrays(
+                        pa.array(p1_off, pa.int32()), pa.array(p1_val, pa.int32())
+                    ),
+                    pa.array(dls, pa.int32()),
+                ],
+                schema=out_type,
             )
 
     cols = docs.select("rowid", "space", "title", "body")
-    return cols.mapInPandas(tok, schema=POSTINGS_SCHEMA)
+    return cols.mapInArrow(tok, schema=POSTINGS_SCHEMA)
 
 
 @dataclass
@@ -188,13 +225,20 @@ def build_index(
             keep.append("content_sha256")
         chunk_docs.select(*keep).write.mode("overwrite").parquet(docs_dir)
 
-        postings = tokenize_postings(chunk_docs.filter(F.col("alive")), config)
+        # persist before repartitionByRange: the range partitioner SAMPLES
+        # its child, which would otherwise run the whole tokenize twice
+        from pyspark import StorageLevel
+
+        postings = tokenize_postings(
+            chunk_docs.filter(F.col("alive")), config
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         (
             postings.repartitionByRange(files_per_chunk, "term", "rowid")
             .sortWithinPartitions("term", "rowid")
             .write.mode("overwrite")
             .parquet(post_dir)
         )
+        postings.unpersist()
         man.record_chunk(ci, {"parts": parts, "status": "done"})
         built += 1
 
@@ -219,11 +263,13 @@ def build_index(
         os.path.join(root, "docs", "chunk=*")
     )
     ndocs = docs_all.filter(F.col("alive")).count()
-    agg = postings_all.agg(
-        F.coalesce(F.sum(F.col("tf0") + F.col("tf1")), F.lit(0)).alias("sum_dl"),
-        F.count(F.lit(1)).alias("nrows"),
+    # global stats from the (small) term_stats table — no extra postings scan:
+    # sum over terms of cnt == total tokens == sum over docs of dl
+    agg = spark.read.parquet(ts_dir).agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("sum_dl"),
+        F.count(F.lit(1)).alias("nterms"),
     ).collect()[0]
-    nterms = term_stats.count()
+    nterms = int(agg["nterms"])
 
     man.commit_snapshot(
         {

@@ -252,6 +252,10 @@ class Searcher:
         if not inc_terms:
             return None, 0, False
 
+        fast = self._wand_fast_path(inc_terms, excludes, spaces, limit, offset)
+        if fast is not None:
+            return fast
+
         self._evict_cache()
         hits = []
         for i, (p, terms) in enumerate(inc_terms):
@@ -372,6 +376,50 @@ class Searcher:
                 snip = builder.snippet(r["title"], r["body"], phrase_alts)
             hits.append(Hit(r["space"], r["doc_id"], r["rowid"], r["score"], snip))
         return SearchResult(hits, total, capped, respelt, respelt_distance)
+
+    # ------------------------------------------------------------------
+    def _wand_fast_path(
+        self,
+        inc_terms: list,
+        excludes: list,
+        spaces: list[str] | None,
+        limit: int,
+        offset: int,
+    ) -> tuple[DataFrame, int, bool] | None:
+        """Route eligible queries through block-max WAND (query/wand.py):
+        a single plain single-term phrase, no excludes/space filter, no
+        pending delta segments (blocks reflect the base snapshot only), and
+        a hit count under the cap (the capped path needs rowid-order
+        truncation, which WAND's pruning cannot honor). total_hits comes
+        from term_stats — no candidate scan at all."""
+        if len(inc_terms) != 1 or excludes or spaces or self.index.segments:
+            return None
+        p, alts = inc_terms[0]
+        if p.wildcard or len(alts) != 1 or len(alts[0]) != 1:
+            return None
+        from letarette_spark.index.blocks import has_blocks
+
+        if not has_blocks(self.index):
+            return None
+        term = alts[0][0]
+        row = (
+            self.index.term_stats().filter(F.col("term") == term).limit(1).collect()
+        )
+        total = int(row[0]["df"]) if row else 0
+        if total == 0:
+            empty = self.index.spark.createDataFrame(
+                [], "rowid long, space string, score double"
+            )
+            return empty, 0, False
+        if total > self.cap:
+            return None
+        from letarette_spark.query.wand import wand_topk
+
+        out = wand_topk(
+            self.index, [term], k=offset + limit,
+            w_title=self.w_title, w_body=self.w_body,
+        ).offset(offset)
+        return out, total, False
 
     # ------------------------------------------------------------------
     def _respell(self, query: str) -> tuple[str, int, bool]:

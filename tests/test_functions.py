@@ -1,0 +1,133 @@
+"""Training-data-pipeline operators: dedup (LSH vs exhaustive), similarity
+(LSH vs brute force), multimodal plumbing, fingerprints."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base.replace("lazy", "sleepy")},   # near-dup of 1
+        {"doc_id": 3, "text": base},                             # exact dup of 1
+        {"doc_id": 4, "text": "completely different content about spark query engines and columnar storage"},
+        {"doc_id": 5, "text": "another unrelated document mentioning inverted index construction pipelines"},
+    ]
+    return spark.createDataFrame(rows)
+
+
+class TestDedup:
+    def test_exact_groups(self, near_dup_docs):
+        from letarette_spark.functions.dedup import exact_duplicate_groups
+
+        groups = exact_duplicate_groups(near_dup_docs).collect()
+        assert len(groups) == 1
+        assert groups[0]["members"] == "1,3"
+
+    def test_lsh_pairs_subset_of_exhaustive(self, near_dup_docs):
+        from letarette_spark.functions.dedup import jaccard_pairs, minhash_lsh_pairs
+
+        exhaustive = {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in jaccard_pairs(near_dup_docs, n=3, threshold=0.3).collect()
+        }
+        lsh = {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in minhash_lsh_pairs(
+                near_dup_docs, bands=8, rows_per_band=1, n=3, threshold=0.3
+            ).collect()
+        }
+        assert set(lsh) <= set(exhaustive)
+        assert (1, 3) in lsh            # exact dup always collides
+        assert (1, 2) in exhaustive     # near-dup above threshold
+        # with 8 bands of 1 row, a ~0.8-jaccard pair collides w.p. ~1-(0.2)^8
+        assert (1, 2) in lsh
+
+    def test_simhash_close_for_near_dups(self, near_dup_docs):
+        from letarette_spark.functions.dedup import simhash64
+
+        h = {r["doc_id"]: r["simhash"] for r in simhash64(near_dup_docs).collect()}
+        assert h[1] == h[3]
+        ham_near = bin((h[1] ^ h[2]) & (2**64 - 1)).count("1")
+        ham_far = bin((h[1] ^ h[4]) & (2**64 - 1)).count("1")
+        assert ham_near < ham_far
+
+    def test_fingerprint_order_sensitive(self, spark):
+        from letarette_spark.functions.textstats import fingerprint64
+
+        df = spark.createDataFrame(
+            [
+                {"doc_id": 1, "text": "alpha beta gamma"},
+                {"doc_id": 2, "text": "gamma beta alpha"},
+                {"doc_id": 3, "text": "alpha beta gamma"},
+            ]
+        )
+        fp = {r["doc_id"]: r["fingerprint"] for r in fingerprint64(df).collect()}
+        assert fp[1] == fp[3] != fp[2]
+
+
+class TestSimilarity:
+    def test_lsh_topk_recall_vs_bruteforce(self, spark):
+        from letarette_spark.functions.similarity import cosine_topk, lsh_cosine_topk
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        exact = [r["vec_id"] for r in cosine_topk(emb, query_id=0, k=5).collect()]
+        approx = [
+            r["vec_id"]
+            for r in lsh_cosine_topk(emb, query_id=0, k=5, n_planes=2).collect()
+        ]
+        # 2 hyperplanes -> 4 buckets: recall should be decent, result ordered
+        assert len(approx) > 0
+        assert set(approx) <= set(
+            r["vec_id"] for r in cosine_topk(emb, query_id=0, k=50).collect()
+        ) | set(exact)
+
+    def test_embedding_dup_pairs_symmetic_dedup(self, spark):
+        from letarette_spark.functions.dedup import embedding_duplicate_pairs
+
+        rows = [
+            {"vec_id": 1, "embedding": [1.0, 0.0, 0.0]},
+            {"vec_id": 2, "embedding": [0.999, 0.01, 0.0]},
+            {"vec_id": 3, "embedding": [0.0, 1.0, 0.0]},
+        ]
+        emb = spark.createDataFrame(rows)
+        pairs = embedding_duplicate_pairs(emb, threshold=0.99).collect()
+        assert [(r["a"], r["b"]) for r in pairs] == [(1, 2)]
+
+
+class TestMultimodal:
+    def test_plumbing_shapes_and_determinism(self, spark):
+        from letarette_spark.functions import multimodal as mm
+
+        media = mm.synthesize_media(spark, 30)
+        counts = {r["kind"]: r["c"] for r in media.groupBy("kind").agg(F.count("*").alias("c")).collect()}
+        assert set(counts) == {"image", "audio", "video"}
+
+        feats = mm.image_features(media)
+        rows = feats.collect()
+        assert len(rows) == counts["image"]
+        assert all(0.0 <= r["mean_luma"] <= 1.0 for r in rows)
+        # deterministic across runs
+        again = {r["media_id"]: r["phash"] for r in mm.image_features(media).collect()}
+        assert {r["media_id"]: r["phash"] for r in rows} == again
+
+        resized = mm.resize_images(media, 32, 32).collect()
+        assert all(len(r["data"]) == 128 for r in resized)
+
+        frames = mm.sample_frames(media, every_ms=300)
+        f = frames.collect()
+        assert len(f) > counts["video"]  # fan-out happened
+        assert frames.schema["frame"].dataType.typeName() == "binary"
+
+        audio = mm.audio_features(media).collect()
+        assert len(audio) == counts["audio"]
+
+    def test_real_decoder_boundary(self):
+        from letarette_spark.functions import multimodal as mm
+
+        with pytest.raises(NotImplementedError):
+            mm.require_real_decoder()

@@ -66,7 +66,11 @@ def dense(spark, tmp_path_factory):
     )
     cfg = AnalyzerConfig(mode="porter")
     build_index(spark, sdf, root, config=cfg, n_build_partitions=2, chunk_size=2)
-    return Index.open(spark, root, cfg), Fts5Index.build(docs)
+    idx = Index.open(spark, root, cfg)
+    from letarette_spark.index.blocks import build_blocks
+    build_blocks(idx, block_size=16)  # single-term queries traverse the WAND path
+    idx = Index.open(spark, root, cfg)
+    return idx, Fts5Index.build(docs)
 
 
 @pytest.mark.parametrize("query", _mk_queries())

@@ -50,6 +50,8 @@ def built(spark, tmp_path_factory):
     cfg = AnalyzerConfig(mode="porter")  # FTS5-oracle-verifiable mode
     build_index(spark, docs, root, config=cfg, n_build_partitions=4, chunk_size=2)
     index = Index.open(spark, root, cfg)
+    from letarette_spark.index.blocks import build_blocks
+    build_blocks(index, block_size=32)  # single-term queries traverse the WAND path
 
     local_docs = docs.select("rowid", "title", "body").collect()
     oracle = Fts5Index.build([(r["rowid"], r["title"], r["body"]) for r in local_docs])
