@@ -218,6 +218,66 @@ def q_lsh_cosine(spark, sf_dir):
     )
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def q_event_hourly(spark, sf_dir):
+    """Tumbling 1-hour windowed counts/sums per event type — the batch
+    equivalent of the streaming windowed-agg operator (SURVEY.md §2.8)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.col("event_type"),
+            F.date_trunc("hour", F.col("ts")).cast("string").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: a >30-min gap starts a new session (lag + cumsum
+    window — the applyInPandasWithState-free formulation)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events.ts is TIMESTAMP_NTZ; route through TIMESTAMP (session tz = UTC)
+    # for epoch seconds — matches DuckDB's epoch() on naive timestamps
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("new_s", new_s)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_s").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def q_top_users_per_type(spark, sf_dir):
+    """Top-3 users by total value per event type (rank window)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    agg = ev.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 6).alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("total_value"), F.asc("user_id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "user_id", "total_value", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "engine_bm25": q_engine_bm25,
@@ -238,6 +298,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
         "lsh_cosine": q_lsh_cosine,
+        "event_hourly": q_event_hourly,
+        "sessionize": q_sessionize,
+        "top_users_per_type": q_top_users_per_type,
     }
 
 
@@ -373,6 +436,38 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'fr' END AS lang_guess,
                    greatest(de, en, fr) AS profile_hits
             FROM h
+        """,
+        "event_hourly": """
+            SELECT event_type,
+                   CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+                   count(*)::BIGINT AS n,
+                   round(sum(value), 6) AS total_value
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "sessionize": """
+            WITH e AS (
+              SELECT user_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, sum(new_s)::BIGINT AS n_sessions,
+                   count(*)::BIGINT AS n_events
+            FROM e GROUP BY user_id
+        """,
+        "top_users_per_type": """
+            WITH agg AS (
+              SELECT event_type, user_id, round(sum(value), 6) AS total_value
+              FROM events GROUP BY event_type, user_id
+            )
+            SELECT event_type, user_id, total_value, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY event_type ORDER BY total_value DESC, user_id
+              )::BIGINT AS rank
+              FROM agg
+            ) WHERE rank <= 3
         """,
         # engine_bm25, simhash, fingerprint, lsh_cosine: engine-native
         # (stemmed BM25/NEAR, xxhash64, seeded hyperplanes) — not ANSI-SQL

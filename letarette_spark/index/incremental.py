@@ -38,8 +38,14 @@ from letarette_spark.index.manifest import Manifest
 
 def _refresh_stats(index: Index, man: Manifest, extra_meta: dict) -> None:
     """Recompute term_stats + global BM25 stats from the overlaid view and
-    commit a new snapshot."""
+    commit a new snapshot. Any existing WAND blocks table reflects the old
+    snapshot and is invalidated (rebuild with blocks.build_blocks after a
+    batch of upserts / a compaction)."""
     spark = index.spark
+    blocks_dir = os.path.join(index.root, "blocks")
+    if os.path.exists(blocks_dir):
+        shutil.rmtree(blocks_dir)
+    extra_meta = dict(extra_meta, blocks=None)
     postings = index.postings()
     ts_tmp = os.path.join(index.root, "term_stats.tmp")
     ts_dir = os.path.join(index.root, "term_stats")

@@ -145,3 +145,22 @@ def test_streaming_ingest(spark, tmp_path):
     _df, total, _ = s.search_df("sphinx")
     assert total == 0  # d3 tombstoned
     assert idx.meta["ndocs"] == 4
+
+
+def test_upsert_invalidates_wand_blocks(spark, tmp_path):
+    """Blocks built before an upsert reflect the old snapshot; the upsert
+    must invalidate them or the WAND fast path would serve deleted docs."""
+    from letarette_spark.index.blocks import build_blocks, has_blocks
+
+    root = str(tmp_path / "blk_inval")
+    build_index(spark, _docs_df(spark, BASE), root, config=CFG,
+                n_build_partitions=2, chunk_size=2)
+    idx = Index.open(spark, root, CFG)
+    build_blocks(idx, block_size=16)
+    assert has_blocks(idx)
+
+    idx = upsert_documents(spark, root, _docs_df(spark, UPDATES_2), batch_id=9)
+    assert not has_blocks(idx)
+    s = Searcher(idx)
+    _df, total, _ = s.search_df("sphinx")   # d3 tombstoned by UPDATES_2
+    assert total == 0
