@@ -50,6 +50,24 @@ POSTINGS_SCHEMA = T.StructType(
 TITLE_WEIGHT = 5.0  # reference rank config bm25(5.0, 1.0), db.go:357-361
 BODY_WEIGHT = 1.0
 
+DEFAULT_BUCKETS = 64
+
+
+def bucket_expr(n_buckets: int, term_col: str = "term"):
+    """Portable term bucket: first 8 hex digits of md5 mod n_buckets —
+    computable identically in Spark SQL and driver-side Python, so query
+    terms map straight to partition directories (exact pruning)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.col(term_col)), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    ).cast("int")
+
+
+def bucket_of(term: str, n_buckets: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+
 
 def tokenize_postings(docs: DataFrame, config: AnalyzerConfig) -> DataFrame:
     """Vectorized tokenize + in-batch per-(doc, term) aggregation.
@@ -164,6 +182,7 @@ def build_index(
     n_build_partitions: int = 16,
     chunk_size: int = 8,
     files_per_chunk: int | None = None,
+    n_buckets: int = DEFAULT_BUCKETS,
     verify_sha256: bool = False,
     fail_after_chunks: int | None = None,  # test hook: simulate a killed build
 ) -> BuildResult:
@@ -187,6 +206,7 @@ def build_index(
     plan = {
         "n_parts": n_build_partitions,
         "chunk_size": chunk_size,
+        "n_buckets": n_buckets,
         "analyzer": config.key(),
     }
     lineage = man.start_plan(plan)
@@ -225,20 +245,22 @@ def build_index(
             keep.append("content_sha256")
         chunk_docs.select(*keep).write.mode("overwrite").parquet(docs_dir)
 
-        # persist before repartitionByRange: the range partitioner SAMPLES
-        # its child, which would otherwise run the whole tokenize twice
-        from pyspark import StorageLevel
-
-        postings = tokenize_postings(
-            chunk_docs.filter(F.col("alive")), config
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        # Layout: hash-bucket directories + term-sorted rows. A single hash
+        # shuffle (no sampling pass, unlike repartitionByRange — tokenize
+        # runs exactly once), partitionBy('bucket') directories give EXACT
+        # partition pruning for query terms, and within-file term sorting
+        # gives row-group min/max pruning for prefix scans. Head-term skew
+        # is bounded: one term is one bucket slice, and buckets >> tasks
+        # average the rest out.
+        postings = tokenize_postings(chunk_docs.filter(F.col("alive")), config)
         (
-            postings.repartitionByRange(files_per_chunk, "term", "rowid")
-            .sortWithinPartitions("term", "rowid")
-            .write.mode("overwrite")
+            postings.withColumn("bucket", bucket_expr(n_buckets))
+            .repartition(files_per_chunk, "bucket")
+            .sortWithinPartitions("bucket", "term", "rowid")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
             .parquet(post_dir)
         )
-        postings.unpersist()
         man.record_chunk(ci, {"parts": parts, "status": "done"})
         built += 1
 
@@ -278,6 +300,7 @@ def build_index(
             "sum_dl": int(agg["sum_dl"]),
             "nterms": nterms,
             "weights": {"title": TITLE_WEIGHT, "body": BODY_WEIGHT},
+            "postings_buckets": n_buckets,
             "plan": plan,
         }
     )
@@ -352,12 +375,38 @@ class Index:
             "left_anti",
         ).drop("_seq")
 
+    @property
+    def n_buckets(self) -> int | None:
+        return self.meta.get("postings_buckets")
+
+    def bucket_of_term(self, term: str) -> int | None:
+        b = self.n_buckets
+        return bucket_of(term, b) if b else None
+
     def postings(self) -> DataFrame:
         base_dir = os.path.join(self.root, "postings")
         base = self.spark.read.option("basePath", base_dir).parquet(
             os.path.join(base_dir, "chunk=*")
         ).drop("chunk")
         return self._overlay(base, "postings")
+
+    def postings_for_terms(self, terms: list[str]) -> DataFrame:
+        """Term-pruned postings scan: bucket partition-dir pruning (exact)
+        + term predicate pushdown (row-group min/max on sorted files)."""
+        post = self.postings()
+        cond = F.col("term").isin(terms) if len(terms) > 1 else (
+            F.col("term") == terms[0]
+        )
+        b = self.n_buckets
+        if b:
+            buckets = sorted({bucket_of(t, b) for t in terms})
+            bcond = (
+                F.col("bucket").isin(buckets)
+                if len(buckets) > 1
+                else (F.col("bucket") == buckets[0])
+            )
+            cond = bcond & cond
+        return post.filter(cond)
 
     def docs(self) -> DataFrame:
         base_dir = os.path.join(self.root, "docs")

@@ -32,7 +32,12 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from letarette_spark.index.builder import Index, tokenize_postings
+from letarette_spark.index.builder import (
+    DEFAULT_BUCKETS,
+    Index,
+    bucket_expr,
+    tokenize_postings,
+)
 from letarette_spark.index.manifest import Manifest
 
 
@@ -115,11 +120,26 @@ def upsert_documents(
     )
     cfg = index.analyzer_config
     par = spark.sparkContext.defaultParallelism
-    tokenize_postings(
+    seg_post = tokenize_postings(
         docs.filter(F.col("alive")).repartition(par), cfg
-    ).repartitionByRange(max(2, par // 2), "term", "rowid").sortWithinPartitions(
-        "term", "rowid"
-    ).write.mode("overwrite").parquet(os.path.join(root, seg_rel["postings"]))
+    )
+    if index.n_buckets:
+        # keep the segment layout union-compatible with the bucketed base
+        (
+            seg_post.withColumn("bucket", bucket_expr(index.n_buckets))
+            .repartition(max(2, par // 2), "bucket")
+            .sortWithinPartitions("bucket", "term", "rowid")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(os.path.join(root, seg_rel["postings"]))
+        )
+    else:  # pre-bucket index layouts
+        (
+            seg_post.repartition(max(2, par // 2), "term")
+            .sortWithinPartitions("term", "rowid")
+            .write.mode("overwrite")
+            .parquet(os.path.join(root, seg_rel["postings"]))
+        )
 
     extra = {
         "segments": index.segments + [seg_rel],
@@ -145,11 +165,16 @@ def compact_index(spark: SparkSession, root: str) -> Index:
 
     post_new = os.path.join(root, "postings.compact")
     docs_new = os.path.join(root, "docs.compact")
+    post = index.postings()
+    if "bucket" not in post.columns:
+        post = post.withColumn(
+            "bucket", bucket_expr(index.n_buckets or DEFAULT_BUCKETS)
+        )
     (
-        index.postings()
-        .repartitionByRange(max(2, par // 2), "term", "rowid")
-        .sortWithinPartitions("term", "rowid")
-        .write.mode("overwrite")
+        post.repartition(max(2, par // 2), "bucket")
+        .sortWithinPartitions("bucket", "term", "rowid")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
         .parquet(os.path.join(post_new, "chunk=0"))
     )
     index.docs().write.mode("overwrite").parquet(os.path.join(docs_new, "chunk=0"))
@@ -163,5 +188,9 @@ def compact_index(spark: SparkSession, root: str) -> Index:
     shutil.rmtree(os.path.join(root, "seg"), ignore_errors=True)
 
     index.meta = dict(index.meta, segments=[])
-    _refresh_stats(index, man, {"segments": []})
+    _refresh_stats(
+        index,
+        man,
+        {"segments": [], "postings_buckets": index.n_buckets or DEFAULT_BUCKETS},
+    )
     return index

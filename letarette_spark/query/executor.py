@@ -124,17 +124,18 @@ class Searcher:
         containing the phrase; positions are phrase start positions.
         ``alts[i]`` = acceptable terms at phrase position i (synonym
         expansion -> union of posting lists, like FTS5 colocated tokens)."""
-        post = self.index.postings()
         last = len(alts) - 1
 
         def term_posts(i: int, terms_i: list[str]) -> DataFrame:
             if wildcard and i == last:
-                cond = F.col("term").startswith(terms_i[0])
-            elif len(terms_i) == 1:
-                cond = F.col("term") == terms_i[0]
+                # prefix: bucket unknown -> full scan, pruned only by the
+                # per-bucket term-sorted row-group stats
+                df = self.index.postings().filter(
+                    F.col("term").startswith(terms_i[0])
+                )
             else:
-                cond = F.col("term").isin(terms_i)
-            df = post.filter(cond)
+                # exact terms: bucket partition-dir pruning + term pushdown
+                df = self.index.postings_for_terms(terms_i)
             if (wildcard and i == last) or len(terms_i) > 1:
                 # prefix / synonym match: a doc may contain several matching
                 # terms — union their instance lists (FTS5 prefix-query and

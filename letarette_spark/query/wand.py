@@ -173,8 +173,7 @@ def wand_topk(
 
     # ---- verify: exact scores from row postings for candidates ----
     post = (
-        index.postings()
-        .filter(F.col("term").isin(live_terms))
+        index.postings_for_terms(live_terms)
         .join(cand, "rowid", "inner")
         .select("term", "rowid", "space", "tf0", "tf1", "dl")
     )

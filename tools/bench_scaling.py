@@ -76,7 +76,7 @@ def run_one(cpus: int, corpus_dir: str) -> dict:
     tokenize_postings(docs.limit(64 * cpus), cfg).count()
 
     times = []
-    for _trial in range(3):
+    for _trial in range(2):
         root = tempfile.mkdtemp(prefix=f"scaling_idx_{cpus}_")
         t0 = time.perf_counter()
         build_index(
@@ -103,6 +103,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ndocs", type=int, default=120000)
     ap.add_argument("--cpus-list", default="4,16")
+    ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--run-one", action="store_true")
     ap.add_argument("--cpus", type=int)
     ap.add_argument("--corpus")
@@ -124,19 +125,35 @@ def main() -> None:
     spark.stop()
 
     cpus_list = [int(c) for c in args.cpus_list.split(",")]
+    # interleave A/B rounds so both levels sample the same noise regimes
+    # (this host has invisible noisy neighbors); aggregate min per level
+    trials: dict[int, list] = {c: [] for c in cpus_list}
+    ndocs_seen = args.ndocs
+    for _round in range(args.rounds):
+        for cpus in cpus_list:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--run-one",
+                 "--cpus", str(cpus), "--corpus", corpus_dir],
+                capture_output=True, text=True, timeout=3600,
+                env=dict(os.environ, SPARK_DRIVER_MEM="48g"),
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")]
+            if not line:
+                print(out.stdout[-2000:], out.stderr[-2000:], file=sys.stderr)
+                raise RuntimeError(f"run at local[{cpus}] failed")
+            r = json.loads(line[-1][len("RESULT "):])
+            trials[r["cpus"]].extend(r["build_sec_trials"])
+            ndocs_seen = r["ndocs"]
     results = []
     for cpus in cpus_list:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--run-one",
-             "--cpus", str(cpus), "--corpus", corpus_dir],
-            capture_output=True, text=True, timeout=3600,
-            env=dict(os.environ, SPARK_DRIVER_MEM="48g"),
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")]
-        if not line:
-            print(out.stdout[-2000:], out.stderr[-2000:], file=sys.stderr)
-            raise RuntimeError(f"run at local[{cpus}] failed")
-        results.append(json.loads(line[-1][len("RESULT "):]))
+        best = min(trials[cpus])
+        results.append({
+            "cpus": cpus,
+            "ndocs": ndocs_seen,
+            "build_sec_trials": trials[cpus],
+            "build_sec": round(best, 2),
+            "docs_per_sec": round(ndocs_seen / best, 2),
+        })
     shutil.rmtree(corpus_dir, ignore_errors=True)
 
     lo, hi = results[0], results[-1]
