@@ -114,7 +114,14 @@ class Analyzer:
         if mode == "simple":
             return folded
         if mode == "porter":
-            return porter.stem(folded)
+            if folded.isascii():
+                return porter.stem(folded)
+            # FTS5's porter runs over UTF-8 BYTES (non-ASCII bytes behave
+            # as consonants); emulate via a latin-1 byte surrogate. Safe:
+            # suffix matches are ASCII bytes, and UTF-8 continuation bytes
+            # are >= 0x80, so cuts never split a multibyte sequence.
+            b = folded.encode("utf-8").decode("latin-1")
+            return porter.stem(b).encode("latin-1").decode("utf-8")
         return self._stem_chain(folded, len(folded.encode("utf-8")))
 
     def tokens(self, text: str) -> list[Token]:
