@@ -1,0 +1,75 @@
+"""Query result cache with canonical keys and per-document invalidation.
+
+Reference: internal/letarette/cache.go:30-185 — an LRU-ish cache keyed by
+the canonicalized phrase list + spaces + page (parser.go:166-199), size-
+and TTL-bounded, invalidated per docID when updates arrive. Driver-side
+here (results are tiny top-k lists); the underlying Spark scans are the
+expensive part being saved.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import OrderedDict
+from dataclasses import dataclass, field
+from typing import Hashable
+
+from letarette_spark.query.parser import canonicalize, parse_query, reduce_phrases
+
+
+def cache_key(query: str, spaces: list[str] | None, limit: int, offset: int) -> Hashable:
+    phrases = canonicalize(reduce_phrases(parse_query(query)))
+    return (phrases, tuple(sorted(spaces or [])), limit, offset)
+
+
+@dataclass
+class ResultCache:
+    max_entries: int = 1024
+    ttl_seconds: float = 600.0  # reference default 10 min (config.go:72)
+    _data: OrderedDict = field(default_factory=OrderedDict)
+
+    def get(self, key: Hashable):
+        now = time.monotonic()
+        item = self._data.get(key)
+        if item is None:
+            return None
+        ts, doc_ids, value = item
+        if now - ts > self.ttl_seconds:
+            del self._data[key]
+            return None
+        self._data.move_to_end(key)
+        return value
+
+    def put(self, key: Hashable, value, doc_ids: set) -> None:
+        self._data[key] = (time.monotonic(), frozenset(doc_ids), value)
+        self._data.move_to_end(key)
+        while len(self._data) > self.max_entries:
+            self._data.popitem(last=False)
+
+    def invalidate_doc(self, doc_id) -> int:
+        """Drop every cached result containing *doc_id* (cache.go:183-185:
+        updates invalidate per docID). Returns entries dropped."""
+        stale = [k for k, (_t, ids, _v) in self._data.items() if doc_id in ids]
+        for k in stale:
+            del self._data[k]
+        return len(stale)
+
+    def clear(self) -> None:
+        self._data.clear()
+
+
+class CachingSearcher:
+    """Searcher wrapper: canonical-key result caching around search()."""
+
+    def __init__(self, searcher, cache: ResultCache | None = None):
+        self.searcher = searcher
+        self.cache = cache or ResultCache()
+
+    def search(self, query, spaces=None, limit=10, offset=0, **kw):
+        key = cache_key(query, spaces, limit, offset)
+        hit = self.cache.get(key)
+        if hit is not None:
+            return hit
+        res = self.searcher.search(query, spaces, limit, offset, **kw)
+        self.cache.put(key, res, {h.doc_id for h in res.hits})
+        return res

@@ -1,0 +1,107 @@
+"""Bulk JSON load, index stats, result cache (SURVEY.md §2.1/§2.4 tooling)."""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+import pytest
+
+from letarette_spark.analysis.tokenizer import AnalyzerConfig
+from letarette_spark.index.builder import Index, build_index
+from letarette_spark.index.stats import index_stats
+from letarette_spark.query.cache import CachingSearcher, ResultCache, cache_key
+from letarette_spark.query.executor import Searcher
+from letarette_spark.sources.bulkload import load_json_docs
+
+CFG = AnalyzerConfig(mode="porter")
+
+DOCS = [
+    {"id": "a1", "title": "first doc", "text": "hello indexing world"},
+    {"id": None, "title": "second", "text": "auto assigned identifier"},
+    {"id": "a3", "title": "third", "text": "hello again"},
+]
+
+
+@pytest.fixture(scope="module")
+def json_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("bulk")
+    # gzipped json-lines, like the reference's 1M.json.gz corpus
+    with gzip.open(d / "docs.json.gz", "wt") as f:
+        for doc in DOCS:
+            f.write(json.dumps(doc) + "\n")
+    return str(d / "docs.json.gz")
+
+
+class TestBulkLoad:
+    def test_load_and_autoassign(self, spark, json_path):
+        docs = load_json_docs(spark, json_path, space="wiki", auto_assign_ids=True)
+        rows = docs.collect()
+        assert len(rows) == 3
+        assert all(r["doc_id"] for r in rows)
+        assert all(r["space"] == "wiki" for r in rows)
+        # deterministic auto-id
+        again = load_json_docs(spark, json_path, space="wiki", auto_assign_ids=True)
+        assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+            r["doc_id"] for r in rows
+        )
+
+    def test_shard_filter_partitions_docs(self, spark, json_path):
+        full = load_json_docs(spark, json_path, auto_assign_ids=True)
+        parts = [
+            load_json_docs(spark, json_path, auto_assign_ids=True, shard=(i, 2)).count()
+            for i in range(2)
+        ]
+        assert sum(parts) == full.count()
+
+    def test_end_to_end_build_and_search(self, spark, json_path, tmp_path):
+        docs = load_json_docs(spark, json_path, auto_assign_ids=True)
+        root = str(tmp_path / "bulk_idx")
+        build_index(spark, docs, root, config=CFG, n_build_partitions=2, chunk_size=2)
+        idx = Index.open(spark, root, CFG)
+        s = Searcher(idx)
+        res = s.search("hello", limit=10)
+        assert res.total_hits == 2
+
+        stats = index_stats(idx)
+        assert stats.ndocs == 3 and stats.segments == 0
+        assert stats.spaces == {"docs": 3}
+        assert any(t == "hello" for t, _ in stats.top_terms)
+
+
+class TestResultCache:
+    def test_canonical_key_equivalence(self):
+        assert cache_key("Yabba* -Dabba Doo Doo", None, 10, 0) == cache_key(
+            '-daBBa -dAbBa "DOO" "YABBA" *', None, 10, 0
+        )
+        assert cache_key("a b", ["x"], 10, 0) != cache_key("a b", ["y"], 10, 0)
+
+    def test_cache_roundtrip_and_invalidation(self):
+        class FakeSearcher:
+            calls = 0
+
+            def search(self, query, spaces=None, limit=10, offset=0, **kw):
+                self.calls += 1
+
+                class R:
+                    hits = [type("H", (), {"doc_id": "d1"})()]
+
+                return R()
+
+        fake = FakeSearcher()
+        cs = CachingSearcher(fake, ResultCache(ttl_seconds=60))
+        r1 = cs.search("hello world")
+        r2 = cs.search('"hello" "world"'.lower())  # canonically equal
+        assert fake.calls == 1 and r1 is r2
+        dropped = cs.cache.invalidate_doc("d1")
+        assert dropped == 1
+        cs.search("hello world")
+        assert fake.calls == 2
+
+    def test_ttl_expiry(self):
+        c = ResultCache(ttl_seconds=0.0)
+        c.put("k", "v", set())
+        import time
+
+        time.sleep(0.01)
+        assert c.get("k") is None

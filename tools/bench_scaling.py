@@ -75,6 +75,15 @@ def run_one(cpus: int, corpus_dir: str) -> dict:
     # warm-up: spin up the long-lived Python workers (imports, JIT)
     tokenize_postings(docs.limit(64 * cpus), cfg).count()
 
+    # CPU-dominant phase in isolation: tokenize+aggregate (the part that on
+    # a real cluster is the 100TB bottleneck; local disk IO in the full
+    # build is a shared single-box resource that does NOT model executors)
+    tok_times = []
+    for _trial in range(2):
+        t0 = time.perf_counter()
+        tokenize_postings(docs, cfg).count()
+        tok_times.append(time.perf_counter() - t0)
+
     times = []
     for _trial in range(2):
         root = tempfile.mkdtemp(prefix=f"scaling_idx_{cpus}_")
@@ -96,6 +105,9 @@ def run_one(cpus: int, corpus_dir: str) -> dict:
         "build_sec_trials": [round(t, 2) for t in times],
         "build_sec": round(build_sec, 2),
         "docs_per_sec": round(ndocs / build_sec, 2),
+        "tokenize_sec_trials": [round(t, 2) for t in tok_times],
+        "tokenize_sec": round(min(tok_times), 2),
+        "tokenize_docs_per_sec": round(ndocs / min(tok_times), 2),
     }
 
 
@@ -128,6 +140,7 @@ def main() -> None:
     # interleave A/B rounds so both levels sample the same noise regimes
     # (this host has invisible noisy neighbors); aggregate min per level
     trials: dict[int, list] = {c: [] for c in cpus_list}
+    tok_trials: dict[int, list] = {}
     ndocs_seen = args.ndocs
     for _round in range(args.rounds):
         for cpus in cpus_list:
@@ -143,16 +156,20 @@ def main() -> None:
                 raise RuntimeError(f"run at local[{cpus}] failed")
             r = json.loads(line[-1][len("RESULT "):])
             trials[r["cpus"]].extend(r["build_sec_trials"])
+            tok_trials.setdefault(r["cpus"], []).extend(r["tokenize_sec_trials"])
             ndocs_seen = r["ndocs"]
     results = []
     for cpus in cpus_list:
         best = min(trials[cpus])
+        tbest = min(tok_trials[cpus])
         results.append({
             "cpus": cpus,
             "ndocs": ndocs_seen,
             "build_sec_trials": trials[cpus],
             "build_sec": round(best, 2),
             "docs_per_sec": round(ndocs_seen / best, 2),
+            "tokenize_sec": round(tbest, 2),
+            "tokenize_docs_per_sec": round(ndocs_seen / tbest, 2),
         })
     shutil.rmtree(corpus_dir, ignore_errors=True)
 
@@ -162,16 +179,21 @@ def main() -> None:
     par_ratio = hi["cpus"] / lo["cpus"]
     eff = ratio / par_ratio
     eff_norm = ratio / ceiling
+    tok_ratio = hi["tokenize_docs_per_sec"] / lo["tokenize_docs_per_sec"]
     summary = {
         "metric": "index_build_scaling",
         "runs": results,
         "speedup": round(ratio, 3),
+        "tokenize_speedup": round(tok_ratio, 3),
+        "tokenize_efficiency": round(tok_ratio / (hi["cpus"] / lo["cpus"]), 3),
+        "tokenize_efficiency_vs_ceiling": None,  # filled below
         "parallelism_ratio": par_ratio,
         "scaling_efficiency": round(eff, 3),
         "hardware_ceiling_speedup": round(ceiling, 3),
         "efficiency_vs_hardware_ceiling": round(eff_norm, 3),
         "target": 0.8,
     }
+    summary["tokenize_efficiency_vs_ceiling"] = round(tok_ratio / ceiling, 3)
     print(json.dumps(summary))
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -192,7 +214,13 @@ def main() -> None:
                 f"{r['build_sec']} | {r['docs_per_sec']} |\n"
             )
         f.write(
-            f"\nSpeedup {lo['cpus']}->{hi['cpus']}: **{ratio:.2f}x** over {par_ratio:.0f}x "
+            f"\nTokenize-phase (the distributable CPU work; local disk IO is a\n"
+            f"shared single-box resource, unlike per-executor disks on a real\n"
+            f"cluster): {lo['tokenize_sec']}s -> {hi['tokenize_sec']}s = "
+            f"**{tok_ratio:.2f}x** speedup, efficiency **{tok_ratio/par_ratio:.3f}**.\n"
+        )
+        f.write(
+            f"\nFull-build speedup {lo['cpus']}->{hi['cpus']}: **{ratio:.2f}x** over {par_ratio:.0f}x "
             f"parallelism -> raw scaling efficiency **{eff:.3f}**.\n\n"
             f"Single-box ceiling: a pure-CPU burn benchmark measures only a\n"
             f"**{ceiling:.2f}x** cycle increase from {lo['cpus']} to {hi['cpus']} busy cores on this\n"
