@@ -67,11 +67,23 @@ def _engine_index(spark: SparkSession, sf_dir: str):
         F.col("text").alias("body"),
         F.lit(True).alias("alive"),
     )
+    import shutil
+
     from letarette_spark.index.manifest import Manifest
 
-    if not Manifest.exists(root):
+    # rebuild when absent OR when a previous run left an older storage
+    # layout behind (/tmp persists across driver invocations)
+    needs_build = True
+    if Manifest.exists(root):
+        try:
+            idx = Index.open(spark, root, cfg)
+            needs_build = idx.n_buckets is None
+        except Exception:
+            needs_build = True
+    if needs_build:
+        shutil.rmtree(root, ignore_errors=True)
         build_index(spark, docs, root, config=cfg, n_build_partitions=4, chunk_size=4)
-    idx = Index.open(spark, root, cfg)
+        idx = Index.open(spark, root, cfg)
     _ENGINE_CACHE[key] = idx
     return idx
 

@@ -21,3 +21,24 @@ messaging, goroutines) is replaced by Catalyst plans over Parquet tables.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # convenience re-exports without import-time Spark dependency costs
+    if name in ("Analyzer", "AnalyzerConfig"):
+        from letarette_spark.analysis import tokenizer
+
+        return getattr(tokenizer, name)
+    if name in ("Index", "build_index", "tokenize_postings"):
+        from letarette_spark.index import builder
+
+        return getattr(builder, name)
+    if name in ("Searcher", "SearchResult", "Hit"):
+        from letarette_spark.query import executor
+
+        return getattr(executor, name)
+    if name == "get_spark":
+        from letarette_spark.session import get_spark
+
+        return get_spark
+    raise AttributeError(name)

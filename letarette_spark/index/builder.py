@@ -417,3 +417,9 @@ class Index:
 
     def term_stats(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.root, "term_stats"))
+
+    def preload(self) -> None:
+        """Warm the executor block cache (reference analog: preloadDB's
+        page-cache touch + fadvise, db.go:504-540). Optional."""
+        self.postings().cache().count()
+        self.docs().cache().count()

@@ -22,6 +22,22 @@ class IndexStats:
     segments: int = 0
 
 
+def spelling_lag(index: Index, min_count: int = 4, min_len: int = 4) -> int:
+    """How many eligible terms are missing from the spelling dictionary —
+    the reference's lag gate for spellfix rebuilds (indextools.go:317-361).
+    Negative-free: 0 means the speling table is current."""
+    import os
+
+    eligible = (
+        index.term_stats()
+        .filter((F.length("term") >= min_len) & (F.col("cnt") >= min_count))
+        .count()
+    )
+    path = os.path.join(index.root, "speling")
+    have = index.spark.read.parquet(path).count() if os.path.exists(path) else 0
+    return max(0, eligible - have)
+
+
 def index_stats(index: Index, top_n: int = 15) -> IndexStats:
     docs = index.docs()
     spaces = {

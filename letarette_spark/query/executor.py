@@ -338,7 +338,13 @@ class Searcher:
         offset: int = 0,
         autocorrect: bool = True,
         snippets: bool = True,
+        strategy: int = 1,
     ) -> SearchResult:
+        """strategy mirrors the reference's Search.Strategy (sql.go:25-27):
+        1 = windowed snippet around the first match (search_1.sql),
+        3 = title as snippet, skipping re-tokenization (search_3.sql:16-49).
+        (Strategy 2 is a join-order variant with identical results — join
+        planning is Catalyst's job here, so it maps to strategy 1.)"""
         df, total, capped = self.search_df(query, spaces, limit, offset)
         respelt = ""
         respelt_distance = 0
@@ -359,6 +365,12 @@ class Searcher:
             .collect()
         )
         rows = sorted(rows, key=lambda r: (r["score"], r["rowid"]))
+        if strategy == 3:
+            hits = [
+                Hit(r["space"], r["doc_id"], r["rowid"], r["score"], r["title"])
+                for r in rows
+            ]
+            return SearchResult(hits, total, capped, respelt, respelt_distance)
         builder = None
         phrase_alts: list[list[list[str]]] = []
         if snippets:
