@@ -190,6 +190,30 @@ def q_minhash_signatures(spark, sf_dir):
     return minhash_signatures(_docs(spark, sf_dir), k=8)
 
 
+def q_minhash_lsh_pairs(spark, sf_dir):
+    from letarette_spark.functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), bands=4, rows_per_band=2, n=3, threshold=0.05
+    ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_embedding_dups(spark, sf_dir):
+    from letarette_spark.functions.dedup import embedding_duplicate_pairs
+
+    return embedding_duplicate_pairs(_emb(spark, sf_dir), threshold=0.3).select(
+        "a", "b", F.round("cos", 6).alias("cos")
+    )
+
+
+def q_bpe_token_count(spark, sf_dir):
+    from letarette_spark.functions.textstats import bpe_ish_token_count_expr
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", bpe_ish_token_count_expr("text").alias("bpe_tokens")
+    )
+
+
 def q_knn_cosine(spark, sf_dir):
     from letarette_spark.functions.similarity import cosine_topk
 
@@ -304,6 +328,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "embedding_dups": q_embedding_dups,
+        "bpe_token_count": q_bpe_token_count,
         "knn_cosine": q_knn_cosine,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -406,6 +433,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    {", ".join(f"min(md5(shingle || '#' || '{i}')) AS sig_{i}" for i in range(8))}
             FROM sh GROUP BY doc_id
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH arr AS (SELECT doc_id, {_ARR} AS a FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                     unnest(list_transform(range(greatest(len(a) - 2, 0)),
+                            i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3])) AS shingle
+                   FROM arr),
+            sig AS (SELECT doc_id,
+                    {", ".join(f"min(md5(shingle || '#' || '{i}')) AS s{i}" for i in range(8))}
+                    FROM sh GROUP BY doc_id),
+            banded AS (SELECT doc_id, unnest([
+                    md5('0' || '|' || s0 || '|' || s1),
+                    md5('1' || '|' || s2 || '|' || s3),
+                    md5('2' || '|' || s4 || '|' || s5),
+                    md5('3' || '|' || s6 || '|' || s7)]) AS bucket FROM sig),
+            cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                     FROM banded x JOIN banded y
+                     ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+            sizes AS (SELECT doc_id, count(*)::DOUBLE AS sz FROM sh GROUP BY doc_id),
+            inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*)::DOUBLE AS i
+                      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                      GROUP BY x.doc_id, y.doc_id)
+            SELECT cand.a, cand.b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM cand
+            JOIN inter ON inter.a = cand.a AND inter.b = cand.b
+            JOIN sizes sa ON sa.doc_id = cand.a
+            JOIN sizes sb ON sb.doc_id = cand.b
+            WHERE i / (sa.sz + sb.sz - i) >= 0.05
+        """,
+        "embedding_dups": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+        """,
+        "bpe_token_count": r"""
+            SELECT doc_id,
+                   len(list_filter(
+                       string_split(regexp_replace(text,
+                           '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s])', '\1 ', 'g'), ' '),
+                       x -> trim(x) <> ''))::BIGINT AS bpe_tokens
+            FROM documents
         """,
         "knn_cosine": """
             SELECT b.vec_id,

@@ -50,6 +50,7 @@ B = 0.75
 NEAR_RANGE = 15          # db_search.go:46-50
 DEFAULT_CAP = 10000      # config.go:70
 MAX_PAGE_LIMIT = 500     # searcher.go:51-52
+MAX_PREFIX_EXPANSION = 4096  # wildcard terms resolved via the dictionary
 
 
 @dataclass
@@ -128,11 +129,25 @@ class Searcher:
 
         def term_posts(i: int, terms_i: list[str]) -> DataFrame:
             if wildcard and i == last:
-                # prefix: bucket unknown -> full scan, pruned only by the
-                # per-bucket term-sorted row-group stats
-                df = self.index.postings().filter(
-                    F.col("term").startswith(terms_i[0])
-                )
+                # prefix: resolve matching terms from the sorted term
+                # dictionary first (range-pruned scan — the analog of the
+                # reference's prefix='2 3 4' B-trees, 1_init.up.sql:96),
+                # then hit only their buckets. Fall back to a full scan
+                # for huge expansions.
+                expansion = [
+                    r["term"]
+                    for r in self.index.term_stats()
+                    .filter(F.col("term").startswith(terms_i[0]))
+                    .select("term")
+                    .limit(MAX_PREFIX_EXPANSION + 1)
+                    .collect()
+                ]
+                if 0 < len(expansion) <= MAX_PREFIX_EXPANSION:
+                    df = self.index.postings_for_terms(expansion)
+                else:
+                    df = self.index.postings().filter(
+                        F.col("term").startswith(terms_i[0])
+                    )
             else:
                 # exact terms: bucket partition-dir pruning + term pushdown
                 df = self.index.postings_for_terms(terms_i)
