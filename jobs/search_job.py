@@ -1,0 +1,61 @@
+"""spark-submit entrypoint: run queries against a built index.
+
+    spark-submit --py-files dist/letarette_spark.zip jobs/search_job.py \\
+        --root s3://bucket/index_root --limit 10 \\
+        --query "error handler" --query 'parse -buffer' --query 'tokeniz*'
+
+Prints one JSON line per query: hits (doc_id, score, snippet), TotalHits,
+Capped, respell metadata — the SearchResponse analog
+(pkg/protocol/protocol.go:154-174)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", required=True)
+    ap.add_argument("--query", action="append", required=True)
+    ap.add_argument("--spaces", nargs="*", default=None)
+    ap.add_argument("--limit", type=int, default=10)
+    ap.add_argument("--offset", type=int, default=0)
+    ap.add_argument("--strategy", type=int, default=1)
+    ap.add_argument("--no-autocorrect", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from letarette_spark.index.builder import Index
+    from letarette_spark.query.executor import Searcher
+
+    spark = SparkSession.builder.appName("letarette_search").getOrCreate()
+    idx = Index.open(spark, args.root)
+    searcher = Searcher(idx)
+    for q in args.query:
+        t0 = time.perf_counter()
+        res = searcher.search(
+            q, spaces=args.spaces, limit=args.limit, offset=args.offset,
+            autocorrect=not args.no_autocorrect, strategy=args.strategy,
+        )
+        print(json.dumps({
+            "query": q,
+            "total_hits": res.total_hits,
+            "capped": res.capped,
+            "respelt": res.respelt,
+            "respelt_distance": res.respelt_distance,
+            "latency_sec": round(time.perf_counter() - t0, 4),
+            "hits": [
+                {"space": h.space, "id": h.doc_id, "rank": h.score,
+                 "snippet": h.snippet}
+                for h in res.hits
+            ],
+        }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -384,11 +384,18 @@ class Index:
         return bucket_of(term, b) if b else None
 
     def postings(self) -> DataFrame:
+        # reuse one DataFrame instance per Index: repeated queries skip
+        # re-listing the file index
+        cached = self.__dict__.get("_postings_df")
+        if cached is not None:
+            return cached
         base_dir = os.path.join(self.root, "postings")
         base = self.spark.read.option("basePath", base_dir).parquet(
             os.path.join(base_dir, "chunk=*")
         ).drop("chunk")
-        return self._overlay(base, "postings")
+        df = self._overlay(base, "postings")
+        self.__dict__["_postings_df"] = df
+        return df
 
     def postings_for_terms(self, terms: list[str]) -> DataFrame:
         """Term-pruned postings scan: bucket partition-dir pruning (exact)
