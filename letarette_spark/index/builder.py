@@ -375,6 +375,11 @@ class Index:
             "left_anti",
         ).drop("_seq")
 
+    def invalidate(self) -> None:
+        """Drop cached DataFrame handles after storage-layout mutations
+        (upserts, compaction) — stale handles reference deleted files."""
+        self.__dict__.pop("_postings_df", None)
+
     @property
     def n_buckets(self) -> int | None:
         return self.meta.get("postings_buckets")

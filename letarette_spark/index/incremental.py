@@ -47,6 +47,7 @@ def _refresh_stats(index: Index, man: Manifest, extra_meta: dict) -> None:
     snapshot and is invalidated (rebuild with blocks.build_blocks after a
     batch of upserts / a compaction)."""
     spark = index.spark
+    index.invalidate()  # storage changed under any cached handles
     blocks_dir = os.path.join(index.root, "blocks")
     if os.path.exists(blocks_dir):
         shutil.rmtree(blocks_dir)
@@ -148,6 +149,7 @@ def upsert_documents(
         ))[-1000:],
     }
     index.meta = dict(index.meta, segments=extra["segments"])  # overlay sees new seg
+    index.invalidate()
     _refresh_stats(index, man, extra)
     return index
 
@@ -186,6 +188,7 @@ def compact_index(spark: SparkSession, root: str) -> Index:
     shutil.rmtree(docs_dir)
     os.replace(docs_new, docs_dir)
     shutil.rmtree(os.path.join(root, "seg"), ignore_errors=True)
+    index.invalidate()
 
     index.meta = dict(index.meta, segments=[])
     _refresh_stats(
