@@ -333,8 +333,11 @@ class Searcher:
             idf = F.when(raw_idf <= 0.0, F.lit(1e-6)).otherwise(raw_idf)
             tf = F.col(f"tfw_{i}")
             score = score + idf * tf * (K1 + 1.0) / (tf + denom_dl)
-        cand = cand.select("rowid", "space", (-score).alias("score"))
+        cand = cand.select("rowid", "space", (-score).alias("score")).cache()
+        self._cached.append(cand)  # evicted at the next query
 
+        # the TotalHits count materializes the cached candidates, so the
+        # top-k sort below reuses them instead of re-running joins + NEAR
         total = cand.count()
         capped = total > self.cap
         if capped:
