@@ -72,6 +72,8 @@ class AnalyzerConfig:
     min_token_length: int = 2            # bytes; db.go:377-383
     stem_min: int = 3                    # bytes; snowball.c:27
     stem_max: int = 40                   # bytes; snowball.c:28
+    token_chars: str = ""                # extra token chars; config.go:64
+    separators: str = ""                 # forced separators; config.go:65
 
     def key(self) -> dict:
         return {
@@ -80,6 +82,8 @@ class AnalyzerConfig:
             "min_token_length": self.min_token_length,
             "stem_min": self.stem_min,
             "stem_max": self.stem_max,
+            "token_chars": self.token_chars,
+            "separators": self.separators,
         }
 
 
@@ -97,7 +101,11 @@ class Analyzer:
                 if len(m.group(0)) >= self.config.min_token_length
             ]
         out = []
-        for folded, start, end in unicode61.raw_tokens(text):
+        for folded, start, end in unicode61.raw_tokens(
+            text,
+            token_chars=frozenset(self.config.token_chars),
+            separators=frozenset(self.config.separators),
+        ):
             if mode == "letarette":
                 # letarette rules (byte lengths, per snowball.c:184-187)
                 nbytes = len(folded.encode("utf-8"))

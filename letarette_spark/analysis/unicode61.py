@@ -53,18 +53,27 @@ def fold(token: str) -> str:
     return "".join(_fold_char(c) for c in token)
 
 
-def raw_tokens(text: str) -> list[tuple[str, int, int]]:
+def raw_tokens(
+    text: str,
+    token_chars: frozenset[str] = frozenset(),
+    separators: frozenset[str] = frozenset(),
+) -> list[tuple[str, int, int]]:
     """Split *text* into unicode61 tokens.
 
     Returns ``[(folded_token, start_char, end_char), ...]`` in document
     order. Character (not byte) offsets — sufficient for snippet assembly.
+
+    ``token_chars`` / ``separators`` override the category rules for
+    specific characters (FTS5 ``tokenchars`` / ``separators`` options —
+    the reference exposes them as config, internal/letarette/config.go:64-65;
+    separators win over tokenchars, matching FTS5).
 
     Empirical FTS5 behavior (verified in tests/test_tokenizer_parity.py):
     combining marks (categories Mn/Me) *continue* a token but never start
     one, and are stripped from the token text; Mc marks are separators.
     ASCII text can't contain marks, so it takes the fast regex path.
     """
-    if text.isascii():
+    if text.isascii() and not token_chars and not separators:
         return [
             (m.group(0).lower(), m.start(), m.end()) for m in _TOKEN_RE.finditer(text)
         ]
@@ -72,7 +81,13 @@ def raw_tokens(text: str) -> list[tuple[str, int, int]]:
     start = -1
     chars: list[str] = []
     for i, c in enumerate(text):
-        if c.isalnum():
+        if c in separators:
+            is_tok = False
+        elif c in token_chars:
+            is_tok = True
+        else:
+            is_tok = c.isalnum()
+        if is_tok:
             if start < 0:
                 start = i
             chars.append(c)

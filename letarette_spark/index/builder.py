@@ -106,6 +106,8 @@ def tokenize_postings(docs: DataFrame, config: AnalyzerConfig) -> DataFrame:
             min_token_length=cfg["min_token_length"],
             stem_min=cfg["stem_min"],
             stem_max=cfg["stem_max"],
+            token_chars=cfg.get("token_chars", ""),
+            separators=cfg.get("separators", ""),
         ))
         for batch in batches:
             rowids = batch.column("rowid").to_pylist()
@@ -330,6 +332,8 @@ class Index:
             min_token_length=a["min_token_length"],
             stem_min=a["stem_min"],
             stem_max=a["stem_max"],
+            token_chars=a.get("token_chars", ""),
+            separators=a.get("separators", ""),
         )
 
     @property

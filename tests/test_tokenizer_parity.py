@@ -114,3 +114,54 @@ class TestLetaretteRules:
     def test_simple_mode_matches_sql_semantics(self):
         a = Analyzer(AnalyzerConfig(mode="simple"))
         assert a.terms("Foo BAR-baz 42 a_b x 9") == ["foo", "bar", "baz", "42"]
+
+
+class TestTokencharsSeparators:
+    """tokenchars / separators overrides (reference config.go:61-67) —
+    verified against live FTS5 with the same options."""
+
+    @pytest.mark.parametrize(
+        "text",
+        [
+            "foo_bar baz-qux",
+            "a_b_c d-e_f",
+            "under_score-dash mix_42",
+            "axb cxd x",          # 'x' as separator
+            "__lead _trail_ -x-",
+        ],
+    )
+    def test_parity(self, text):
+        from letarette_spark.analysis import unicode61
+
+        mine = [
+            (t, i)
+            for i, (t, _s, _e) in enumerate(
+                unicode61.raw_tokens(
+                    text, token_chars=frozenset("_-"), separators=frozenset("x")
+                )
+            )
+        ]
+        fts = fts5_tokenize(
+            text,
+            "unicode61 remove_diacritics 2 tokenchars ''_-'' separators ''x''",
+        )
+        assert mine == fts
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.text(alphabet="abxy_-. 0", min_size=0, max_size=40))
+    def test_property(self, text):
+        from letarette_spark.analysis import unicode61
+
+        mine = [
+            (t, i)
+            for i, (t, _s, _e) in enumerate(
+                unicode61.raw_tokens(
+                    text, token_chars=frozenset("_-"), separators=frozenset("x")
+                )
+            )
+        ]
+        fts = fts5_tokenize(
+            text,
+            "unicode61 remove_diacritics 2 tokenchars ''_-'' separators ''x''",
+        )
+        assert mine == fts
