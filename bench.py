@@ -108,6 +108,28 @@ def main() -> None:
             "knn_cosine",
             lambda: cosine_topk(embeddings, query_id=0, k=5).collect(),
         )
+
+        # query-latency distribution over warm repeats (reference lrload
+        # reports mean/median/p90/p95/p99 — cmd/lrload/main.go:317-358)
+        lat: list[float] = []
+        for _ in range(3):
+            for q in ("value", "key value", "table -key", '"key value"'):
+                t0 = time.perf_counter()
+                searcher.search_df(q, limit=10)[0].collect()
+                lat.append(time.perf_counter() - t0)
+        lat.sort()
+
+        def pct(p: float) -> float:
+            return round(lat[min(len(lat) - 1, int(p * len(lat)))], 4)
+
+        latency = {
+            "n": len(lat),
+            "mean": round(sum(lat) / len(lat), 4),
+            "p50": pct(0.50),
+            "p90": pct(0.90),
+            "p95": pct(0.95),
+            "p99": pct(0.99),
+        }
     finally:
         shutil.rmtree(root, ignore_errors=True)
         spark.stop()
@@ -123,6 +145,7 @@ def main() -> None:
             "ndocs": ndocs,
             "build_docs_per_sec": round(ndocs / timings["index_build"], 2),
             "cpus": cpus,
+            "query_latency": latency,
         },
     }
     print(json.dumps(result))
