@@ -8,10 +8,11 @@ SURVEY.md §2 plus the training-data-pipeline operators (dedup, similarity,
 text analysis). Spark callables and DuckDB SQL strings are exact twins:
 same token definition (simple analyzer: lower + [a-z0-9]+ runs, min length
 2), same math (float64, round 6), same column names and orderings.
-Engine-native operators that SQL cannot express (stemmed BM25 with NEAR,
-simhash/fingerprint via xxhash64, hyperplane LSH) ship without an oracle
-entry → the driver records the weaker rows-only check; their correctness
-gate is the FTS5 rank-identity pytest suite instead.
+Hash-derived operators (simhash, fingerprint, LSH buckets) use md5 and
+literal seeded hyperplanes precisely so their oracle twins exist; only the
+engine BM25 path (stemmed tokens + NEAR semantics) ships without an oracle
+entry → the driver records the weaker rows-only check there; its
+correctness gate is the live-FTS5 rank-identity pytest suite instead.
 """
 
 from __future__ import annotations
@@ -24,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _SF_DEFAULT = "/root/testdata/sf0.001"
+_EMB_DIM = 64  # testdata embeddings dim (constant across sf)
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (DuckDB) — keep in lockstep with
@@ -206,6 +208,15 @@ def q_embedding_dups(spark, sf_dir):
     )
 
 
+def q_lsh_embedding_dups(spark, sf_dir):
+    from letarette_spark.functions.dedup import lsh_embedding_duplicate_pairs
+
+    return lsh_embedding_duplicate_pairs(
+        _emb(spark, sf_dir), threshold=0.3, bands=2, planes_per_band=4,
+        dim=_EMB_DIM, seed=42,
+    ).select("a", "b", F.round("cos", 6).alias("cos"))
+
+
 def q_bpe_token_count(spark, sf_dir):
     from letarette_spark.functions.textstats import bpe_ish_token_count_expr
 
@@ -330,6 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "embedding_dups": q_embedding_dups,
+        "lsh_embedding_dups": q_lsh_embedding_dups,
         "bpe_token_count": q_bpe_token_count,
         "knn_cosine": q_knn_cosine,
         "text_quality": q_text_quality,
@@ -343,10 +355,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _plane_literal(plane: list[float]) -> str:
+    """DuckDB double-array literal for one hyperplane. repr() emits the
+    shortest round-trip decimal, which both engines parse to the identical
+    float64 — the plane constants in the Spark plan and the SQL match
+    bit-for-bit."""
+    return "[" + ", ".join(repr(float(c)) for c in plane) + "]"
+
+
+def _lsh_bucket_sql(planes: list[list[float]], vec: str = "v") -> str:
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({vec}, {_plane_literal(p)}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+
+
 def oracle_sql() -> dict[str, str]:
+    from letarette_spark.functions.similarity import _hyperplanes
+
     terms_in = ", ".join(f"'{t}'" for t in QUERY_TERMS)
     phrase = " ".join(QUERY_TERMS)
     sw = {k: ", ".join(f"'{w}'" for w in v) for k, v in _LANG_PROFILES_SQL.items()}
+    lsh_planes = _hyperplanes(_EMB_DIM, 4, seed=42)      # q_lsh_cosine twin
+    band_planes = [_hyperplanes(_EMB_DIM, 4, seed=42 + b) for b in range(2)]
     return {
         "term_stats": f"""
             WITH tok AS ({_TOK})
@@ -551,10 +583,77 @@ def oracle_sql() -> dict[str, str]:
               FROM agg
             ) WHERE rank <= 3
         """,
-        # engine_bm25, simhash, fingerprint, lsh_cosine: engine-native
-        # (stemmed BM25/NEAR, xxhash64, seeded hyperplanes) — not ANSI-SQL
-        # expressible; correctness is covered by the FTS5 rank-identity and
-        # property suites under tests/.
+        "simhash": f"""
+            WITH tok AS ({_TOK}),
+            h AS (SELECT doc_id,
+                         ('0x' || substr(md5(term), 1, 8))::BIGINT AS ha,
+                         ('0x' || substr(md5(term), 9, 8))::BIGINT AS hb
+                  FROM tok),
+            bits AS (SELECT doc_id, i.range AS bit,
+                            CASE WHEN (floor((CASE WHEN i.range < 32 THEN ha ELSE hb END)
+                                             / power(2, i.range % 32))::BIGINT % 2) = 1
+                                 THEN 1 ELSE -1 END AS contrib
+                     FROM h CROSS JOIN range(64) i),
+            per_bit AS (SELECT doc_id, bit, sum(contrib) AS s
+                        FROM bits GROUP BY doc_id, bit),
+            sh AS (SELECT doc_id,
+                          sum(CASE WHEN s > 0 THEN
+                                CASE WHEN bit = 63 THEN (-9223372036854775807 - 1)
+                                     ELSE (1::BIGINT << bit::INTEGER) END
+                              ELSE 0 END) AS simhash
+                   FROM per_bit GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(sh.simhash, 0)::BIGINT AS simhash
+            FROM documents d LEFT JOIN sh USING (doc_id)
+        """,
+        "fingerprint": f"""
+            WITH arr AS (SELECT doc_id, {_ARR} AS a FROM documents),
+            r AS (SELECT doc_id,
+              list_reduce(list_prepend(0::BIGINT, list_transform(a, t ->
+                 ('0x' || substr(md5(t), 1, 8))::BIGINT % 2147483647)),
+                 (acc, v) -> (acc * 31 + v) % 2147483647) AS h1,
+              list_reduce(list_prepend(0::BIGINT, list_transform(a, t ->
+                 ('0x' || substr(md5(t || '#2'), 1, 8))::BIGINT % 2147483647)),
+                 (acc, v) -> (acc * 37 + v) % 2147483647) AS h2
+              FROM arr)
+            SELECT doc_id, (h1 * 2147483648 + h2)::BIGINT AS fingerprint FROM r
+        """,
+        "lsh_cosine": f"""
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            b AS (SELECT vec_id, {_lsh_bucket_sql(lsh_planes)} AS bucket FROM v),
+            qb AS (SELECT bucket FROM b WHERE vec_id = 0),
+            cand AS (SELECT b.vec_id FROM b, qb
+                     WHERE b.bucket = qb.bucket AND b.vec_id <> 0)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cos
+            FROM embeddings e
+            JOIN cand USING (vec_id)
+            CROSS JOIN (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                        WHERE vec_id = 0) q
+            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id
+            LIMIT 5
+        """,
+        "lsh_embedding_dups": f"""
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            b AS (SELECT vec_id, 0 AS band, {_lsh_bucket_sql(band_planes[0])} AS bucket FROM v
+                  UNION ALL
+                  SELECT vec_id, 1 AS band, {_lsh_bucket_sql(band_planes[1])} AS bucket FROM v),
+            cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+                     FROM b x JOIN b y
+                     ON x.band = y.band AND x.bucket = y.bucket
+                        AND x.vec_id < y.vec_id)
+            SELECT cand.a, cand.b,
+                   round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                                eb.embedding::DOUBLE[]), 6) AS cos
+            FROM cand
+            JOIN embeddings ea ON ea.vec_id = cand.a
+            JOIN embeddings eb ON eb.vec_id = cand.b
+            WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+                                         eb.embedding::DOUBLE[]) >= 0.3
+        """,
+        # engine_bm25: engine-native (stemmed BM25 + NEAR semantics) — not
+        # ANSI-SQL expressible; correctness is covered by the live-FTS5
+        # rank-identity suites under tests/ (including a pre-stemmed FTS5
+        # scoring oracle for the default letarette mode).
     }
 
 

@@ -37,10 +37,17 @@ def shingles(
     df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(id, shingle) — distinct n-gram token shingles per document, built
-    with JVM array intrinsics (transform over a token array), no UDF."""
+    with JVM array intrinsics (transform over a token array), no UDF.
+
+    Documents with fewer than *n* tokens yield no shingles (ANSI-safe: a
+    descending F.sequence would otherwise produce [0, -1] and element_at
+    past the array end throws under Spark 4's ANSI mode)."""
     arr = token_array(text_col)
+    idx = F.when(
+        F.size(arr) >= n, F.sequence(F.lit(0), F.size(arr) - n)
+    ).otherwise(F.array().cast("array<int>"))
     sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(arr) - n, F.lit(-1))),
+        idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(arr, (i + j + 1).cast("int")) for j in range(n)]
         ),
@@ -93,6 +100,45 @@ def jaccard_pairs(
     )
 
 
+def jaccard_for_pairs(
+    sh: DataFrame, cand: DataFrame, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact shingle Jaccard for an explicit candidate-pair set.
+
+    (a, b, jaccard >= threshold) computed ONLY for the pairs in *cand*:
+    shingles are first semi-joined to the candidate doc set, then the
+    intersection count comes from cand ⋈ shingles(a) ⋈ shingles(b) keyed on
+    (b, shingle) — total work is sum over candidate pairs of |shingles(a)|,
+    linear in candidates, never an all-pairs shingle self-join."""
+    cand_docs = (
+        cand.select(F.col("a").alias(id_col))
+        .union(cand.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    csh = sh.join(cand_docs, id_col, "left_semi")
+    sizes = csh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sa = csh.select(F.col(id_col).alias("a"), "shingle")
+    sb = csh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        cand.join(sa, "a")
+        .join(sb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("i"))
+    )
+    s_a = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sa"))
+    s_b = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sb"))
+    return (
+        inter.join(s_a, "a")
+        .join(s_b, "b")
+        .select(
+            "a",
+            "b",
+            (F.col("i") / (F.col("sa") + F.col("sb") - F.col("i"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     k: int = 8,
@@ -127,8 +173,9 @@ def minhash_lsh_pairs(
     candidates; candidates are verified with the true n-gram Jaccard.
 
     Scale: candidate generation is groupBy(band_hash) — linear in corpus
-    size; only bucket-colliding pairs pay the verification join. This is
-    the 100TB-path for near-dup; jaccard_pairs is the exhaustive oracle."""
+    size — and verification (jaccard_for_pairs) touches only the candidate
+    docs' shingles, so the whole plan is linear in corpus + candidates.
+    jaccard_pairs stays as the exhaustive all-pairs oracle for tests."""
     k = bands * rows_per_band
     sigs = minhash_signatures(df, k, n, id_col, text_col)
     band_cols = [
@@ -149,42 +196,61 @@ def minhash_lsh_pairs(
     l = stacked.select(F.col(id_col).alias("a"), "bucket")
     r = stacked.select(F.col(id_col).alias("b"), "bucket")
     cand = l.join(r, "bucket").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    sh = shingles(df, n, id_col, text_col)
+    return jaccard_for_pairs(sh, cand, threshold, id_col)
 
-    verified = jaccard_pairs(df, n, threshold, id_col, text_col)
-    return cand.join(verified, ["a", "b"], "inner")
+
+# 64 signed-long bit weights; bit 63 is the sign bit
+_BIT_WEIGHTS = [1 << i for i in range(63)] + [-(1 << 63)]
+
+
+def _md5_bit_contribs(t):
+    """array<int>[64] of ±1: bit i of a 64-bit md5-derived token hash
+    (bits 0..31 from hex chars 1-8, bits 32..63 from chars 9-16). md5 keeps
+    the fingerprint bit-identical in any SQL engine (oracle-checkable);
+    values < 2^32 make the floor-divide bit test exact in float64."""
+    h = F.md5(t)
+    a = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    b = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.when(
+            F.floor(
+                F.when(i < 32, a).otherwise(b)
+                / F.pow(F.lit(2.0), (i % 32).cast("double"))
+            ).cast("long")
+            % 2
+            == 1,
+            F.lit(1),
+        ).otherwise(F.lit(-1)),
+    )
 
 
 def simhash64(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, simhash) 64-bit SimHash over term frequencies.
+    """(id, simhash) 64-bit SimHash over token instances.
 
-    Bits come from xxhash64(term); each bit position accumulates +tf/-tf and
-    the sign forms the fingerprint. Pure JVM bit arithmetic: explode terms,
-    aggregate per (id, bit)."""
-    toks = df.select(
-        F.col(id_col), F.explode(token_array(text_col)).alias("term")
-    ).groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    toks = toks.withColumn("h", F.xxhash64("term"))
-    bits = toks.select(
-        F.col(id_col),
-        F.col("tf"),
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
-        "h",
-    ).withColumn(
-        "contrib",
-        F.when(F.expr("(h & shiftleft(1L, bit)) != 0"), F.col("tf")).otherwise(
-            -F.col("tf")
+    Single-pass per-document fold (F.aggregate over the token array): each
+    token adds ±1 per bit position into a 64-counter accumulator, the sign
+    vector packs into one long. Zero shuffles, zero row amplification —
+    the per-(doc,bit) explode/groupBy formulation shuffled 64x the corpus.
+    Summing over instances equals the classic tf-weighted per-term sum.
+    Documents with no tokens hash to 0."""
+    arr = token_array(text_col)
+    zero = F.array_repeat(F.lit(0).cast("long"), 64)
+    acc = F.aggregate(
+        arr, zero, lambda a, t: F.zip_with(a, _md5_bit_contribs(t), lambda c, v: c + v)
+    )
+    weights = F.array(*[F.lit(w).cast("long") for w in _BIT_WEIGHTS])
+    sim = F.aggregate(
+        F.zip_with(
+            acc, weights, lambda c, w: F.when(c > 0, w).otherwise(F.lit(0).cast("long"))
         ),
+        F.lit(0).cast("long"),
+        lambda s, v: s + v,
     )
-    per_bit = bits.groupBy(id_col, "bit").agg(F.sum("contrib").alias("s"))
-    return per_bit.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
-    )
+    return df.select(F.col(id_col), sim.alias("simhash"))
 
 
 def embedding_duplicate_pairs(
@@ -195,8 +261,8 @@ def embedding_duplicate_pairs(
 ) -> DataFrame:
     """(a, b, cos) embedding near-dup pairs by cosine >= threshold.
 
-    Exhaustive O(n^2) — correct but only for modest n; the scale path
-    buckets by LSH first (similarity.lsh_cosine_candidates)."""
+    Exhaustive O(n^2) — the verification oracle for modest n; the scale
+    path is lsh_embedding_duplicate_pairs (banded hyperplane buckets)."""
     from letarette_spark.functions.similarity import cosine_expr
 
     a = emb.select(F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("va"))
@@ -204,6 +270,51 @@ def embedding_duplicate_pairs(
     return (
         a.crossJoin(b)
         .filter(F.col("a") < F.col("b"))
+        .select("a", "b", cosine_expr("va", "vb").alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def lsh_embedding_duplicate_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    bands: int = 2,
+    planes_per_band: int = 4,
+    dim: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b, cos) embedding near-dup pairs via banded hyperplane LSH —
+    the 100TB path: candidates are per-(band, bucket) self-join collisions
+    (expected bucket size n/2^planes_per_band), verified with exact cosine
+    via two id-keyed joins back to the vectors. No cross join anywhere.
+
+    Recall per pair at angle θ is 1-(1-(1-θ/π)^planes)^bands — tune bands
+    up for recall, planes_per_band up for precision/bucket size.
+    embedding_duplicate_pairs is the exhaustive oracle."""
+    from letarette_spark.functions.similarity import banded_lsh_buckets, cosine_expr
+
+    buckets = banded_lsh_buckets(
+        emb, bands, planes_per_band, dim, seed, id_col, vec_col
+    )
+    l = buckets.select(F.col(id_col).alias("a"), "band", "bucket")
+    r = buckets.select(F.col(id_col).alias("b"), "band", "bucket")
+    cand = (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    va = emb.select(
+        F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("va")
+    )
+    vb = emb.select(
+        F.col(id_col).alias("b"), F.col(vec_col).cast("array<double>").alias("vb")
+    )
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
         .select("a", "b", cosine_expr("va", "vb").alias("cos"))
         .filter(F.col("cos") >= threshold)
     )

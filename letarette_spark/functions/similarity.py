@@ -99,6 +99,36 @@ def lsh_bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def banded_lsh_buckets(
+    emb: DataFrame,
+    bands: int = 2,
+    planes_per_band: int = 4,
+    dim: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, band, bucket) — one hyperplane-LSH bucket per band, each band
+    seeded independently (seed + band). Banding trades one low-recall
+    signature for an OR over *bands* signatures (minhash-banding style):
+    two vectors are neighbor candidates when they collide in ANY band."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    per_band = [
+        F.struct(
+            F.lit(bnd).alias("band"),
+            lsh_bucket_expr("v", _hyperplanes(dim, planes_per_band, seed + bnd)).alias(
+                "bucket"
+            ),
+        )
+        for bnd in range(bands)
+    ]
+    return v.select(
+        F.col(id_col), F.explode(F.array(*per_band)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def lsh_cosine_candidates(
     emb: DataFrame,
     n_planes: int = 8,

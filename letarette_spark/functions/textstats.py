@@ -97,18 +97,24 @@ def fingerprint64(
 ) -> DataFrame:
     """Order-sensitive 62-bit document fingerprint: two polynomial rolling
     hashes (Horner, multipliers 31/37, modulus 2^31-1, ANSI-safe — no
-    wrapping arithmetic) over xxhash64 of each token, packed into one long.
-    Distinguishes reordered content where bag-of-words hashes collide."""
+    wrapping arithmetic) over a 32-bit md5-derived hash of each token,
+    packed into one long. md5 (not xxhash64) keeps every step computable
+    in any SQL engine, so the operator is oracle-checkable. Distinguishes
+    reordered content where bag-of-words hashes collide."""
     arr = token_array(text_col)
     p = F.lit(2147483647).cast("long")  # 2^31 - 1
+
+    def tok_hash(t, salt: str):
+        # first 8 md5 hex chars -> [0, 2^32): non-negative, so % == pmod
+        return F.conv(
+            F.substring(F.md5(F.concat(t, F.lit(salt))), 1, 8), 16, 10
+        ).cast("long") % p
 
     def rolling(mult: int, salt: str):
         return F.aggregate(
             arr,
             F.lit(0).cast("long"),
-            lambda acc, t: F.pmod(
-                acc * mult + F.pmod(F.xxhash64(F.concat(t, F.lit(salt))), p), p
-            ),
+            lambda acc, t: F.pmod(acc * mult + tok_hash(t, salt), p),
         )
 
     fp = rolling(31, "") * F.lit(2147483648).cast("long") + rolling(37, "#2")

@@ -6,9 +6,12 @@ trigger-maintained FTS5 index, migrations/1_init.up.sql:65-97):
   docs ── mapInPandas(tokenize+per-doc aggregate) ──> posting rows
        (term, rowid, tf/positions per column, dl)     [NO shuffle: the
         per-(doc,term) aggregation happens inside the Arrow batch]
-       ── repartitionByRange(term) + sortWithinPartitions ──> parquet files
-        whose row-group min/max on `term` give file/row-group pruning for
-        query-time term lookups (the analog of FTS5's term B-tree)
+       ── hash-bucket shuffle (md5(term) % n_buckets) + partitionBy(bucket)
+        + sortWithinPartitions(bucket, term, rowid) ──> partition-dir
+        pruning is EXACT for query terms and the term-sorted files add
+        row-group min/max pruning (the analog of FTS5's term B-tree);
+        a sampler-free hash shuffle, unlike repartitionByRange, runs the
+        tokenize stage exactly once
   postings ── groupBy(term).agg(count, sum) ──> term_stats
         [1 row per (term, rowid) already, so df == count(*): a pure
          partial-aggregatable shuffle — no distinct, no skew blowup]

@@ -341,9 +341,11 @@ class Searcher:
         total = cand.count()
         capped = total > self.cap
         if capped:
-            # reference cap: first `cap` matches in rowid order, only then
-            # ranked (search_1.sql:29; protocol.go:156-158).
-            cand = cand.orderBy("rowid").limit(self.cap)
+            # reference cap: the SQL binds cap+1 as the LIMIT, so the first
+            # cap+1 matches in rowid order are ranked while TotalHits still
+            # reports min(total, cap) (search_1.sql:29 with :cap bound to
+            # resultCap+1, db_search.go:93-96; protocol.go:156-158).
+            cand = cand.orderBy("rowid").limit(self.cap + 1)
         out = cand.orderBy("score", "rowid").offset(offset).limit(limit)
         return out, min(total, self.cap), capped
 

@@ -96,10 +96,13 @@ def parse_query(query: str) -> list[Phrase]:
 
 def reduce_phrases(phrases: list[Phrase]) -> list[Phrase]:
     """Strip un-indexable 1-rune words; drop emptied phrases
-    (parser.go:124-162)."""
+    (parser.go:124-162). Single-character NUMBERS survive — reducePhrase
+    cuts 1-rune phrases only when !unicode.IsNumber, and the index keeps
+    all-digit tokens below the min length (so 'error 7' matches docs
+    containing the lone digit 7)."""
     out = []
     for p in phrases:
-        words = [w for w in p.text.split() if len(w) > 1]
+        words = [w for w in p.text.split() if len(w) > 1 or w.isnumeric()]
         if not words:
             continue
         out.append(replace(p, text=" ".join(words)))

@@ -65,13 +65,21 @@ def stream_document_updates(
                 F.col("updated_at")
                 <= F.current_timestamp() + F.expr(f"INTERVAL {future_guard_minutes} MINUTES")
             )
-        ).drop("updated_at")
+        )
         if batch.isEmpty():
             return
         # last write per doc wins inside a batch (the reference serializes
         # updates through one writer goroutine; a micro-batch may carry
-        # several versions of one doc)
-        batch = batch.dropDuplicates(["doc_id"])
+        # several versions of one doc): keep the max-updated_at row per
+        # doc_id — dropDuplicates would keep an arbitrary one.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id").orderBy(F.desc_nulls_last("updated_at"))
+        batch = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "updated_at")
+        )
         upsert_documents(spark, index_root, batch, batch_id=batch_id)
 
     writer = (

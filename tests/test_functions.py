@@ -131,3 +131,118 @@ class TestMultimodal:
 
         with pytest.raises(NotImplementedError):
             mm.require_real_decoder()
+
+
+class TestDedupScaleShapes:
+    """Round-2 hardening: ANSI-safe short docs, candidate-only LSH verify,
+    shuffle-free simhash, banded-LSH embedding dedup."""
+
+    def test_shingles_short_docs_ansi_safe(self, spark):
+        # docs with < n tokens must emit no shingles (not crash under ANSI)
+        from letarette_spark.functions.dedup import (
+            jaccard_pairs, minhash_signatures, shingles,
+        )
+
+        rows = [
+            {"doc_id": 1, "text": ""},
+            {"doc_id": 2, "text": "onetoken"},
+            {"doc_id": 3, "text": "two tokens"},
+            {"doc_id": 4, "text": "three whole tokens"},
+            {"doc_id": 5, "text": "three whole tokens"},
+        ]
+        df = spark.createDataFrame(rows)
+        sh = shingles(df, n=3).collect()
+        assert {r["doc_id"] for r in sh} == {4, 5}
+        pairs = jaccard_pairs(df, n=3, threshold=0.1).collect()
+        assert [(p["a"], p["b"], p["jaccard"]) for p in pairs] == [(4, 5, 1.0)]
+        sigs = minhash_signatures(df, k=4).collect()
+        assert {r["doc_id"] for r in sigs} == {4, 5}
+
+    def test_lsh_verify_restricted_to_candidates(self, near_dup_docs):
+        # the verification join must semi-join shingles to candidate docs
+        # (linear at scale), never recompute the all-pairs jaccard
+        from letarette_spark.functions.dedup import minhash_lsh_pairs
+
+        df = minhash_lsh_pairs(near_dup_docs, bands=8, rows_per_band=1,
+                               n=3, threshold=0.3)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "LeftSemi" in plan
+
+    def test_jaccard_for_pairs_matches_exhaustive(self, near_dup_docs):
+        from letarette_spark.functions.dedup import (
+            jaccard_for_pairs, jaccard_pairs, shingles,
+        )
+
+        exhaustive = {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in jaccard_pairs(near_dup_docs, n=3, threshold=0.0).collect()
+        }
+        cand = near_dup_docs.sparkSession.createDataFrame(
+            [(1, 2), (1, 3), (1, 4)], "a long, b long"
+        )
+        got = {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in jaccard_for_pairs(
+                shingles(near_dup_docs, 3), cand, 0.0
+            ).collect()
+        }
+        assert got == {k: v for k, v in exhaustive.items() if k in {(1, 2), (1, 3), (1, 4)}}
+
+    def test_simhash_plan_has_no_shuffle(self, near_dup_docs):
+        from letarette_spark.functions.dedup import simhash64
+
+        df = simhash64(near_dup_docs)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Generate" not in plan  # no explode-based row amplification
+
+    def test_simhash_empty_doc_is_zero(self, spark):
+        from letarette_spark.functions.dedup import simhash64
+
+        df = spark.createDataFrame([{"doc_id": 1, "text": ""}])
+        assert simhash64(df).collect()[0]["simhash"] == 0
+
+    def test_banded_lsh_embedding_pairs(self, spark):
+        import numpy as np
+
+        from letarette_spark.functions.dedup import (
+            embedding_duplicate_pairs, lsh_embedding_duplicate_pairs,
+        )
+
+        rng = np.random.default_rng(0)
+        vecs = rng.standard_normal((40, 16))
+        vecs[1] = vecs[0]                                   # exact dup
+        vecs[2] = vecs[0] + 0.05 * rng.standard_normal(16)  # near dup
+        rows = [
+            {"vec_id": i, "embedding": [float(x) for x in v]}
+            for i, v in enumerate(vecs)
+        ]
+        emb = spark.createDataFrame(rows)
+        exact = {
+            (r["a"], r["b"])
+            for r in embedding_duplicate_pairs(emb, threshold=0.9).collect()
+        }
+        lsh = {
+            (r["a"], r["b"])
+            for r in lsh_embedding_duplicate_pairs(
+                emb, threshold=0.9, bands=4, planes_per_band=4, dim=16
+            ).collect()
+        }
+        assert lsh <= exact
+        assert (0, 1) in lsh  # identical vectors collide in every band
+        assert (0, 2) in lsh  # ~0.05 rad apart: P(miss all 4 bands) ~ 1e-5
+
+    def test_banded_lsh_plan_has_no_cross_join(self, spark):
+        import numpy as np
+
+        from letarette_spark.functions.dedup import lsh_embedding_duplicate_pairs
+
+        rng = np.random.default_rng(1)
+        rows = [
+            {"vec_id": i, "embedding": [float(x) for x in v]}
+            for i, v in enumerate(rng.standard_normal((10, 8)))
+        ]
+        emb = spark.createDataFrame(rows)
+        df = lsh_embedding_duplicate_pairs(emb, threshold=0.5, dim=8)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "Cross" not in plan

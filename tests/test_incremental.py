@@ -164,3 +164,43 @@ def test_upsert_invalidates_wand_blocks(spark, tmp_path):
     s = Searcher(idx)
     _df, total, _ = s.search_df("sphinx")   # d3 tombstoned by UPDATES_2
     assert total == 0
+
+
+def test_streaming_batch_latest_version_wins(spark, tmp_path):
+    """A micro-batch carrying v1 and v2 of a document must index the row
+    with the max updated_at (the reference serializes writes in order);
+    dropDuplicates would keep an arbitrary one."""
+    import pandas as pd
+
+    from letarette_spark.streaming.indexer import stream_document_updates
+
+    root = str(tmp_path / "ver_index")
+    base = _docs_df(spark, BASE).drop("rowid")
+    build_index(spark, base, root, config=CFG, n_build_partitions=2, chunk_size=2)
+
+    src = tmp_path / "updates"
+    src.mkdir()
+    pdf = pd.DataFrame(
+        [
+            {"doc_id": "d9", "space": "main", "title": "niner",
+             "body": "stale version mentioning unicorns", "alive": True},
+            {"doc_id": "d9", "space": "main", "title": "niner",
+             "body": "fresh version mentioning dragons", "alive": True},
+        ]
+    )
+    pdf["updated_at"] = pd.Series(
+        pd.to_datetime(["2024-01-01 00:00:00", "2024-01-02 00:00:00"]),
+        dtype="datetime64[us]",
+    )
+    pdf.to_parquet(src / "batch1.parquet")
+
+    q = stream_document_updates(
+        spark, root, str(src), str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+
+    s = Searcher(Index.open(spark, root, CFG))
+    _df, total, _ = s.search_df("dragons")
+    assert total == 1
+    _df, total, _ = s.search_df("unicorns")
+    assert total == 0

@@ -85,3 +85,12 @@ def test_compile_match_string():
         'NEAR("speedway" "mud"*, 15)'
     )
     assert compile_match_string(parse_query("-only -excludes")) == ""
+
+
+def test_reduce_keeps_single_digit_words():
+    # reducePhrase cuts 1-rune words only when !unicode.IsNumber — 'error 7'
+    # keeps the lone digit (the index keeps all-digit tokens too)
+    reduced = reduce_phrases(parse_query("error 7 x"))
+    assert [p.text for p in reduced] == ["error", "7"]
+    reduced = reduce_phrases(parse_query('"error 7 x"'))
+    assert [p.text for p in reduced] == ["error 7"]

@@ -93,3 +93,25 @@ def test_empty_query_returns_no_hits(built):
     searcher = Searcher(index)
     df, total, capped = searcher.search_df("-only -excludes a b", limit=10)
     assert df is None and total == 0 and not capped
+
+
+def test_capped_ranks_cap_plus_one_matches(built):
+    """Reference cap semantics: the SQL LIMIT is resultCap+1 in rowid order
+    (db_search.go:93-96), so the (cap+1)-th rowid-order match is still
+    rankable while TotalHits caps at `cap`."""
+    index, oracle = built
+    s = Searcher(index, cap=3)
+    df, total, capped = s.search_df("error", limit=10)
+    all_rowids = oracle.match_rowids('"error"')
+    assert len(all_rowids) > 4, "fixture must have >cap+1 matches"
+    pool = all_rowids[:4]  # cap + 1 in rowid order
+    expected = oracle.con.execute(
+        "SELECT rowid, bm25(fts, 5.0, 1.0) AS r FROM fts WHERE fts MATCH ? "
+        f"AND rowid IN ({','.join(map(str, pool))}) ORDER BY r, rowid LIMIT 10",
+        ('"error"',),
+    ).fetchall()
+    got = [(r["rowid"], r["score"]) for r in df.collect()]
+    assert capped and total == 3
+    assert [r for r, _ in got] == [r for r, _ in expected]
+    for (_, sg), (_, se) in zip(got, expected):
+        assert math.isclose(sg, se, rel_tol=1e-9, abs_tol=1e-12)
