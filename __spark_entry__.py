@@ -78,8 +78,10 @@ def _engine_index(spark: SparkSession, sf_dir: str):
     needs_build = True
     if Manifest.exists(root):
         try:
+            from letarette_spark.index.builder import LAYOUT_VERSION
+
             idx = Index.open(spark, root, cfg)
-            needs_build = idx.n_buckets is None
+            needs_build = idx.meta.get("layout") != LAYOUT_VERSION
         except Exception:
             needs_build = True
     if needs_build:

@@ -30,10 +30,31 @@ def shard_of(doc_id: str, group_size: int) -> int:
 
 
 def shard_expr(doc_id_col: str, group_size: int) -> Column:
-    """Vectorized shard assignment column."""
+    """Vectorized shard assignment column: numpy FNV-1a over a padded
+    byte matrix — the per-byte recurrence loops over byte POSITIONS
+    (bounded by the longest id), each step vectorized across all rows;
+    uint32 arithmetic wraps natively."""
 
     @F.pandas_udf(T.IntegerType())
     def _shard(ids: pd.Series) -> pd.Series:
-        return ids.map(lambda s: fnv1a32(s) % group_size)
+        import numpy as np
+
+        bs = [s.encode("utf-8") for s in ids]
+        n = len(bs)
+        if n == 0:
+            return pd.Series([], dtype="int32")
+        lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=n)
+        maxlen = int(lens.max(initial=0))
+        h = np.full(n, FNV_OFFSET, dtype=np.uint32)
+        if maxlen:
+            arr = np.zeros((n, maxlen), dtype=np.uint8)
+            mask = np.arange(maxlen)[None, :] < lens[:, None]
+            arr[mask] = np.frombuffer(b"".join(bs), dtype=np.uint8)
+            prime = np.uint32(FNV_PRIME)
+            for j in range(maxlen):
+                active = lens > j
+                nh = (h ^ arr[:, j].astype(np.uint32)) * prime
+                h = np.where(active, nh, h)
+        return pd.Series((h % np.uint32(group_size)).astype(np.int32))
 
     return _shard(F.col(doc_id_col))

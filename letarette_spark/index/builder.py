@@ -54,6 +54,10 @@ TITLE_WEIGHT = 5.0  # reference rank config bm25(5.0, 1.0), db.go:357-361
 BODY_WEIGHT = 1.0
 
 DEFAULT_BUCKETS = 64
+DEFAULT_DOC_BUCKETS = 16  # rowid-hash partition dirs for the docs table
+# bumped whenever the on-disk layout changes shape (readers rebuild stale
+# cached indexes instead of misreading them)
+LAYOUT_VERSION = 2
 
 
 def bucket_expr(n_buckets: int, term_col: str = "term"):
@@ -188,6 +192,7 @@ def build_index(
     chunk_size: int = 8,
     files_per_chunk: int | None = None,
     n_buckets: int = DEFAULT_BUCKETS,
+    docs_buckets: int = DEFAULT_DOC_BUCKETS,
     verify_sha256: bool = False,
     fail_after_chunks: int | None = None,  # test hook: simulate a killed build
 ) -> BuildResult:
@@ -212,6 +217,7 @@ def build_index(
         "n_parts": n_build_partitions,
         "chunk_size": chunk_size,
         "n_buckets": n_buckets,
+        "docs_buckets": docs_buckets,
         "analyzer": config.key(),
     }
     lineage = man.start_plan(plan)
@@ -248,7 +254,17 @@ def build_index(
         keep = ["rowid", "doc_id", "space", "title", "body", "alive"]
         if "content_sha256" in chunk_docs.columns:
             keep.append("content_sha256")
-        chunk_docs.select(*keep).write.mode("overwrite").parquet(docs_dir)
+        # docs laid out by rowid-hash dirs (rb): point lookups by rowid
+        # (upsert old-version subtraction, top-k metadata joins) prune to
+        # the target buckets instead of scanning the whole docs table.
+        (
+            chunk_docs.select(*keep)
+            .withColumn("rb", F.pmod(F.col("rowid"), F.lit(docs_buckets)).cast("int"))
+            .repartition(max(2, min(files_per_chunk, docs_buckets)), "rb")
+            .write.partitionBy("rb")
+            .mode("overwrite")
+            .parquet(docs_dir)
+        )
 
         # Layout: hash-bucket directories + term-sorted rows. A single hash
         # shuffle (no sampling pass, unlike repartitionByRange — tokenize
@@ -301,11 +317,13 @@ def build_index(
     man.commit_snapshot(
         {
             "analyzer": config.key(),
+            "layout": LAYOUT_VERSION,
             "ndocs": ndocs,
             "sum_dl": int(agg["sum_dl"]),
             "nterms": nterms,
             "weights": {"title": TITLE_WEIGHT, "body": BODY_WEIGHT},
             "postings_buckets": n_buckets,
+            "docs_buckets": docs_buckets,
             "plan": plan,
         }
     )
@@ -359,7 +377,9 @@ class Index:
             p = os.path.join(self.root, s[table])
             if os.path.exists(p):
                 parts.append(
-                    self.spark.read.parquet(p).withColumn("_seq", F.lit(s["seq"]))
+                    self.spark.read.parquet(p)
+                    .drop("rb")  # docs segments carry the rowid-bucket dir
+                    .withColumn("_seq", F.lit(s["seq"]))
                 )
             tombs.append(
                 self.spark.read.parquet(os.path.join(self.root, s["tombstones"]))
@@ -395,13 +415,27 @@ class Index:
         b = self.n_buckets
         return bucket_of(term, b) if b else None
 
+    # ---- storage-dir pointers: committed snapshots reference versioned
+    # dirs (term_stats.vN / postings.vN / docs.vN) so mutations stage new
+    # data and flip the pointer last — a crash never leaves the committed
+    # snapshot reading half-written stats (the analog of the reference's
+    # single SQLite transaction around upsert + stats).
+    def term_stats_dir(self) -> str:
+        return os.path.join(self.root, self.meta.get("term_stats_dir", "term_stats"))
+
+    def postings_base_dir(self) -> str:
+        return os.path.join(self.root, self.meta.get("postings_dir", "postings"))
+
+    def docs_base_dir(self) -> str:
+        return os.path.join(self.root, self.meta.get("docs_dir", "docs"))
+
     def postings(self) -> DataFrame:
         # reuse one DataFrame instance per Index: repeated queries skip
         # re-listing the file index
         cached = self.__dict__.get("_postings_df")
         if cached is not None:
             return cached
-        base_dir = os.path.join(self.root, "postings")
+        base_dir = self.postings_base_dir()
         base = self.spark.read.option("basePath", base_dir).parquet(
             os.path.join(base_dir, "chunk=*")
         ).drop("chunk")
@@ -428,14 +462,50 @@ class Index:
         return post.filter(cond)
 
     def docs(self) -> DataFrame:
-        base_dir = os.path.join(self.root, "docs")
+        base_dir = self.docs_base_dir()
         base = self.spark.read.option("basePath", base_dir).parquet(
             os.path.join(base_dir, "chunk=*")
-        ).drop("chunk")
+        ).drop("chunk", "rb")
         return self._overlay(base, "docs")
 
+    def docs_for_rowids(self, rowids: list[int]) -> DataFrame:
+        """Point lookup: current live doc rows for the given rowids.
+
+        Scans ONLY the rowid-bucket dirs (rb = pmod(rowid, docs_buckets))
+        the keys hash to — the upsert old-version fetch reads a K/buckets
+        fraction of the docs table instead of all of it. Delta segments
+        (bounded by compaction) are read in full; tombstone overlay rules
+        apply as in docs()."""
+        rowids = [int(r) for r in rowids]
+        nb = self.meta.get("docs_buckets")
+        base_dir = self.docs_base_dir()
+        paths = []
+        if nb:
+            want = sorted({r % nb for r in rowids})
+            if os.path.isdir(base_dir):
+                for chunk in os.listdir(base_dir):
+                    if not chunk.startswith("chunk="):
+                        continue
+                    for b in want:
+                        p = os.path.join(base_dir, chunk, f"rb={b}")
+                        if os.path.isdir(p):
+                            paths.append(p)
+        if nb and paths:
+            base = self.spark.read.option("basePath", base_dir).parquet(
+                *paths
+            ).drop("chunk", "rb")
+        elif nb and not paths:
+            base = self.spark.read.option("basePath", base_dir).parquet(
+                os.path.join(base_dir, "chunk=*")
+            ).drop("chunk", "rb").limit(0)
+        else:  # pre-layout-2 index: no bucket dirs to prune
+            base = self.spark.read.option("basePath", base_dir).parquet(
+                os.path.join(base_dir, "chunk=*")
+            ).drop("chunk", "rb")
+        return self._overlay(base, "docs").filter(F.col("rowid").isin(rowids))
+
     def term_stats(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.root, "term_stats"))
+        return self.spark.read.parquet(self.term_stats_dir())
 
     def preload(self) -> None:
         """Warm the executor block cache (reference analog: preloadDB's

@@ -10,12 +10,24 @@ new). Here each upsert batch becomes an LSM-style *delta segment*:
   seg/N/docs        the batch's doc rows (including tombstoned ones)
   seg/N/tombstones  rowids whose older rows (seq < N) are now dead
 
-Queries read base + segments minus tombstones (Index._overlay). Global
-statistics (ndocs, sum_dl) and term_stats are recomputed at commit so BM25
-stays exact after every batch — the same property the reference gets from
-FTS5 maintaining its own stats. ``compact_index`` merges everything back
-into a fresh base (the analog of the reference's FTS5 'merge'/'optimize'
-maintenance, indextools.go:200-264), bounding read amplification.
+Queries read base + segments minus tombstones (Index._overlay).
+
+Statistics are maintained *additively*: term df/cnt and the global
+(ndocs, sum_dl) are linear in documents, so an upsert of K docs merges
+the delta segment's stats into the base term_stats and subtracts the
+replaced versions' stats — the old versions are fetched with a
+rowid-bucket-pruned point lookup (Index.docs_for_rowids) and re-tokenized.
+NO scan of the base postings table happens on the upsert path; the full
+recompute runs only at compaction (or for huge batches where collecting
+the key set to the driver would be silly). BM25 stays exact after every
+batch — the same property the reference gets from FTS5 maintaining its
+own stats — and the upsert rank-identity tests pin it.
+
+Commits are crash-atomic: new term_stats (and at compaction new postings/
+docs) are staged under snapshot-versioned directories, the manifest
+pointer flips last (_manifest/CURRENT.json, POSIX-atomic), and stale
+directories are garbage-collected only after the commit. A kill at any
+point leaves the previously committed snapshot fully readable.
 
 Exactly-once: each upsert records an optional ``batch_id``; re-delivering
 the same batch id is a no-op — this is what makes the Structured-Streaming
@@ -27,6 +39,7 @@ mirroring the reference's single-transaction doc+interest commit
 from __future__ import annotations
 
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,54 +47,144 @@ from pyspark.sql import functions as F
 
 from letarette_spark.index.builder import (
     DEFAULT_BUCKETS,
+    DEFAULT_DOC_BUCKETS,
     Index,
     bucket_expr,
     tokenize_postings,
 )
 from letarette_spark.index.manifest import Manifest
 
+# above this batch size the merge path (which collects the batch's rowid
+# set to the driver for bucket pruning) falls back to a full recompute —
+# at that scale the recompute cost is amortized anyway
+MERGE_MAX_BATCH = 100_000
 
-def _refresh_stats(index: Index, man: Manifest, extra_meta: dict) -> None:
-    """Recompute term_stats + global BM25 stats from the overlaid view and
-    commit a new snapshot. Any existing WAND blocks table reflects the old
-    snapshot and is invalidated (rebuild with blocks.build_blocks after a
-    batch of upserts / a compaction)."""
-    spark = index.spark
-    index.invalidate()  # storage changed under any cached handles
-    blocks_dir = os.path.join(index.root, "blocks")
+_VERSIONED = re.compile(r"^(postings|docs|term_stats)(\.v\d+|\.tmp|\.compact)?$")
+
+
+def _gc_stale_dirs(root: str, keep_rel: set[str]) -> None:
+    """Remove versioned data dirs not referenced by the committed snapshot.
+    Runs strictly AFTER commit — a crash before GC leaves harmless orphans
+    that the next commit's GC collects."""
+    for name in os.listdir(root):
+        if name in keep_rel:
+            continue
+        if _VERSIONED.match(name):
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+
+
+def _drop_blocks(root: str) -> None:
+    blocks_dir = os.path.join(root, "blocks")
     if os.path.exists(blocks_dir):
-        shutil.rmtree(blocks_dir)
-    extra_meta = dict(extra_meta, blocks=None)
-    postings = index.postings()
-    ts_tmp = os.path.join(index.root, "term_stats.tmp")
-    ts_dir = os.path.join(index.root, "term_stats")
+        shutil.rmtree(blocks_dir, ignore_errors=True)
+
+
+def _write_term_stats(spark: SparkSession, ts: DataFrame, path: str) -> int:
+    """Write a term_stats table range-partitioned + sorted by term (prefix
+    scans get row-group pruning). Persist first: repartitionByRange samples
+    its child and would run the upstream twice. Returns nterms."""
+    par = max(2, spark.sparkContext.defaultParallelism // 2)
+    ts = ts.persist()
+    nterms = ts.count()
     (
-        postings.groupBy("term")
-        .agg(
-            F.count(F.lit(1)).alias("df"),
-            F.sum(F.col("tf0") + F.col("tf1")).alias("cnt"),
-        )
-        .repartitionByRange(max(2, spark.sparkContext.defaultParallelism // 2), "term")
+        ts.repartitionByRange(par, "term")
         .sortWithinPartitions("term")
         .write.mode("overwrite")
-        .parquet(ts_tmp)
+        .parquet(path)
     )
-    if os.path.exists(ts_dir):
-        shutil.rmtree(ts_dir)
-    os.replace(ts_tmp, ts_dir)
+    ts.unpersist()
+    return nterms
 
-    agg = postings.agg(
-        F.coalesce(F.sum(F.col("tf0") + F.col("tf1")), F.lit(0)).alias("sum_dl")
-    ).collect()[0]
+
+def _merged_stats(
+    spark: SparkSession,
+    index: Index,
+    root: str,
+    seg_post_path: str,
+    batch_rowids: list[int],
+    alive_add: int,
+    ts_new_rel: str,
+) -> dict:
+    """Additive stats merge for one upsert batch (called with the index
+    still reflecting the PRE-batch snapshot, so docs_for_rowids sees the
+    replaced versions). Returns the new global-stat meta fields."""
+    cfg = index.analyzer_config
+
+    seg_post = spark.read.parquet(seg_post_path)
+    add = (
+        seg_post.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df_a"),
+            F.sum(F.col("tf0") + F.col("tf1")).alias("cnt_a"),
+        )
+        .persist()
+    )
+    dl_add = int(
+        add.agg(F.coalesce(F.sum("cnt_a"), F.lit(0)).alias("d")).collect()[0]["d"]
+    )
+
+    # previously-live versions of the batch's rowids: rowid-bucket-pruned
+    # point lookup + re-tokenize of only those K docs (no postings scan)
+    old = index.docs_for_rowids(batch_rowids).filter(F.col("alive"))
+    sub = (
+        tokenize_postings(old, cfg)
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df_s"),
+            F.sum(F.col("tf0") + F.col("tf1")).alias("cnt_s"),
+        )
+        .persist()
+    )
+    dl_sub = int(
+        sub.agg(F.coalesce(F.sum("cnt_s"), F.lit(0)).alias("d")).collect()[0]["d"]
+    )
+    alive_sub = old.count()
+
+    zero = F.lit(0).cast("long")
+    merged = (
+        index.term_stats()
+        .join(add, "term", "full_outer")
+        .join(sub, "term", "full_outer")
+        .select(
+            "term",
+            (
+                F.coalesce(F.col("df"), zero)
+                + F.coalesce(F.col("df_a"), zero)
+                - F.coalesce(F.col("df_s"), zero)
+            ).cast("long").alias("df"),
+            (
+                F.coalesce(F.col("cnt"), zero)
+                + F.coalesce(F.col("cnt_a"), zero)
+                - F.coalesce(F.col("cnt_s"), zero)
+            ).cast("long").alias("cnt"),
+        )
+        .filter(F.col("df") > 0)
+    )
+    nterms = _write_term_stats(spark, merged, os.path.join(root, ts_new_rel))
+    add.unpersist()
+    sub.unpersist()
+    return {
+        "ndocs": int(index.meta["ndocs"]) + alive_add - alive_sub,
+        "sum_dl": int(index.meta["sum_dl"]) + dl_add - dl_sub,
+        "nterms": nterms,
+    }
+
+
+def _full_stats(spark: SparkSession, index: Index, root: str, ts_new_rel: str) -> dict:
+    """Full recompute from the overlaid view (compaction / huge batches)."""
+    postings = index.postings()
+    ts = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum(F.col("tf0") + F.col("tf1")).alias("cnt"),
+    )
+    nterms = _write_term_stats(spark, ts, os.path.join(root, ts_new_rel))
+    agg = (
+        spark.read.parquet(os.path.join(root, ts_new_rel))
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("sum_dl"))
+        .collect()[0]
+    )
     ndocs = index.docs().filter(F.col("alive")).count()
-    nterms = spark.read.parquet(ts_dir).count()
-
-    meta = dict(index.meta)
-    meta.update(extra_meta)
-    meta.update({"ndocs": ndocs, "sum_dl": int(agg["sum_dl"]), "nterms": nterms})
-    meta.pop("snapshot_id", None)
-    man.commit_snapshot(meta)  # man.state carries the previous snapshot_id
-    index.meta = man.state
+    return {"ndocs": ndocs, "sum_dl": int(agg["sum_dl"]), "nterms": nterms}
 
 
 def upsert_documents(
@@ -92,9 +195,10 @@ def upsert_documents(
 ) -> Index:
     """Apply a batch of document updates (insert / replace / tombstone).
 
-    ``docs`` columns: (doc_id, space, title, body, alive); rows with
-    alive=false delete the document (reference keeps the doc row but
-    removes it from the FTS index — same observable behavior here)."""
+    ``docs`` columns: (doc_id, space, title, body, alive), one row per
+    doc_id; rows with alive=false delete the document (reference keeps the
+    doc row but removes it from the FTS index — same observable behavior
+    here)."""
     index = Index.open(spark, root)
     man = Manifest.load(root)
     if batch_id is not None and batch_id in index.meta.get("applied_batches", []):
@@ -109,13 +213,23 @@ def upsert_documents(
         "docs": f"seg/{seq}/docs",
         "tombstones": f"seg/{seq}/tombstones",
     }
+    docs = docs.persist()
 
     keep = ["rowid", "doc_id", "space", "title", "body", "alive"]
     if "content_sha256" in docs.columns:
         keep.append("content_sha256")
-    docs.select(*keep).write.mode("overwrite").parquet(
-        os.path.join(root, seg_rel["docs"])
-    )
+    seg_docs = docs.select(*keep)
+    db = index.meta.get("docs_buckets")
+    if db:
+        # same rowid-bucket layout as the base: point lookups prune segments
+        (
+            seg_docs.withColumn("rb", F.pmod(F.col("rowid"), F.lit(db)).cast("int"))
+            .write.partitionBy("rb")
+            .mode("overwrite")
+            .parquet(os.path.join(root, seg_rel["docs"]))
+        )
+    else:
+        seg_docs.write.mode("overwrite").parquet(os.path.join(root, seg_rel["docs"]))
     docs.select("rowid").distinct().write.mode("overwrite").parquet(
         os.path.join(root, seg_rel["tombstones"])
     )
@@ -142,58 +256,142 @@ def upsert_documents(
             .parquet(os.path.join(root, seg_rel["postings"]))
         )
 
-    extra = {
-        "segments": index.segments + [seg_rel],
-        "applied_batches": (index.meta.get("applied_batches", []) + (
-            [batch_id] if batch_id is not None else []
-        ))[-1000:],
-    }
-    index.meta = dict(index.meta, segments=extra["segments"])  # overlay sees new seg
+    # ---- stats: additive merge (pre-batch snapshot still current) ----
+    ver = int(index.meta.get("snapshot_id", 0)) + 1
+    ts_new_rel = f"term_stats.v{ver}"
+    batch_rowids = [
+        r["rowid"]
+        for r in docs.select("rowid").distinct().limit(MERGE_MAX_BATCH + 1).collect()
+    ]
+    new_segments = index.segments + [seg_rel]
+    if len(batch_rowids) <= MERGE_MAX_BATCH:
+        # merge runs against the PRE-batch snapshot (docs_for_rowids must
+        # see the replaced versions, not the new segment)
+        stats = _merged_stats(
+            spark,
+            index,
+            root,
+            os.path.join(root, seg_rel["postings"]),
+            batch_rowids,
+            alive_add=docs.filter(F.col("alive")).count(),
+            ts_new_rel=ts_new_rel,
+        )
+    else:
+        index.meta = dict(index.meta, segments=new_segments)
+        index.invalidate()  # overlay must see the new segment
+        stats = _full_stats(spark, index, root, ts_new_rel)
+
+    meta = dict(index.meta)
+    meta.update(stats)
+    meta.update(
+        {
+            "segments": new_segments,
+            "applied_batches": (
+                index.meta.get("applied_batches", [])
+                + ([batch_id] if batch_id is not None else [])
+            )[-1000:],
+            "term_stats_dir": ts_new_rel,
+            "blocks": None,  # WAND blocks reflect the old snapshot
+        }
+    )
+    meta.pop("snapshot_id", None)
+    man.commit_snapshot(meta)  # ← the atomic commit point
+    index.meta = man.state
     index.invalidate()
-    _refresh_stats(index, man, extra)
+    docs.unpersist()
+
+    # post-commit GC of unreferenced dirs + stale WAND blocks
+    _gc_stale_dirs(
+        root,
+        keep_rel={
+            index.meta.get("postings_dir", "postings"),
+            index.meta.get("docs_dir", "docs"),
+            ts_new_rel,
+        },
+    )
+    _drop_blocks(root)
     return index
 
 
 def compact_index(spark: SparkSession, root: str) -> Index:
     """Merge base + segments into a fresh base and drop tombstones —
     segment compaction (reference analog: stepwise FTS5 'merge',
-    indextools.go:200-264). Query results are unchanged; read
-    amplification returns to one sorted run."""
+    indextools.go:200-264). Query results are unchanged; read amplification
+    returns to one sorted run. Stats are fully recomputed here (the one
+    place that pays an index-wide scan), staged under versioned dirs and
+    committed by the manifest pointer flip."""
     index = Index.open(spark, root)
     man = Manifest.load(root)
     if not index.segments:
         return index
     par = spark.sparkContext.defaultParallelism
+    ver = int(index.meta.get("snapshot_id", 0)) + 1
+    post_rel, docs_rel, ts_rel = (
+        f"postings.v{ver}",
+        f"docs.v{ver}",
+        f"term_stats.v{ver}",
+    )
+    nb = index.n_buckets or DEFAULT_BUCKETS
+    db = index.meta.get("docs_buckets", DEFAULT_DOC_BUCKETS)
 
-    post_new = os.path.join(root, "postings.compact")
-    docs_new = os.path.join(root, "docs.compact")
     post = index.postings()
     if "bucket" not in post.columns:
-        post = post.withColumn(
-            "bucket", bucket_expr(index.n_buckets or DEFAULT_BUCKETS)
-        )
+        post = post.withColumn("bucket", bucket_expr(nb))
     (
         post.repartition(max(2, par // 2), "bucket")
         .sortWithinPartitions("bucket", "term", "rowid")
         .write.partitionBy("bucket")
         .mode("overwrite")
-        .parquet(os.path.join(post_new, "chunk=0"))
+        .parquet(os.path.join(root, post_rel, "chunk=0"))
     )
-    index.docs().write.mode("overwrite").parquet(os.path.join(docs_new, "chunk=0"))
+    (
+        index.docs()
+        .withColumn("rb", F.pmod(F.col("rowid"), F.lit(db)).cast("int"))
+        .repartition(max(2, min(par, db)), "rb")
+        .write.partitionBy("rb")
+        .mode("overwrite")
+        .parquet(os.path.join(root, docs_rel, "chunk=0"))
+    )
 
-    post_dir = os.path.join(root, "postings")
-    docs_dir = os.path.join(root, "docs")
-    shutil.rmtree(post_dir)
-    os.replace(post_new, post_dir)
-    shutil.rmtree(docs_dir)
-    os.replace(docs_new, docs_dir)
-    shutil.rmtree(os.path.join(root, "seg"), ignore_errors=True)
+    new_post = spark.read.option(
+        "basePath", os.path.join(root, post_rel)
+    ).parquet(os.path.join(root, post_rel, "chunk=*"))
+    ts = new_post.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum(F.col("tf0") + F.col("tf1")).alias("cnt"),
+    )
+    nterms = _write_term_stats(spark, ts, os.path.join(root, ts_rel))
+    agg = (
+        spark.read.parquet(os.path.join(root, ts_rel))
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("sum_dl"))
+        .collect()[0]
+    )
+    ndocs = (
+        spark.read.option("basePath", os.path.join(root, docs_rel))
+        .parquet(os.path.join(root, docs_rel, "chunk=*"))
+        .filter(F.col("alive"))
+        .count()
+    )
+
+    meta = dict(
+        index.meta,
+        segments=[],
+        postings_dir=post_rel,
+        docs_dir=docs_rel,
+        term_stats_dir=ts_rel,
+        postings_buckets=nb,
+        docs_buckets=db,
+        ndocs=ndocs,
+        sum_dl=int(agg["sum_dl"]),
+        nterms=nterms,
+        blocks=None,
+    )
+    meta.pop("snapshot_id", None)
+    man.commit_snapshot(meta)  # ← the atomic commit point
+    index.meta = man.state
     index.invalidate()
 
-    index.meta = dict(index.meta, segments=[])
-    _refresh_stats(
-        index,
-        man,
-        {"segments": [], "postings_buckets": index.n_buckets or DEFAULT_BUCKETS},
-    )
+    _gc_stale_dirs(root, keep_rel={post_rel, docs_rel, ts_rel})
+    shutil.rmtree(os.path.join(root, "seg"), ignore_errors=True)
+    _drop_blocks(root)
     return index

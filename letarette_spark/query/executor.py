@@ -62,6 +62,12 @@ class Hit:
     snippet: str = ""
 
 
+class SearchTimeout(Exception):
+    """The per-query time budget elapsed (reference: 4s default,
+    config.go:69; sqlite interrupt -> SearchStatusTimeout,
+    searcher.go:107-118)."""
+
+
 @dataclass
 class SearchResult:
     hits: list[Hit]
@@ -69,6 +75,9 @@ class SearchResult:
     capped: bool
     respelt: str = ""
     respelt_distance: int = 0
+    # mirrors protocol.SearchStatusCode (protocol.go:176-186):
+    # index_hit | no_hit | timeout
+    status: str = "index_hit"
 
 
 @dataclass
@@ -77,6 +86,7 @@ class Searcher:
     w_title: float = TITLE_WEIGHT
     w_body: float = BODY_WEIGHT
     cap: int = DEFAULT_CAP
+    timeout: float | None = None  # seconds per query; reference default 4s
     stopwords: frozenset[str] | None = None     # None -> load from index
     synonyms: dict[str, list[str]] | None = None  # None -> load from index
 
@@ -350,7 +360,94 @@ class Searcher:
         return out, min(total, self.cap), capped
 
     # ------------------------------------------------------------------
+    def _with_deadline(self, fn):
+        """Run *fn* under the per-query time budget: the Spark actions are
+        tagged with a job group and cancelled when the budget elapses —
+        the analog of the reference's 4s context deadline + sqlite
+        interrupt (searcher.go:163-165, db_search.go:88-91)."""
+        if not self.timeout:
+            return fn()
+        import threading
+        import time as _time
+
+        sc = self.index.spark.sparkContext
+        group = f"lsearch-{id(self)}-{_time.monotonic_ns()}"
+        out: list = []
+        err: list = []
+
+        def run():
+            sc.setJobGroup(group, "letarette search deadline", True)
+            try:
+                out.append(fn())
+            except BaseException as e:  # surfaced below
+                err.append(e)
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        t.join(self.timeout)
+        if t.is_alive():
+            sc.cancelJobGroup(group)
+            raise SearchTimeout(f"query exceeded {self.timeout}s budget")
+        if err:
+            raise err[0]
+        return out[0]
+
     def search(
+        self,
+        query: str,
+        spaces: list[str] | None = None,
+        limit: int = 10,
+        offset: int = 0,
+        autocorrect: bool = True,
+        snippets: bool = True,
+        strategy: int = 1,
+    ) -> SearchResult:
+        """Full search under the query time budget; a blown budget returns
+        an empty result with status='timeout' instead of raising, exactly
+        like the reference maps interrupts to SearchStatusTimeout
+        (searcher.go:107-118)."""
+        try:
+            return self._with_deadline(
+                lambda: self._search_impl(
+                    query, spaces, limit, offset, autocorrect, snippets, strategy
+                )
+            )
+        except SearchTimeout:
+            return SearchResult([], 0, False, status="timeout")
+
+    # ------------------------------------------------------------------
+    def search_terms_df(
+        self, words: list[str], mode: str = "or", limit: int = 10
+    ) -> DataFrame | None:
+        """Bag-of-words BM25 top-k over raw words — no NEAR/phrase
+        semantics, FTS5 '"w1" OR "w2"' / implicit-AND equivalent (the
+        engine-strength form of the relational bm25 operator). Routes
+        through block-max WAND (query/wand.py, multi-term or/and) whenever
+        blocks reflect the current snapshot; otherwise scores exactly from
+        the bucket-pruned row postings. Returns (rowid, space, score) in
+        the FTS5 negative-ascending convention, or None for an empty
+        analyzed query."""
+        terms = []
+        for w in words:
+            alts = self.analyzer.query_alternatives(w, synonyms=self.synonyms)
+            if alts and alts[0]:
+                terms.append(alts[0][0])
+        if not terms:
+            return None
+        from letarette_spark.index.blocks import has_blocks
+        from letarette_spark.query.wand import exhaustive_topk, wand_topk
+
+        if has_blocks(self.index) and not self.index.segments:
+            return wand_topk(
+                self.index, terms, k=limit, mode=mode,
+                w_title=self.w_title, w_body=self.w_body,
+            )
+        return exhaustive_topk(
+            self.index, terms, k=limit, mode=mode,
+            w_title=self.w_title, w_body=self.w_body,
+        )
+
+    def _search_impl(
         self,
         query: str,
         spaces: list[str] | None = None,
@@ -375,7 +472,7 @@ class Searcher:
                 query = fixed_q
                 df, total, capped = self.search_df(query, spaces, limit, offset)
         if df is None:
-            return SearchResult([], 0, False, respelt, respelt_distance)
+            return SearchResult([], 0, False, respelt, respelt_distance, "no_hit")
         docs = self.index.docs().select("rowid", "doc_id", "alive", "title", "body")
         # top-k rows are tiny (<= page limit): broadcast them against docs.
         rows = (
@@ -385,12 +482,13 @@ class Searcher:
             .collect()
         )
         rows = sorted(rows, key=lambda r: (r["score"], r["rowid"]))
+        status = "index_hit" if total > 0 else "no_hit"
         if strategy == 3:
             hits = [
                 Hit(r["space"], r["doc_id"], r["rowid"], r["score"], r["title"])
                 for r in rows
             ]
-            return SearchResult(hits, total, capped, respelt, respelt_distance)
+            return SearchResult(hits, total, capped, respelt, respelt_distance, status)
         builder = None
         phrase_alts: list[list[list[str]]] = []
         if snippets:
@@ -408,7 +506,7 @@ class Searcher:
             if builder is not None and phrase_alts:
                 snip = builder.snippet(r["title"], r["body"], phrase_alts)
             hits.append(Hit(r["space"], r["doc_id"], r["rowid"], r["score"], snip))
-        return SearchResult(hits, total, capped, respelt, respelt_distance)
+        return SearchResult(hits, total, capped, respelt, respelt_distance, status)
 
     # ------------------------------------------------------------------
     def _wand_fast_path(

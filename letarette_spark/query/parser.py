@@ -18,9 +18,19 @@ dedupe, sort — used for cache keys and equivalence.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, replace
 
 _WORD_BREAK = set(' \t\n\r\v\f"()*')
+
+# reducePhrase regexes (parser.go:123-126): \pL = unicode letter. Python's
+# [^\W\d_] is exactly the unicode-letter class, so [\W\d_] is Go's \PL.
+_NON_LETTER = r"[\W\d_]"
+_LETTER = r"[^\W\d_]"
+_SINGLE_MID = re.compile(_NON_LETTER + _LETTER + _NON_LETTER)
+_SINGLE_START = re.compile("^" + _LETTER + _NON_LETTER)
+_SINGLE_END = re.compile(_NON_LETTER + _LETTER + "$")
+_WHITESPACES = re.compile(r"\s+")
 
 
 @dataclass(frozen=True)
@@ -94,18 +104,31 @@ def parse_query(query: str) -> list[Phrase]:
     return phrases
 
 
+def _reduce_text(text: str) -> str:
+    """Faithful port of reducePhrase (parser.go:133-148): a 1-rune phrase
+    is cut unless it is a NUMBER (unicode.IsNumber), and inside longer
+    phrases only single LETTERS (\\pL, digits excluded) flanked by
+    non-letters are stripped — so 'error 7' keeps the lone digit, and the
+    regex passes run in the reference's exact order (mid, start, end,
+    whitespace collapse)."""
+    if len(text) == 1 and not text.isnumeric():
+        return ""
+    t = _SINGLE_MID.sub(" ", text)
+    t = _SINGLE_START.sub(" ", t)
+    t = _SINGLE_END.sub(" ", t)
+    t = _WHITESPACES.sub(" ", t)
+    return t.strip()
+
+
 def reduce_phrases(phrases: list[Phrase]) -> list[Phrase]:
     """Strip un-indexable 1-rune words; drop emptied phrases
-    (parser.go:124-162). Single-character NUMBERS survive — reducePhrase
-    cuts 1-rune phrases only when !unicode.IsNumber, and the index keeps
-    all-digit tokens below the min length (so 'error 7' matches docs
-    containing the lone digit 7)."""
+    (parser.go:133-162)."""
     out = []
     for p in phrases:
-        words = [w for w in p.text.split() if len(w) > 1 or w.isnumeric()]
-        if not words:
+        text = _reduce_text(p.text)
+        if not text:
             continue
-        out.append(replace(p, text=" ".join(words)))
+        out.append(replace(p, text=text))
     return out
 
 

@@ -90,6 +90,71 @@ def _sat(tf, dl, avgdl):
     return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / F.lit(avgdl)))
 
 
+def _term_idf(index: Index, terms: list[str], mode: str) -> dict[str, float] | None:
+    """FTS5-convention idf per term with 1e-6 clamp; None when the query
+    can have no hits (an AND over a missing term)."""
+    ndocs = int(index.meta["ndocs"])
+    stats = {
+        r["term"]: int(r["df"])
+        for r in index.term_stats().filter(F.col("term").isin(terms)).collect()
+    }
+    idf: dict[str, float] = {}
+    for t in terms:
+        n_t = stats.get(t, 0)
+        if n_t == 0:
+            if mode == "and":
+                return None
+            continue
+        v = math.log((ndocs - n_t + 0.5) / (n_t + 0.5))
+        idf[t] = v if v > 0.0 else 1e-6
+    return idf or None
+
+
+def exhaustive_topk(
+    index: Index,
+    terms: list[str],
+    k: int = 10,
+    mode: str = "or",
+    w_title: float = TITLE_WEIGHT,
+    w_body: float = BODY_WEIGHT,
+) -> DataFrame:
+    """Exact bag-of-words BM25 top-k straight from the row postings
+    (bucket-pruned term scan + one groupBy) — no blocks required, so it
+    also serves indexes with pending delta segments. Same contract and
+    scoring as wand_topk; WAND is strictly a pruning optimization."""
+    spark = index.spark
+    terms = sorted(set(terms))
+    ndocs = int(index.meta["ndocs"])
+    avgdl = float(index.meta["sum_dl"]) / ndocs if ndocs else 1.0
+    idf = _term_idf(index, terms, mode)
+    if not idf:
+        return spark.createDataFrame([], "rowid long, space string, score double")
+    live_terms = sorted(idf)
+    idf_col = F.create_map(
+        *[x for t in live_terms for x in (F.lit(t), F.lit(idf[t]))]
+    )[F.col("term")]
+    contrib = idf_col * _sat(
+        F.col("tf0") * w_title + F.col("tf1") * w_body, F.col("dl"), avgdl
+    )
+    exact = (
+        index.postings_for_terms(live_terms)
+        .select("rowid", "space", contrib.alias("c"), F.lit(1).alias("one"))
+        .groupBy("rowid")
+        .agg(
+            F.first("space").alias("space"),
+            F.sum("c").alias("score"),
+            F.count("one").alias("nterms"),
+        )
+    )
+    if mode == "and":
+        exact = exact.filter(F.col("nterms") == len(live_terms))
+    return (
+        exact.select("rowid", "space", (-F.col("score")).alias("score"))
+        .orderBy("score", "rowid")
+        .limit(k)
+    )
+
+
 def wand_topk(
     index: Index,
     terms: list[str],
@@ -107,19 +172,7 @@ def wand_topk(
     ndocs = int(index.meta["ndocs"])
     avgdl = float(index.meta["sum_dl"]) / ndocs if ndocs else 1.0
 
-    stats = {
-        r["term"]: int(r["df"])
-        for r in index.term_stats().filter(F.col("term").isin(terms)).collect()
-    }
-    idf = {}
-    for t in terms:
-        n_t = stats.get(t, 0)
-        if n_t == 0:
-            if mode == "and":
-                return spark.createDataFrame([], "rowid long, space string, score double")
-            continue
-        v = math.log((ndocs - n_t + 0.5) / (n_t + 0.5))
-        idf[t] = v if v > 0.0 else 1e-6
+    idf = _term_idf(index, terms, mode)
     if not idf:
         return spark.createDataFrame([], "rowid long, space string, score double")
     live_terms = sorted(idf)

@@ -204,3 +204,76 @@ def test_streaming_batch_latest_version_wins(spark, tmp_path):
     assert total == 1
     _df, total, _ = s.search_df("unicorns")
     assert total == 0
+
+
+def test_upsert_does_not_scan_base_postings(spark, tmp_path, monkeypatch):
+    """The additive stats merge must never read the base postings table —
+    the one genuine scale-killer of a recompute-per-micro-batch design."""
+    root = str(tmp_path / "merge_index")
+    build_index(spark, _docs_df(spark, BASE), root, config=CFG,
+                n_build_partitions=2, chunk_size=2)
+
+    def boom(self):
+        raise AssertionError("upsert path read base postings")
+
+    monkeypatch.setattr(Index, "postings", boom)
+    idx = upsert_documents(spark, root, _docs_df(spark, UPDATES_1), batch_id=1)
+    monkeypatch.undo()
+    assert idx.meta["ndocs"] == 5  # 4 base + d5 new, d2 replaced
+
+    # exactness after the merge: rank-identical to a rebuild oracle
+    mid = [
+        (1, "alpha one", "the quick brown fox jumps over the lazy dog"),
+        (2, "beta two v2", "a quick movement of the enemy will jeopardize gold"),
+        (3, "gamma three", "sphinx of black quartz judge my vow"),
+        (4, "delta four", "quick zephyrs blow vexing daft jim"),
+        (5, "epsilon five", "the five boxing wizards jump quickly"),
+    ]
+    _assert_matches_final_oracle(Searcher(idx), Fts5Index.build(mid))
+
+
+def test_docs_point_lookup_prunes_buckets(spark, tmp_path):
+    root = str(tmp_path / "prune_index")
+    build_index(spark, _docs_df(spark, BASE), root, config=CFG,
+                n_build_partitions=2, chunk_size=2)
+    idx = Index.open(spark, root, CFG)
+    nb = idx.meta["docs_buckets"]
+    got = idx.docs_for_rowids([2])
+    assert [r["doc_id"] for r in got.collect()] == ["d2"]
+    want_rb = 2 % nb
+    files = got.inputFiles()
+    assert files, "point lookup read no files"
+    assert all(f"rb={want_rb}/" in f for f in files), files
+
+
+def test_upsert_commit_is_crash_atomic(spark, tmp_path, monkeypatch):
+    """A kill anywhere before the manifest pointer flip leaves the previous
+    snapshot fully readable (stats dirs are staged, never mutated)."""
+    root = str(tmp_path / "crash_index")
+    build_index(spark, _docs_df(spark, BASE), root, config=CFG,
+                n_build_partitions=2, chunk_size=2)
+    before = Index.open(spark, root, CFG).meta
+
+    from letarette_spark.index.manifest import Manifest
+
+    def boom(self, meta):
+        raise RuntimeError("injected crash at commit point")
+
+    monkeypatch.setattr(Manifest, "commit_snapshot", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        upsert_documents(spark, root, _docs_df(spark, UPDATES_1), batch_id=1)
+    monkeypatch.undo()
+
+    idx = Index.open(spark, root, CFG)
+    assert idx.meta["snapshot_id"] == before["snapshot_id"]
+    assert idx.segments == []
+    assert idx.term_stats().count() == before["nterms"]
+    s = Searcher(idx)
+    _df, total, _ = s.search_df("sphinx")
+    assert total == 1  # pre-upsert corpus intact
+
+    # the retried upsert then lands normally
+    idx = upsert_documents(spark, root, _docs_df(spark, UPDATES_1), batch_id=1)
+    assert idx.meta["ndocs"] == 5
+    _df, total, _ = Searcher(idx).search_df("wizard*")
+    assert total == 1

@@ -51,13 +51,15 @@ class TestLetaretteMode:
         s = Searcher(leta_index)
         _df, total, _ = s.search_df("42")
         assert total == 1
-        # the digit exemption is INDEX-time (snowball.c:184-187): '7' is in
-        # the index, but query-side reduce strips all 1-rune words
-        # (parser.go:133-162), digits included
+        # the digit exemption holds on BOTH sides: index-time
+        # (snowball.c:184-187 keeps all-digit tokens under min length) and
+        # query-time (reducePhrase cuts 1-rune phrases only when
+        # !unicode.IsNumber, parser.go:136-138) — so '7' is searchable,
+        # while 1-letter words are dropped from query and index alike
         terms = {r["term"] for r in leta_index.term_stats().collect()}
         assert "7" in terms and "b" not in terms
         df, total, _ = s.search_df("7")
-        assert df is None and total == 0
+        assert total == 1
         df, total, _ = s.search_df("b")
         assert df is None and total == 0
 

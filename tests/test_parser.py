@@ -94,3 +94,17 @@ def test_reduce_keeps_single_digit_words():
     assert [p.text for p in reduced] == ["error", "7"]
     reduced = reduce_phrases(parse_query('"error 7 x"'))
     assert [p.text for p in reduced] == ["error 7"]
+
+
+def test_reduce_regex_order_matches_reference():
+    # reducePhrase applies \PL\pL\PL, then ^\pL\PL, then \PL\pL$ in order
+    # (parser.go:139-145) — single letters flanked by non-letters vanish,
+    # single digits survive (\pL excludes digits)
+    from letarette_spark.query.parser import _reduce_text
+
+    assert _reduce_text("7") == "7"
+    assert _reduce_text("b") == ""
+    assert _reduce_text("error 7") == "error 7"
+    assert _reduce_text("a 7 b") == "7"
+    assert _reduce_text("x-y") == ""          # both letters are single runs
+    assert _reduce_text("grinder u") == "grinder"

@@ -140,3 +140,66 @@ def test_wand_prunes_blocks(blocked_index):
     # with k=1 and block_size=32, only a handful of 'error' blocks can matter
     got = wand_topk(blocked_index, ["error"], k=1).collect()
     assert total > 3 and len(got) == 1
+
+
+def test_searcher_bag_of_words_rank_identity(blocked_index, monkeypatch):
+    """Searcher.search_terms_df routes 2+-term bag-of-words top-k through
+    WAND and must be rank-identical to live FTS5 (OR and implicit-AND);
+    the exhaustive no-blocks fallback must be identical too."""
+    from letarette_spark.query.executor import Searcher
+    from tests.fts5_oracle import Fts5Index
+    import letarette_spark.query.wand as wand_mod
+
+    docs = blocked_index.docs().select("rowid", "title", "body").collect()
+    oracle = Fts5Index.build([(r["rowid"], r["title"], r["body"]) for r in docs])
+    s = Searcher(blocked_index, stopwords=frozenset(), synonyms={})
+
+    calls = {"wand": 0}
+    real = wand_mod.wand_topk
+
+    def counting(*a, **k):
+        calls["wand"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(wand_mod, "wand_topk", counting)
+
+    cases = [
+        (["error", "handler"], "or", '"error" OR "handler"'),
+        (["error", "handler"], "and", '"error" "handler"'),
+        (["func", "main", "return"], "or", '"func" OR "main" OR "return"'),
+        (["func", "main", "return"], "and", '"func" "main" "return"'),
+    ]
+
+    def check():
+        for words, mode, match in cases:
+            expected = oracle.search(match, limit=10)
+            got = [
+                (r["rowid"], r["score"])
+                for r in s.search_terms_df(words, mode=mode, limit=10).collect()
+            ]
+            assert [r for r, _ in got] == [r for r, _ in expected], (words, mode)
+            for (_, sg), (_, se) in zip(got, expected):
+                assert math.isclose(sg, se, rel_tol=1e-9, abs_tol=1e-12)
+
+    check()
+    assert calls["wand"] == len(cases)  # the fast path actually served them
+
+    import letarette_spark.index.blocks as blocks_mod
+
+    monkeypatch.setattr(blocks_mod, "has_blocks", lambda idx: False)
+    check()
+    assert calls["wand"] == len(cases)  # fallback did not touch WAND
+
+
+def test_query_timeout_budget(blocked_index):
+    """Reference behavior: a blown per-query budget (4s default,
+    config.go:69) maps to SearchStatusTimeout with an empty result."""
+    from letarette_spark.query.executor import Searcher
+
+    s = Searcher(blocked_index, timeout=0.01, stopwords=frozenset(), synonyms={})
+    res = s.search("error handler parser", limit=10)
+    assert res.status == "timeout" and res.hits == [] and res.total_hits == 0
+
+    s2 = Searcher(blocked_index, timeout=120.0, stopwords=frozenset(), synonyms={})
+    res2 = s2.search("error handler parser", limit=10)
+    assert res2.status == "index_hit" and res2.hits
