@@ -9,6 +9,11 @@ Times the headline paths over $SPARK_GRAFT_SF_DIR (default
   top-10 through the Searcher
 - relational analytics: simple-analyzer BM25 top-k, minhash signatures,
   n-gram jaccard pairs, knn cosine
+- scale-path dedup: minhash-LSH near-dup pairs (candidate-only verify),
+  banded-LSH embedding dup pairs, single-pass simhash
+
+`extra.suite_r01_total` sums the round-1 query subset so round-over-round
+totals stay comparable as new queries join the suite.
 
 Output: {"metric": ..., "value": total_sec, "unit": "sec",
          "queries": {name: sec}, "sf": ..., "extra": {...}}
@@ -39,7 +44,13 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from letarette_spark.analysis.tokenizer import AnalyzerConfig
-    from letarette_spark.functions.dedup import jaccard_pairs, minhash_signatures
+    from letarette_spark.functions.dedup import (
+        jaccard_pairs,
+        lsh_embedding_duplicate_pairs,
+        minhash_lsh_pairs,
+        minhash_signatures,
+        simhash64,
+    )
     from letarette_spark.functions.similarity import cosine_topk
     from letarette_spark.functions.simple_text import bm25_scores
     from letarette_spark.index.builder import Index, build_index
@@ -108,6 +119,19 @@ def main() -> None:
             "knn_cosine",
             lambda: cosine_topk(embeddings, query_id=0, k=5).collect(),
         )
+        timed(
+            "minhash_lsh_pairs",
+            lambda: minhash_lsh_pairs(
+                documents, bands=4, rows_per_band=2, n=3, threshold=0.05
+            ).count(),
+        )
+        timed(
+            "lsh_embedding_dups",
+            lambda: lsh_embedding_duplicate_pairs(
+                embeddings, threshold=0.3, bands=2, planes_per_band=4, dim=64
+            ).count(),
+        )
+        timed("simhash", lambda: simhash64(documents).count())
 
         # query-latency distribution over warm repeats (reference lrload
         # reports mean/median/p90/p95/p99 — cmd/lrload/main.go:317-358)
@@ -135,6 +159,11 @@ def main() -> None:
         spark.stop()
 
     total = round(sum(timings.values()), 4)
+    r01_set = (
+        "index_build", "engine_single", "engine_near", "engine_not",
+        "engine_phrase", "engine_wildcard", "bm25_topk_simple",
+        "minhash_signatures", "jaccard_pairs", "knn_cosine",
+    )
     result = {
         "metric": "index_build_plus_query_suite",
         "value": total,
@@ -146,6 +175,7 @@ def main() -> None:
             "build_docs_per_sec": round(ndocs / timings["index_build"], 2),
             "cpus": cpus,
             "query_latency": latency,
+            "suite_r01_total": round(sum(timings[k] for k in r01_set), 4),
         },
     }
     print(json.dumps(result))

@@ -52,10 +52,10 @@ def shingles(
             " ", *[F.element_at(arr, (i + j + 1).cast("int")) for j in range(n)]
         ),
     )
-    return (
-        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    # per-doc set semantics via array_distinct BEFORE the explode: identical
+    # to a post-explode (id, shingle) DISTINCT but with ZERO shuffle — the
+    # distinct would exchange the widest dataset in the whole pipeline.
+    return df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 def jaccard_pairs(
@@ -115,7 +115,9 @@ def jaccard_for_pairs(
         .union(cand.select(F.col("b").alias(id_col)))
         .distinct()
     )
-    csh = sh.join(cand_docs, id_col, "left_semi")
+    # the candidate docs' shingles feed three branches (sizes + both join
+    # legs): persist so the tokenize→explode→semi-join pipeline runs once
+    csh = sh.join(cand_docs, id_col, "left_semi").persist()
     sizes = csh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sa = csh.select(F.col(id_col).alias("a"), "shingle")
     sb = csh.select(F.col(id_col).alias("b"), "shingle")
@@ -139,6 +141,18 @@ def jaccard_for_pairs(
     )
 
 
+def minhash_signatures_from_shingles(
+    sh: DataFrame, k: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash signatures over an existing (id, shingle) frame — lets
+    callers that also need the shingles (LSH verification) tokenize once."""
+    aggs = [
+        F.min(F.md5(F.concat_ws("#", F.col("shingle"), F.lit(str(i))))).alias(f"sig_{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
 def minhash_signatures(
     df: DataFrame,
     k: int = 8,
@@ -152,12 +166,9 @@ def minhash_signatures(
     deterministic across cluster sizes.
 
     Scale: one groupBy(id) with k mins — partial-aggregable, no skew."""
-    sh = shingles(df, n, id_col, text_col)
-    aggs = [
-        F.min(F.md5(F.concat_ws("#", F.col("shingle"), F.lit(str(i))))).alias(f"sig_{i}")
-        for i in range(k)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return minhash_signatures_from_shingles(
+        shingles(df, n, id_col, text_col), k, id_col
+    )
 
 
 def minhash_lsh_pairs(
@@ -177,7 +188,10 @@ def minhash_lsh_pairs(
     docs' shingles, so the whole plan is linear in corpus + candidates.
     jaccard_pairs stays as the exhaustive all-pairs oracle for tests."""
     k = bands * rows_per_band
-    sigs = minhash_signatures(df, k, n, id_col, text_col)
+    # ONE shingle pipeline feeds signatures AND verification (tokenize +
+    # explode + distinct is the dominant cost — never run it twice)
+    sh = shingles(df, n, id_col, text_col).persist()
+    sigs = minhash_signatures_from_shingles(sh, k, id_col)
     band_cols = [
         F.md5(
             F.concat_ws(
@@ -195,8 +209,13 @@ def minhash_lsh_pairs(
     )
     l = stacked.select(F.col(id_col).alias("a"), "bucket")
     r = stacked.select(F.col(id_col).alias("b"), "bucket")
-    cand = l.join(r, "bucket").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
-    sh = shingles(df, n, id_col, text_col)
+    cand = (
+        l.join(r, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .persist()  # reused: cand_docs derivation + the intersection join
+    )
     return jaccard_for_pairs(sh, cand, threshold, id_col)
 
 
@@ -297,7 +316,7 @@ def lsh_embedding_duplicate_pairs(
 
     buckets = banded_lsh_buckets(
         emb, bands, planes_per_band, dim, seed, id_col, vec_col
-    )
+    ).persist()  # both self-join legs reuse the bands*planes dot products
     l = buckets.select(F.col(id_col).alias("a"), "band", "bucket")
     r = buckets.select(F.col(id_col).alias("b"), "band", "bucket")
     cand = (
