@@ -174,6 +174,39 @@ def q_match_phrase(spark, sf_dir):
     return match_phrase(_docs(spark, sf_dir), QUERY_TERMS)
 
 
+def q_match_or(spark, sf_dir):
+    from letarette_spark.functions.simple_text import match_any
+
+    return match_any(_docs(spark, sf_dir), QUERY_TERMS)
+
+
+def q_shard_assign(spark, sf_dir):
+    from letarette_spark.functions.sharding import shard_expr
+
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("id_str", F.col("doc_id").cast("string"))
+        .select(
+            "doc_id", shard_expr("id_str", 8).cast("long").alias("shard")
+        )
+    )
+
+
+def q_knn_batch(spark, sf_dir):
+    from letarette_spark.functions.similarity import cosine_topk_per_query
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_per_query(emb, queries, k=3).select(
+        "query_id",
+        "vec_id",
+        F.round("cos", 6).alias("cos"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     from letarette_spark.functions.dedup import exact_duplicate_groups
 
@@ -338,6 +371,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_not": q_match_not,
         "match_prefix": q_match_prefix,
         "match_phrase": q_match_phrase,
+        "match_or": q_match_or,
+        "shard_assign": q_shard_assign,
+        "knn_batch": q_knn_batch,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
@@ -436,6 +472,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM (
               SELECT doc_id, ' ' || array_to_string({_ARR}, ' ') || ' ' AS norm FROM documents
             ) WHERE norm LIKE '% {phrase} %'
+        """,
+        "match_or": f"""
+            WITH tok AS ({_TOK})
+            SELECT DISTINCT doc_id FROM tok WHERE term IN ({terms_in})
+        """,
+        "shard_assign": """
+            SELECT doc_id,
+                   (list_reduce(
+                      list_prepend(2166136261::BIGINT,
+                        list_transform(range(length(doc_id::VARCHAR)),
+                          i -> ascii(substr(doc_id::VARCHAR, i+1, 1))::BIGINT)),
+                      (h, b) -> (xor(h, b) * 16777619) % 4294967296
+                   ) % 8)::BIGINT AS shard
+            FROM documents
+        """,
+        "knn_batch": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id IN (0, 1, 2)),
+            scored AS (SELECT q.query_id, e.vec_id,
+                              list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS c
+                       FROM embeddings e CROSS JOIN q),
+            r AS (SELECT query_id, vec_id, c,
+                         row_number() OVER (
+                           PARTITION BY query_id ORDER BY c DESC, vec_id
+                         )::BIGINT AS rank
+                  FROM scored)
+            SELECT query_id, vec_id, round(c, 6) AS cos, rank
+            FROM r WHERE rank <= 3
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, count(*)::BIGINT AS n,

@@ -162,6 +162,18 @@ def match_all_terms(df: DataFrame, terms: list[str], **kw) -> DataFrame:
     )
 
 
+def match_any(df: DataFrame, terms: list[str], **kw) -> DataFrame:
+    """ids containing ANY of the terms (FTS5 OR — the union merge of the
+    per-term doclists, db_search.go:51-53's OR branch)."""
+    id_col = kw.get("id_col", "doc_id")
+    return (
+        tokens(df, **kw)
+        .filter(F.col("term").isin(terms))
+        .select(id_col)
+        .distinct()
+    )
+
+
 def match_not(df: DataFrame, include: str, exclude: str, **kw) -> DataFrame:
     """ids containing *include* but not *exclude* (NOT exclusion,
     db_search.go:51-53) via left_anti join."""

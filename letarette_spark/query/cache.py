@@ -69,7 +69,14 @@ class CachingSearcher:
         key = cache_key(query, spaces, limit, offset)
         hit = self.cache.get(key)
         if hit is not None:
-            return hit
+            # reference marks served-from-cache responses distinctly
+            # (SearchStatusCacheHit, searcher.go:95-97)
+            from dataclasses import replace as _dc_replace
+
+            return _dc_replace(hit, status="cache_hit")
         res = self.searcher.search(query, spaces, limit, offset, **kw)
-        self.cache.put(key, res, {h.doc_id for h in res.hits})
+        if res.status != "timeout":
+            # only successful searches are cached (searcher.go:98-103:
+            # cache.Put runs only when err == nil)
+            self.cache.put(key, res, {h.doc_id for h in res.hits})
         return res

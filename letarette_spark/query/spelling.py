@@ -1,146 +1,229 @@
-"""Spelling correction: phonetic candidate clustering + class-weighted edit
-distance, behaviorally modeled on SQLite's spellfix1 as the reference uses
-it (internal/letarette/db_spelling.go:25-96; spellfix cost model
-spellfix.c:194-341). Reimplemented from the observed semantics, not the
-code: sound-class grouping, silent-letter discounts, repeat collapsing,
-cheap vowel edits, and a final-insert discount.
+"""Spelling correction with spellfix1-exact semantics.
 
-The dictionary ("speling" table analog, migrations/2_spelling.up.sql) is a
-parquet table (term, hash, df) derived from term_stats during index
-housekeeping (indextools.go:365-421 rebuilds it from fts5vocab with a
-minimum occurrence count).
+The reference respells zero-hit terms through SQLite's spellfix1 virtual
+table (internal/letarette/db_spelling.go:25-96, vendored public-domain
+spellfix.c). This module reimplements the OBSERVED semantics in original
+Python, pinned to the same constants and rules:
+
+- character classes: silent / vowel / {B C D L R M Y} consonant groups /
+  digit / space / other, with a word-initial table that differs from the
+  mid-word table only for 'y' (own class, not vowel) and the apostrophe
+  (other, not silent)  [spellfix.c midClass/initClass tables]
+- phonetic hash: drop gn/kn leading n, wr->r, dj/dg->j/g, tch->ch,
+  silent letters vanish, vowels next to l/r vanish, consecutive
+  duplicate classes collapse; emitted over the alphabet
+  A B C D H L R M Y 9 ? (className)  [spellfix.c phoneticHash]
+- editdist1: common-prefix skip, Wagner DP where the "previous character"
+  context comes from the chosen-path character array (cx), costs:
+  silent ins/del 1, repeat 10, vowel-beside-r 20, same-class vowel 15 /
+  consonant 50, other ins/del 100; substitution same-class 40,
+  consonant-to-consonant 75, other 100; insertions at the very end of
+  the pattern cost 1/4 (integer division)  [spellfix.c editdist1,
+  insertOrDeleteCost, substituteCost, FINAL_INS_COST_DIV]
+- ranking: candidates = dictionary words whose phonetic hash shares the
+  query hash's first min(3, ...) characters (scope rule); each scored
+  score = distance + 32 - bit_length(rank) with rank = term occurrence
+  count; the best (lowest) score wins and its raw DISTANCE is reported
+  [spellfix.c spellfix1Score/RunQuery; speling rank = cnt,
+  indextools.go:400-409]
+
+Non-ASCII inputs are not respelled (editdist1 returns an error for
+non-ASCII; the unicode61 remove_diacritics analyzer already folds latin
+terms to ASCII, so this matches the reference's observable behavior).
+
+The dictionary ("speling" table analog, with rank=cnt) is a parquet
+table (term, hash, df, cnt) derived from term_stats during index
+housekeeping (indextools.go:365-421: terms of length > 3 with
+cnt >= minCount).
 """
 
 from __future__ import annotations
 
-import math
 import os
 from functools import lru_cache
 
 import pandas as pd
-from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Sound classes (Soundex-style grouping): vowels, labials, sibilants,
-# dentals, l, r, nasals, y; h/w/' are "silent".
-_CLASSES = {
-    "vowel": "aeiou",
-    "b": "bfpv",
-    "c": "cgjkqsxz",
-    "d": "dt",
-    "l": "l",
-    "r": "r",
-    "m": "mn",
-    "y": "y",
-    "silent": "hw'",
-}
-_CHAR_CLASS: dict[str, str] = {}
-for cls, chars in _CLASSES.items():
-    for ch in chars:
-        _CHAR_CLASS[ch] = cls
+# character class ids (order matters: consonant groups span B..Y)
+_SILENT, _VOWEL, _B, _C, _D, _H, _L, _R, _M, _Y, _DIGIT, _SPACE, _OTHER = range(13)
+_CLASS_REP = ".ABCDHLRMY9 ?"  # class id -> phonetic-hash symbol
+
+_MID = {}
+for _chars, _cls in [
+    ("aeiouy", _VOWEL), ("bfpvw", _B), ("cgjkqsxz", _C), ("dt", _D),
+    ("h'", _SILENT), ("l", _L), ("r", _R), ("mn", _M),
+    ("0123456789", _DIGIT), (" \t\n\r\f", _SPACE),
+]:
+    for _c in _chars:
+        _MID[_c] = _cls
 
 
-def _cclass(c: str, first: bool) -> str:
-    # word-initial h/w are audible; y is vowel-ish when not word-initial
-    cls = _CHAR_CLASS.get(c, "digit" if c.isdigit() else "other")
-    if first and cls == "silent":
-        return "b" if c == "w" else "h"
-    return cls
+def _mid_class(c: str) -> int:
+    return _MID.get(c, _OTHER)
+
+
+def _init_class(c: str) -> int:
+    # word-initial: y is its own class, apostrophe is not silent
+    if c == "y":
+        return _Y
+    if c == "'":
+        return _OTHER
+    return _MID.get(c, _OTHER)
+
+
+def _char_class(prev: str, c: str) -> int:
+    """Class of *c* given the previous character (initial table when at
+    the word start, i.e. prev == '')."""
+    return _init_class(c) if prev == "" else _mid_class(c)
 
 
 @lru_cache(maxsize=65536)
 def phonetic_hash(word: str) -> str:
-    """Cluster key for candidate lookup: drop silent letters, strip vowels
-    adjacent to l/r, collapse repeats, map to class representatives."""
+    """Cluster key over the A B C D H L R M Y 9 ? alphabet."""
     w = word.lower()
     if len(w) > 2 and w[0] in "gk" and w[1] == "n":
         w = w[1:]
     out: list[str] = []
-    prev_cls = ""
-    i = 0
-    while i < len(w):
-        c = w[i]
-        nxt = w[i + 1] if i + 1 < len(w) else ""
-        if c == "w" and nxt == "r":
-            i += 1
+    cprev = 99   # sentinel matching no class
+    cprevx = 99
+    initial = True
+    for i, ch in enumerate(w):
+        if i + 1 < len(w):
+            if ch == "w" and w[i + 1] == "r":
+                continue
+            if ch == "d" and w[i + 1] in "jg":
+                continue
+            if i + 2 < len(w) and ch == "t" and w[i + 1] == "c" and w[i + 2] == "h":
+                continue
+        c = _init_class(ch) if initial else _mid_class(ch)
+        if c == _SPACE:
             continue
-        if c == "d" and nxt in "jg":
-            i += 1
+        if c == _OTHER and cprev != _DIGIT:
             continue
-        if c == "t" and w[i + 1 : i + 3] == "ch":
-            i += 1
-            continue
-        cls = _cclass(c, first=(not out and not prev_cls))
-        i += 1
-        if cls in ("other", "silent"):
-            prev_cls = cls if cls == "silent" else prev_cls
-            continue
-        if cls == "vowel" and prev_cls in ("l", "r"):
+        initial = False
+        if c == _VOWEL and cprevx in (_R, _L):
             continue  # no vowels beside l or r
-        if cls in ("l", "r") and prev_cls == "vowel" and out:
-            out.pop()
-        rep = "a" if cls == "vowel" else "0" if cls == "digit" else cls[0]
+        if c in (_R, _L) and cprevx == _VOWEL and out:
+            out.pop()  # no vowels beside l or r
+        cprev = c
+        if c == _SILENT:
+            continue
+        cprevx = c
+        rep = _CLASS_REP[c]
         if not out or out[-1] != rep:
             out.append(rep)
-        prev_cls = cls
     return "".join(out)
 
 
-def _insdel_cost(prev: str, c: str, nxt: str, at_end: bool) -> int:
-    cls = _cclass(c, first=(prev == ""))
-    if cls == "silent":
-        cost = 1
-    elif prev == c:
-        cost = 10  # repeated character / missed repeat
-    elif cls == "vowel" and (prev == "r" or nxt == "r"):
-        cost = 20
-    elif prev and cls == _cclass(prev, first=False):
-        cost = 15 if cls == "vowel" else 50
-    else:
-        cost = 100
-    if at_end:
-        cost = max(1, cost // 4)  # appending at the end is cheap
-    return cost
+def _insdel_cost(prev: str, c: str, nxt: str) -> int:
+    """Cost of inserting/deleting *c* right after *prev* (spellfix1's
+    insertOrDeleteCost)."""
+    cls = _char_class(prev, c)
+    if cls == _SILENT:
+        return 1
+    if prev == c:
+        return 10  # repeated character, or missed repeat
+    if cls == _VOWEL and (prev == "r" or nxt == "r"):
+        return 20  # vowel before/after r
+    cls_prev = _mid_class(prev) if prev else _OTHER
+    if cls == cls_prev:
+        return 15 if cls == _VOWEL else 50
+    return 100
 
 
-def _sub_cost(prev: str, a: str, b: str) -> int:
-    if a == b:
+def _sub_cost(prev: str, cfrom: str, cto: str) -> int:
+    if cfrom == cto:
         return 0
-    ca = _cclass(a, first=(prev == ""))
-    cb = _cclass(b, first=(prev == ""))
-    if ca == cb:
+    cf = _char_class(prev, cfrom)
+    ct = _char_class(prev, cto)
+    if cf == ct:
         return 40
-    if ca not in ("vowel", "other", "digit", "silent") and cb not in (
-        "vowel", "other", "digit", "silent",
-    ):
+    if _B <= cf <= _Y and _B <= ct <= _Y:
         return 75
     return 100
 
 
 @lru_cache(maxsize=65536)
 def edit_distance(a: str, b: str) -> int:
-    """Wagner-Fischer with the class-weighted cost model above.
-    Lower = closer; 0 = identical (after lowercasing)."""
+    """editdist1 semantics: cost of transforming *a* (the query pattern)
+    into *b* (the dictionary word). Asymmetric: appending at the end of
+    the pattern is discounted 4x. Returns -2 for non-ASCII input (the
+    reference skips such candidates)."""
     a, b = a.lower(), b.lower()
-    n, m = len(a), len(b)
-    # dp[j]: cost of transforming a[:i] -> b[:j]
-    dp = [0] * (m + 1)
-    for j in range(1, m + 1):
-        prev_b = b[j - 2] if j >= 2 else ""
-        dp[j] = dp[j - 1] + _insdel_cost(prev_b, b[j - 1], "", at_end=(n == 0))
-    for i in range(1, n + 1):
-        prev_a = a[i - 2] if i >= 2 else ""
-        diag = dp[0]
-        dp[0] = dp[0] + _insdel_cost(prev_a, a[i - 1], a[i] if i < n else "", at_end=False)
-        for j in range(1, m + 1):
-            prev_b = b[j - 2] if j >= 2 else ""
-            del_cost = dp[j] + _insdel_cost(prev_a, a[i - 1], a[i] if i < n else "", at_end=(j == m))
-            ins_cost = dp[j - 1] + _insdel_cost(prev_b, b[j - 1], "", at_end=(i == n))
-            sub = diag + _sub_cost(prev_b, a[i - 1], b[j - 1])
-            diag = dp[j]
-            dp[j] = min(del_cost, ins_cost, sub)
-    return dp[m]
+    if any(ord(ch) > 127 for ch in a) or any(ord(ch) > 127 for ch in b):
+        return -2
+    # skip the common prefix, remembering the last shared character as
+    # the cost context
+    dc = ""
+    i = 0
+    while i < min(len(a), len(b)) and a[i] == b[i]:
+        dc = a[i]
+        i += 1
+    A, B = a[i:], b[i:]
+    if not A and not B:
+        return 0
+    if not A:  # pure appends at the end of the pattern
+        prev, res = dc, 0
+        for j, c in enumerate(B):
+            nxt = B[j + 1] if j + 1 < len(B) else ""
+            res += _insdel_cost(prev, c, nxt) // 4
+            prev = c
+        return res
+    if not B:  # pure deletions
+        prev, res = dc, 0
+        for j, c in enumerate(A):
+            nxt = A[j + 1] if j + 1 < len(A) else ""
+            res += _insdel_cost(prev, c, nxt)
+            prev = c
+        return res
+
+    nA, nB = len(A), len(B)
+    m = [0] * (nB + 1)
+    cx = [""] * (nB + 1)  # character chosen along the best path
+    cx[0] = dc
+    prev_b = dc
+    for xB in range(1, nB + 1):
+        cB = B[xB - 1]
+        cx[xB] = cB
+        m[xB] = m[xB - 1] + _insdel_cost(prev_b, cB, B[xB] if xB < nB else "")
+        prev_b = cB
+    ca_prev = dc
+    for xA in range(1, nA + 1):
+        last_a = xA == nA
+        cA = A[xA - 1]
+        ca_next = A[xA] if xA < nA else ""
+        d = m[0]
+        m[0] = d + _insdel_cost(ca_prev, cA, ca_next)
+        for xB in range(1, nB + 1):
+            cB = B[xB - 1]
+            cb_next = B[xB] if xB < nB else ""
+            ins = _insdel_cost(cx[xB - 1], cB, cb_next)
+            if last_a:
+                ins //= 4  # FINAL_INS_COST_DIV: appends at pattern end
+            dele = _insdel_cost(cx[xB], cA, cb_next)
+            sub = _sub_cost(cx[xB - 1], cA, cB)
+            total = ins + m[xB - 1]
+            ncx = cB
+            if dele + m[xB] < total:
+                total = dele + m[xB]
+                ncx = cA
+            if sub + d < total:
+                total = sub + d
+                # (ncx intentionally keeps the ins/del choice — the
+                # substituted cell holds cB already; mirrors the C)
+            d = m[xB]
+            m[xB] = total
+            cx[xB] = ncx
+        ca_prev = cA
+    return m[nB]
+
+
+def spelling_score(distance: int, rank: int) -> int:
+    """spellfix1Score: distance + 32 - bit_length(rank) — frequent words
+    win ties against rare ones."""
+    return distance + 32 - int(rank).bit_length()
 
 
 SPELING_SCHEMA = T.StructType(
@@ -155,8 +238,9 @@ SPELING_SCHEMA = T.StructType(
 
 def build_speling_table(index, min_count: int = 4, min_len: int = 4) -> str:
     """Derive the spelling dictionary from term_stats (reference: terms of
-    length > 3 with cnt >= minCount, indextools.go:317-421). Returns the
-    written path."""
+    length > 3 with cnt >= minCount, rank = cnt; indextools.go:365-421).
+    Returns the written path."""
+
     @F.pandas_udf(T.StringType())
     def hash_udf(terms: pd.Series) -> pd.Series:
         return terms.map(phonetic_hash)
@@ -173,28 +257,45 @@ def build_speling_table(index, min_count: int = 4, min_len: int = 4) -> str:
     return out
 
 
-def respell_term(index, term: str, max_distance: int = 300) -> tuple[str, int] | None:
-    """Best-scoring correction for *term* from the speling table, or None.
-    Candidates = same phonetic hash (plus same first letter as fallback);
-    ranked by (edit distance, -cnt, term)."""
+def respell_term(
+    index, term: str, scope: int = 3, max_distance: int | None = None
+) -> tuple[str, int] | None:
+    """Best correction for *term*, or None.
+
+    spellfix1 candidate rule: dictionary words whose phonetic hash shares
+    the first *scope* characters of the query's hash (scope shrinks for
+    short hashes exactly as the vtab does); rank by
+    score = editdist1(term, word) + 32 - bit_length(cnt), return the
+    winner's word and raw distance (db_spelling.go:42-43 selects
+    word + distance of the top-1 by score)."""
     path = os.path.join(index.root, "speling")
     if not os.path.exists(path):
         return None
+    if any(ord(ch) > 127 for ch in term):
+        return None  # editdist1 rejects non-ASCII; reference finds nothing
     h = phonetic_hash(term)
+    n = len(h)
+    if n <= scope:
+        scope = n - 1 if n > 2 else n
+    prefix = h[:scope]
     cand = (
         index.spark.read.parquet(path)
-        .filter((F.col("hash") == h) | (F.col("term").startswith(term[:2])))
+        .filter(F.col("hash").startswith(prefix))
         .select("term", "cnt")
         .collect()
     )
-    best: tuple[int, int, str] | None = None
+    best: tuple[int, int, str] | None = None  # (score, distance, word)
     for r in cand:
-        d = edit_distance(r["term"], term)
-        if d == 0:
+        if r["term"] == term:
             continue
-        key = (d, -int(r["cnt"]), r["term"])
+        d = edit_distance(term, r["term"])
+        if d < 0:
+            continue
+        key = (spelling_score(d, int(r["cnt"])), d, r["term"])
         if best is None or key < best:
             best = key
-    if best is None or best[0] > max_distance:
+    if best is None:
         return None
-    return best[2], best[0]
+    if max_distance is not None and best[1] > max_distance:
+        return None
+    return best[2], best[1]

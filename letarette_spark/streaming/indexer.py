@@ -37,6 +37,38 @@ UPDATE_SCHEMA = T.StructType(
 )
 
 
+def run_housekeeping(
+    spark: SparkSession,
+    index_root: str,
+    spelling_min_count: int = 5,
+    spelling_max_lag: int = 100,
+    stopword_cutoff: float = 0.01,
+    compact_segments_over: int | None = 8,
+) -> dict:
+    """One housekeeping pass — the analog of the reference's idle-cycle
+    doHousekeeping (indexer.go:476-487, every 5 min): rebuild the spelling
+    dictionary when its lag exceeds MaxLag (defaults 5/100, config.go:
+    57-60), refresh auto-stopwords, and — the Spark analog of FTS5 merge
+    maintenance — compact when delta segments pile up. Returns what ran."""
+    from letarette_spark.index.auxiliary import update_stopwords
+    from letarette_spark.index.builder import Index
+    from letarette_spark.index.incremental import compact_index
+    from letarette_spark.index.stats import spelling_lag
+    from letarette_spark.query.spelling import build_speling_table
+
+    index = Index.open(spark, index_root)
+    did = {"spelling": False, "stopwords": False, "compacted": False}
+    if compact_segments_over is not None and len(index.segments) > compact_segments_over:
+        index = compact_index(spark, index_root)
+        did["compacted"] = True
+    if spelling_lag(index, min_count=spelling_min_count) >= spelling_max_lag:
+        build_speling_table(index, min_count=spelling_min_count)
+        did["spelling"] = True
+    update_stopwords(index, cutoff=stopword_cutoff)
+    did["stopwords"] = True
+    return did
+
+
 def stream_document_updates(
     spark: SparkSession,
     index_root: str,
@@ -45,6 +77,8 @@ def stream_document_updates(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     future_guard_minutes: int = 5,
+    housekeep_every_batches: int | None = None,
+    compact_segments_over: int | None = 8,
 ):
     """Consume document-update parquet files from *source_dir* into the
     index at *index_root*. Returns the StreamingQuery.
@@ -52,7 +86,12 @@ def stream_document_updates(
     Documents stamped in the future are deferred (reference drops refs >
     now+5min, indexer.go:414-421) — they stay in the source and surface in
     a later batch once the clock catches up is NOT modeled here; they are
-    simply filtered, matching the reference's drop-and-refetch behavior."""
+    simply filtered, matching the reference's drop-and-refetch behavior.
+
+    With *housekeep_every_batches* set, every Nth micro-batch ends with a
+    housekeeping pass (run_housekeeping) — the reference triggers the same
+    work on idle cycles every 5 minutes; a batch cadence is the
+    deterministic streaming analog."""
     reader = spark.readStream.schema(UPDATE_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -81,6 +120,10 @@ def stream_document_updates(
             .drop("_rn", "updated_at")
         )
         upsert_documents(spark, index_root, batch, batch_id=batch_id)
+        if housekeep_every_batches and (batch_id + 1) % housekeep_every_batches == 0:
+            run_housekeeping(
+                spark, index_root, compact_segments_over=compact_segments_over
+            )
 
     writer = (
         stream.writeStream.foreachBatch(handle)

@@ -131,3 +131,57 @@ class TestSpelling:
         s = Searcher(aux_index, stopwords=frozenset(), synonyms={})
         res = s.search("zephyr", limit=5)
         assert res.respelt == "" and res.total_hits == 1
+
+
+class TestResultCache:
+    def test_cache_hit_status_and_timeout_not_cached(self, aux_index):
+        from letarette_spark.query.cache import CachingSearcher, ResultCache
+
+        s = CachingSearcher(Searcher(aux_index, stopwords=frozenset(), synonyms={}))
+        r1 = s.search("parser", limit=5)
+        assert r1.status == "index_hit" and r1.hits
+        r2 = s.search("parser", limit=5)
+        assert r2.status == "cache_hit"
+        assert [h.doc_id for h in r2.hits] == [h.doc_id for h in r1.hits]
+
+        # timeouts are never cached (reference caches only err == nil)
+        slow = CachingSearcher(
+            Searcher(aux_index, timeout=0.001, stopwords=frozenset(), synonyms={})
+        )
+        t1 = slow.search("zephyr", limit=5)
+        assert t1.status == "timeout"
+        assert slow.cache.get(
+            __import__("letarette_spark.query.cache", fromlist=["cache_key"]).cache_key(
+                "zephyr", None, 5, 0
+            )
+        ) is None
+
+    def test_doc_invalidation(self, aux_index):
+        from letarette_spark.query.cache import CachingSearcher, ResultCache
+
+        s = CachingSearcher(Searcher(aux_index, stopwords=frozenset(), synonyms={}))
+        r1 = s.search("parser", limit=5)
+        dropped = s.cache.invalidate_doc(r1.hits[0].doc_id)
+        assert dropped == 1
+        assert s.search("parser", limit=5).status == "index_hit"  # re-computed
+
+
+class TestSpellfixExactness:
+    def test_editdist1_and_phonetic_hash_goldens(self):
+        """Bit-exact against SQLite spellfix1's editdist1/phoneticHash
+        (139 captured vectors, both directions — the distance model is
+        asymmetric via the final-insert discount)."""
+        from tests.spellfix_goldens import GOLDENS
+
+        for a, b, d_ab, d_ba, ha, hb in GOLDENS:
+            assert edit_distance(a, b) == d_ab, (a, b)
+            assert edit_distance(b, a) == d_ba, (b, a)
+            assert phonetic_hash(a) == ha, a
+            assert phonetic_hash(b) == hb, b
+
+    def test_score_prefers_frequent_words(self):
+        from letarette_spark.query.spelling import spelling_score
+
+        # spellfix1Score: distance + 32 - bit_length(rank) — a slightly
+        # more distant but much more frequent word can win
+        assert spelling_score(80, 1024) < spelling_score(75, 2)

@@ -277,3 +277,49 @@ def test_upsert_commit_is_crash_atomic(spark, tmp_path, monkeypatch):
     assert idx.meta["ndocs"] == 5
     _df, total, _ = Searcher(idx).search_df("wizard*")
     assert total == 1
+
+
+def test_streaming_housekeeping_compacts_and_maintains(spark, tmp_path):
+    """Housekeeping cadence (reference: idle-cycle doHousekeeping every
+    5 min — indexer.go:476-487): compaction bounds segment pileup,
+    stopwords refresh, spelling rebuilds when lag exceeds MaxLag."""
+    import os
+
+    import pandas as pd
+
+    from letarette_spark.streaming.indexer import (
+        run_housekeeping,
+        stream_document_updates,
+    )
+
+    root = str(tmp_path / "hk_index")
+    build_index(spark, _docs_df(spark, BASE).drop("rowid"), root, config=CFG,
+                n_build_partitions=2, chunk_size=2)
+
+    src = tmp_path / "updates"
+    src.mkdir()
+    for i, (rid, title, body, alive) in enumerate(UPDATES_1):
+        pdf = pd.DataFrame([{
+            "doc_id": f"d{rid}", "space": "main", "title": title,
+            "body": body, "alive": alive,
+        }])
+        pdf["updated_at"] = pd.Series([pd.NaT], dtype="datetime64[us]")
+        pdf.to_parquet(src / f"batch{i}.parquet")
+
+    q = stream_document_updates(
+        spark, root, str(src), str(tmp_path / "ckpt"),
+        available_now=True, max_files_per_trigger=1,
+        housekeep_every_batches=1, compact_segments_over=0,
+    )
+    q.awaitTermination(180)
+
+    idx = Index.open(spark, root, CFG)
+    assert idx.segments == []  # compacted away by housekeeping
+    assert os.path.exists(os.path.join(root, "stopwords.json"))
+    _df, total, _ = Searcher(idx, stopwords=frozenset()).search_df("wizard*")
+    assert total == 1
+
+    # force a spelling rebuild via the lag gate
+    did = run_housekeeping(spark, root, spelling_min_count=1,
+                           spelling_max_lag=0, compact_segments_over=None)
+    assert did["spelling"] and os.path.exists(os.path.join(root, "speling"))

@@ -77,22 +77,22 @@ class TestResultCache:
         assert cache_key("a b", ["x"], 10, 0) != cache_key("a b", ["y"], 10, 0)
 
     def test_cache_roundtrip_and_invalidation(self):
+        from letarette_spark.query.executor import Hit, SearchResult
+
         class FakeSearcher:
             calls = 0
 
             def search(self, query, spaces=None, limit=10, offset=0, **kw):
                 self.calls += 1
-
-                class R:
-                    hits = [type("H", (), {"doc_id": "d1"})()]
-
-                return R()
+                return SearchResult([Hit("s", "d1", 1, -1.0)], 1, False)
 
         fake = FakeSearcher()
         cs = CachingSearcher(fake, ResultCache(ttl_seconds=60))
         r1 = cs.search("hello world")
         r2 = cs.search('"hello" "world"'.lower())  # canonically equal
-        assert fake.calls == 1 and r1 is r2
+        assert fake.calls == 1
+        assert r1.status == "index_hit" and r2.status == "cache_hit"
+        assert [h.doc_id for h in r2.hits] == [h.doc_id for h in r1.hits]
         dropped = cs.cache.invalidate_doc("d1")
         assert dropped == 1
         cs.search("hello world")
