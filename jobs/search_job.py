@@ -25,6 +25,8 @@ def main() -> None:
     ap.add_argument("--offset", type=int, default=0)
     ap.add_argument("--strategy", type=int, default=1)
     ap.add_argument("--no-autocorrect", action="store_true")
+    ap.add_argument("--timeout", type=float, default=4.0,
+                    help="per-query budget in seconds (reference LETARETTE_SEARCH_TIMEOUT default 4s; <=0 disables)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -34,7 +36,7 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("letarette_search").getOrCreate()
     idx = Index.open(spark, args.root)
-    searcher = Searcher(idx)
+    searcher = Searcher(idx, timeout=args.timeout if args.timeout > 0 else None)
     for q in args.query:
         t0 = time.perf_counter()
         res = searcher.search(
@@ -43,6 +45,7 @@ def main() -> None:
         )
         print(json.dumps({
             "query": q,
+            "status": res.status,
             "total_hits": res.total_hits,
             "capped": res.capped,
             "respelt": res.respelt,

@@ -3,7 +3,7 @@
 Spark-first dataflow (SURVEY.md §3.3, replacing the reference's SQLite
 trigger-maintained FTS5 index, migrations/1_init.up.sql:65-97):
 
-  docs ── mapInPandas(tokenize+per-doc aggregate) ──> posting rows
+  docs ── mapInArrow(tokenize+per-doc aggregate) ──> posting rows
        (term, rowid, tf/positions per column, dl)     [NO shuffle: the
         per-(doc,term) aggregation happens inside the Arrow batch]
        ── hash-bucket shuffle (md5(term) % n_buckets) + partitionBy(bucket)
@@ -52,6 +52,39 @@ POSTINGS_SCHEMA = T.StructType(
 
 TITLE_WEIGHT = 5.0  # reference rank config bm25(5.0, 1.0), db.go:357-361
 BODY_WEIGHT = 1.0
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("rowid", T.LongType(), False),
+        T.StructField("doc_id", T.StringType(), True),
+        T.StructField("space", T.StringType(), True),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("body", T.StringType(), True),
+        T.StructField("alive", T.BooleanType(), True),
+    ]
+)
+
+TERM_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("df", T.LongType(), True),
+        T.StructField("cnt", T.LongType(), True),
+    ]
+)
+
+
+def _read_tree(spark: SparkSession, base_dir: str, glob: str, fallback_schema):
+    """Read a parquet dir tree; an EMPTY index (zero-row build wrote no
+    parquet footers, or no matching dirs yet) falls back to an empty frame
+    with the canonical schema instead of a schema-inference error."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.option("basePath", base_dir).parquet(
+            os.path.join(base_dir, glob)
+        )
+    except AnalysisException:
+        return spark.createDataFrame([], fallback_schema)
 
 DEFAULT_BUCKETS = 64
 DEFAULT_DOC_BUCKETS = 16  # rowid-hash partition dirs for the docs table
@@ -286,8 +319,10 @@ def build_index(
         built += 1
 
     # ---- finalize: global stats + snapshot commit ----
-    postings_all = spark.read.option("basePath", os.path.join(root, "postings")).parquet(
-        os.path.join(root, "postings", "chunk=*")
+    postings_all = _read_tree(
+        spark, os.path.join(root, "postings"), "chunk=*",
+        T.StructType(POSTINGS_SCHEMA.fields
+                     + [T.StructField("bucket", T.IntegerType())]),
     )
     term_stats = postings_all.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),
@@ -302,9 +337,7 @@ def build_index(
         shutil.rmtree(ts_dir)
     os.replace(ts_tmp, ts_dir)
 
-    docs_all = spark.read.option("basePath", os.path.join(root, "docs")).parquet(
-        os.path.join(root, "docs", "chunk=*")
-    )
+    docs_all = _read_tree(spark, os.path.join(root, "docs"), "chunk=*", DOCS_SCHEMA)
     ndocs = docs_all.filter(F.col("alive")).count()
     # global stats from the (small) term_stats table — no extra postings scan:
     # sum over terms of cnt == total tokens == sum over docs of dl
@@ -436,8 +469,10 @@ class Index:
         if cached is not None:
             return cached
         base_dir = self.postings_base_dir()
-        base = self.spark.read.option("basePath", base_dir).parquet(
-            os.path.join(base_dir, "chunk=*")
+        base = _read_tree(
+            self.spark, base_dir, "chunk=*",
+            T.StructType(POSTINGS_SCHEMA.fields
+                     + [T.StructField("bucket", T.IntegerType())]),
         ).drop("chunk")
         df = self._overlay(base, "postings")
         self.__dict__["_postings_df"] = df
@@ -463,9 +498,9 @@ class Index:
 
     def docs(self) -> DataFrame:
         base_dir = self.docs_base_dir()
-        base = self.spark.read.option("basePath", base_dir).parquet(
-            os.path.join(base_dir, "chunk=*")
-        ).drop("chunk", "rb")
+        base = _read_tree(self.spark, base_dir, "chunk=*", DOCS_SCHEMA).drop(
+            "chunk", "rb"
+        )
         return self._overlay(base, "docs")
 
     def docs_for_rowids(self, rowids: list[int]) -> DataFrame:
@@ -494,18 +529,21 @@ class Index:
             base = self.spark.read.option("basePath", base_dir).parquet(
                 *paths
             ).drop("chunk", "rb")
-        elif nb and not paths:
-            base = self.spark.read.option("basePath", base_dir).parquet(
-                os.path.join(base_dir, "chunk=*")
-            ).drop("chunk", "rb").limit(0)
+        elif nb and not paths:  # none of the keys' buckets exist on disk
+            base = self.spark.createDataFrame([], DOCS_SCHEMA)
         else:  # pre-layout-2 index: no bucket dirs to prune
-            base = self.spark.read.option("basePath", base_dir).parquet(
-                os.path.join(base_dir, "chunk=*")
-            ).drop("chunk", "rb")
+            base = _read_tree(self.spark, base_dir, "chunk=*", DOCS_SCHEMA).drop(
+                "chunk", "rb"
+            )
         return self._overlay(base, "docs").filter(F.col("rowid").isin(rowids))
 
     def term_stats(self) -> DataFrame:
-        return self.spark.read.parquet(self.term_stats_dir())
+        from pyspark.errors import AnalysisException
+
+        try:
+            return self.spark.read.parquet(self.term_stats_dir())
+        except AnalysisException:  # empty index: no footers written
+            return self.spark.createDataFrame([], TERM_STATS_SCHEMA)
 
     def preload(self) -> None:
         """Warm the executor block cache (reference analog: preloadDB's

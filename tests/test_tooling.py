@@ -105,3 +105,63 @@ class TestResultCache:
 
         time.sleep(0.01)
         assert c.get("k") is None
+
+
+class TestDegenerateCorpora:
+    """Empty and pathological inputs must not crash any public operator
+    (ANSI mode turns sloppy arithmetic into runtime errors)."""
+
+    def test_empty_documents_table(self, spark):
+        from letarette_spark.functions.dedup import (
+            exact_duplicate_groups, jaccard_pairs, minhash_lsh_pairs, simhash64,
+        )
+        from letarette_spark.functions.simple_text import (
+            bm25_scores, match_all_terms, term_stats,
+        )
+        from letarette_spark.functions.textstats import (
+            fingerprint64, lang_id, quality_scores,
+        )
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        assert term_stats(empty).count() == 0
+        assert bm25_scores(empty, ["key", "value"]).count() == 0
+        assert match_all_terms(empty, ["key"]).count() == 0
+        assert exact_duplicate_groups(empty).count() == 0
+        assert jaccard_pairs(empty, n=3, threshold=0.1).count() == 0
+        assert minhash_lsh_pairs(empty).count() == 0
+        assert simhash64(empty).count() == 0
+        assert fingerprint64(empty).count() == 0
+        assert quality_scores(empty).count() == 0
+        assert lang_id(empty).count() == 0
+
+    def test_empty_corpus_engine(self, spark, tmp_path):
+        from letarette_spark.analysis.tokenizer import AnalyzerConfig
+        from letarette_spark.index.builder import Index, build_index
+        from letarette_spark.query.executor import Searcher
+
+        root = str(tmp_path / "empty_idx")
+        empty = spark.createDataFrame(
+            [], "doc_id string, rowid long, space string, title string, "
+                "body string, alive boolean",
+        )
+        cfg = AnalyzerConfig(mode="porter")
+        res = build_index(spark, empty, root, config=cfg,
+                          n_build_partitions=2, chunk_size=2)
+        assert res.ndocs == 0
+        idx = Index.open(spark, root, cfg)
+        s = Searcher(idx)
+        df, total, capped = s.search_df("anything", limit=5)
+        got = df.collect() if df is not None else []
+        assert got == [] and total == 0 and not capped
+        full = s.search("anything", limit=5)
+        assert full.status in ("no_hit",) and full.hits == []
+
+    def test_whitespace_and_punct_only_docs(self, spark):
+        from letarette_spark.functions.dedup import simhash64
+        from letarette_spark.functions.textstats import quality_scores
+
+        df = spark.createDataFrame(
+            [{"doc_id": 1, "text": "   \t\n  "}, {"doc_id": 2, "text": "!!! ... ???"}]
+        )
+        assert quality_scores(df).count() == 2
+        assert simhash64(df).count() == 2
