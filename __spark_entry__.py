@@ -411,10 +411,20 @@ def _lsh_bucket_sql(planes: list[list[float]], vec: str = "v") -> str:
 
 def oracle_sql() -> dict[str, str]:
     from letarette_spark.functions.similarity import _hyperplanes
+    from letarette_spark.functions.textstats import LANG_PROFILES
 
     terms_in = ", ".join(f"'{t}'" for t in QUERY_TERMS)
     phrase = " ".join(QUERY_TERMS)
-    sw = {k: ", ".join(f"'{w}'" for w in v) for k, v in _LANG_PROFILES_SQL.items()}
+    sw = {k: ", ".join(f"'{w}'" for w in v) for k, v in LANG_PROFILES.items()}
+    langs = sorted(LANG_PROFILES)  # ties resolve to the first in this order
+    lang_hits = ",\n                     ".join(
+        f"len(list_filter(arr, t -> list_contains([{sw[lg]}], t)))::BIGINT AS h_{lg}"
+        for lg in langs
+    )
+    gmax = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    lang_case = "\n                        ".join(
+        f"WHEN h_{lg} = {gmax} THEN '{lg}'" for lg in langs
+    )
     lsh_planes = _hyperplanes(_EMB_DIM, 4, seed=42)      # q_lsh_cosine twin
     band_planes = [_hyperplanes(_EMB_DIM, 4, seed=42 + b) for b in range(2)]
     return {
@@ -604,17 +614,14 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": f"""
             WITH h AS (
               SELECT doc_id,
-                     len(list_filter(arr, t -> list_contains([{sw['de']}], t)))::BIGINT AS de,
-                     len(list_filter(arr, t -> list_contains([{sw['en']}], t)))::BIGINT AS en,
-                     len(list_filter(arr, t -> list_contains([{sw['fr']}], t)))::BIGINT AS fr
+                     {lang_hits}
               FROM (SELECT doc_id, {_ARR} AS arr FROM documents)
             )
             SELECT doc_id,
-                   CASE WHEN greatest(de, en, fr) = 0 THEN 'und'
-                        WHEN de = greatest(de, en, fr) THEN 'de'
-                        WHEN en = greatest(de, en, fr) THEN 'en'
-                        ELSE 'fr' END AS lang_guess,
-                   greatest(de, en, fr) AS profile_hits
+                   CASE WHEN {gmax} = 0 THEN 'und'
+                        {lang_case}
+                        END AS lang_guess,
+                   {gmax} AS profile_hits
             FROM h
         """,
         "event_hourly": """
@@ -721,10 +728,3 @@ def oracle_sql() -> dict[str, str]:
         # rank-identity suites under tests/ (including a pre-stemmed FTS5
         # scoring oracle for the default letarette mode).
     }
-
-
-_LANG_PROFILES_SQL = {
-    "en": ["the", "of", "and", "in", "to", "is", "was", "for", "as", "on"],
-    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"],
-    "fr": ["le", "la", "les", "de", "et", "est", "dans", "pour", "que", "une"],
-}

@@ -1,14 +1,17 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing — schemas, Arrow batch shapes, mapInPandas
-signatures, partitioning — is real and tested; the actual codec work is
-pluggable. This container has no image/audio libraries, so the default
-decoder is a clearly-marked DETERMINISTIC FAKE (features derived from
-sha256 of the payload): pipelines, joins and tests behave exactly as they
-would with a real decoder, and swapping one in is a one-function change
-(`set_decoder`). A real deployment would pass e.g. a PIL/ffmpeg-backed
-decoder; calling `require_real_decoder()` raises NotImplementedError to
-make the boundary explicit.
+signatures, partitioning — is real and tested, and so is the decode step
+for struct-layout formats: 24-bit BMP images and PCM-16 WAV audio are
+decoded with pure numpy (functions/codecs.py — actual pixels/samples
+feed mean-luma, aHash, nearest-neighbor resize, RMS and duration).
+
+Formats that genuinely need external codecs (JPEG, MP4, ...) fall back to
+a clearly-marked DETERMINISTIC FAKE (features derived from sha256 of the
+payload): pipelines, joins and tests behave exactly as they would with a
+real decoder, and plugging one in is a one-function change
+(`set_decoder`). Calling `require_real_decoder()` raises
+NotImplementedError to make that boundary explicit.
 """
 
 from __future__ import annotations
@@ -63,7 +66,24 @@ def _fake_decode_image(data: bytes) -> dict:
     }
 
 
-_DECODER: Callable[[bytes], dict] = _fake_decode_image
+def default_decode_image(data: bytes) -> dict:
+    """REAL decode for BMP payloads (pure numpy); deterministic fake for
+    anything else. mean_luma is normalized to [0, 1]; phash is the
+    classic 64-bit average hash over actual pixels."""
+    from letarette_spark.functions.codecs import average_hash64, decode_bmp, luma
+
+    px = decode_bmp(data)
+    if px is None:
+        return _fake_decode_image(data)
+    return {
+        "mean_luma": float(luma(px).mean() / 255.0),
+        "phash": average_hash64(px),
+        "width": int(px.shape[1]),
+        "height": int(px.shape[0]),
+    }
+
+
+_DECODER: Callable[[bytes], dict] = default_decode_image
 
 
 def set_decoder(fn: Callable[[bytes], dict]) -> None:
@@ -122,8 +142,9 @@ def image_features(media: DataFrame) -> DataFrame:
                 rows.append(
                     {
                         "media_id": r.media_id,
-                        "width": r.width,
-                        "height": r.height,
+                        # a real decode is authoritative over the metadata
+                        "width": d.get("width", r.width),
+                        "height": d.get("height", r.height),
                         "mean_luma": float(d["mean_luma"]),
                         "phash": int(d["phash"]),
                     }
@@ -138,8 +159,9 @@ def image_features(media: DataFrame) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing: returns (media_id, data) with the fake 'resized'
-    payload = deterministic function of (payload sha, target dims)."""
+    """(media_id, data): REAL nearest-neighbor resize for BMP payloads
+    (decode -> numpy index resize -> re-encode BMP); other formats get the
+    deterministic fake payload (sha of payload + target dims)."""
 
     out_schema = T.StructType(
         [
@@ -149,11 +171,22 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     )
 
     def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from letarette_spark.functions.codecs import (
+            decode_bmp, encode_bmp, resize_nearest,
+        )
+
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                h = hashlib.sha256(bytes(r.data) + f"{width}x{height}".encode()).digest()
-                rows.append({"media_id": r.media_id, "data": h * 4})
+                px = decode_bmp(bytes(r.data))
+                if px is not None:
+                    out = encode_bmp(resize_nearest(px, width, height))
+                else:
+                    h = hashlib.sha256(
+                        bytes(r.data) + f"{width}x{height}".encode()
+                    ).digest()
+                    out = h * 4
+                rows.append({"media_id": r.media_id, "data": out})
             yield pd.DataFrame(rows, columns=["media_id", "data"])
 
     return (
@@ -191,7 +224,9 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def audio_features(media: DataFrame) -> DataFrame:
-    """(media_id, duration_ms, rms) — fake rms from payload hash."""
+    """(media_id, duration_ms, rms) — REAL sample math for PCM-16 WAV
+    payloads (duration from sample count / rate, RMS over normalized
+    samples); fake rms from the payload hash otherwise."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -201,9 +236,23 @@ def audio_features(media: DataFrame) -> DataFrame:
     )
 
     def af(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from letarette_spark.functions.codecs import decode_wav
+
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
+                dec = decode_wav(bytes(r.data))
+                if dec is not None:
+                    samples, rate = dec
+                    rows.append(
+                        {
+                            "media_id": r.media_id,
+                            "duration_ms": int(len(samples) * 1000 / rate),
+                            "rms": float(np.sqrt((samples ** 2).mean()))
+                            if len(samples) else 0.0,
+                        }
+                    )
+                    continue
                 h = hashlib.sha256(bytes(r.data)).digest()
                 rows.append(
                     {

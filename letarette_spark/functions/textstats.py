@@ -8,11 +8,34 @@ from pyspark.sql import functions as F
 
 from letarette_spark.functions.simple_text import token_array
 
-# tiny built-in stopword profiles for the n-gram/stopword language heuristic
+# Built-in stopword profiles for the language heuristic: the most common
+# function words per language, restricted to ASCII tokens of length >= 2
+# (the simple analyzer lowercases and splits on [^a-z0-9]+, so accented or
+# single-letter function words can never appear as tokens).
 LANG_PROFILES: dict[str, list[str]] = {
-    "en": ["the", "of", "and", "in", "to", "is", "was", "for", "as", "on"],
-    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"],
-    "fr": ["le", "la", "les", "de", "et", "est", "dans", "pour", "que", "une"],
+    "en": ["the", "of", "and", "in", "to", "is", "was", "for", "as", "on",
+           "with", "by", "at", "from", "that", "it", "this", "are", "be", "or"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "nicht",
+           "ein", "eine", "im", "dem", "des", "auf", "als", "auch", "es",
+           "an", "sich"],
+    "fr": ["le", "la", "les", "de", "et", "est", "dans", "pour", "que",
+           "une", "un", "du", "des", "en", "au", "il", "qui", "pas", "sur",
+           "avec"],
+    "es": ["el", "la", "los", "las", "de", "en", "que", "es", "un", "una",
+           "por", "con", "para", "del", "se", "no", "su", "al", "como",
+           "lo"],
+    "it": ["il", "la", "le", "di", "che", "in", "un", "una", "per", "con",
+           "del", "della", "si", "non", "sono", "da", "come", "anche",
+           "ma", "nel"],
+    "pt": ["os", "as", "de", "que", "em", "um", "uma", "para", "com",
+           "nao", "do", "da", "no", "na", "por", "se", "mais", "dos",
+           "como", "mas"],
+    "nl": ["de", "het", "een", "en", "van", "in", "is", "dat", "op", "te",
+           "zijn", "met", "voor", "niet", "aan", "er", "ook", "als", "bij",
+           "maar"],
+    "sv": ["och", "att", "det", "som", "en", "av", "den", "till",
+           "inte", "om", "har", "de", "ett", "han", "var", "jag", "med",
+           "man", "efter", "vid"],
 }
 
 STOPWORDS_EN = LANG_PROFILES["en"]

@@ -246,3 +246,91 @@ class TestDedupScaleShapes:
         df = lsh_embedding_duplicate_pairs(emb, threshold=0.5, dim=8)
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert "Cross" not in plan
+
+
+class TestRealCodecs:
+    """BMP/WAV are struct formats — the decode step is REAL pure numpy
+    (functions/codecs.py); unknown formats keep the deterministic fake."""
+
+    def test_bmp_roundtrip_padding_and_hash(self):
+        import numpy as np
+
+        from letarette_spark.functions.codecs import (
+            average_hash64, decode_bmp, encode_bmp, luma, resize_nearest,
+        )
+
+        rng = np.random.default_rng(3)
+        px = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)  # padded rows
+        assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+        assert decode_bmp(b"not a bitmap at all, definitely") is None
+
+        small = resize_nearest(px, 8, 8)
+        assert small.shape == (8, 8, 3)
+
+        solid = np.full((4, 4, 3), 100, dtype=np.uint8)
+        assert abs(float(luma(solid).mean()) - 100.0) < 1e-9
+        assert average_hash64(solid) == 0  # no pixel exceeds the mean
+
+        # half-dark half-bright: exactly 32 bits set
+        half = np.zeros((8, 8, 3), dtype=np.uint8)
+        half[:, 4:] = 255
+        assert bin(average_hash64(half) & (2**64 - 1)).count("1") == 32
+
+    def test_wav_roundtrip_and_rms(self):
+        import numpy as np
+
+        from letarette_spark.functions.codecs import decode_wav, encode_wav
+
+        t = np.arange(8000) / 16000.0
+        sine = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+        blob = encode_wav(sine, 16000)
+        dec = decode_wav(blob)
+        assert dec is not None
+        samples, rate = dec
+        assert rate == 16000 and len(samples) == 8000
+        rms = float(np.sqrt((samples ** 2).mean()))
+        assert abs(rms - 0.5 / np.sqrt(2)) < 1e-3  # sine RMS = A/sqrt(2)
+        assert decode_wav(b"RIFFxxxxNOPE") is None
+
+    def test_spark_pipeline_with_real_media(self, spark):
+        import numpy as np
+
+        from letarette_spark.functions.codecs import decode_bmp, encode_bmp, encode_wav
+        from letarette_spark.functions.multimodal import (
+            audio_features, image_features, resize_images,
+        )
+
+        dark = np.full((16, 16, 3), 10, dtype=np.uint8)
+        bright = np.full((12, 20, 3), 250, dtype=np.uint8)
+        t = np.arange(4000) / 8000.0
+        sine = (0.25 * np.sin(2 * np.pi * 220 * t) * 32767).astype(np.int16)
+        rows = [
+            {"media_id": 1, "kind": "image", "mime": "image/bmp",
+             "data": encode_bmp(dark), "width": None, "height": None,
+             "sample_rate": None, "duration_ms": None},
+            {"media_id": 2, "kind": "image", "mime": "image/bmp",
+             "data": encode_bmp(bright), "width": None, "height": None,
+             "sample_rate": None, "duration_ms": None},
+            {"media_id": 3, "kind": "audio", "mime": "audio/wav",
+             "data": encode_wav(sine, 8000), "width": None, "height": None,
+             "sample_rate": 8000, "duration_ms": None},
+        ]
+        from letarette_spark.functions.multimodal import MEDIA_SCHEMA
+
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+        feats = {r["media_id"]: r for r in image_features(media).collect()}
+        assert abs(feats[1]["mean_luma"] - 10 / 255) < 1e-9
+        assert abs(feats[2]["mean_luma"] - 250 / 255) < 1e-9
+        assert (feats[1]["width"], feats[1]["height"]) == (16, 16)
+        assert (feats[2]["width"], feats[2]["height"]) == (20, 12)
+
+        resized = {r["media_id"]: r for r in resize_images(media, 8, 6).collect()}
+        for mid in (1, 2):
+            px = decode_bmp(bytes(resized[mid]["data"]))
+            assert px is not None and px.shape == (6, 8, 3)
+
+        au = audio_features(media).collect()
+        assert len(au) == 1 and au[0]["media_id"] == 3
+        assert au[0]["duration_ms"] == 500
+        assert abs(au[0]["rms"] - 0.25 / np.sqrt(2)) < 1e-3
