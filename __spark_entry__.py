@@ -280,6 +280,12 @@ def q_lang_id(spark, sf_dir):
     return lang_id(_docs(spark, sf_dir))
 
 
+def q_quality_gates(spark, sf_dir):
+    from letarette_spark.functions.textstats import gopher_quality_flags
+
+    return gopher_quality_flags(_docs(spark, sf_dir))
+
+
 def q_simhash(spark, sf_dir):
     from letarette_spark.functions.dedup import simhash64
 
@@ -384,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": q_knn_cosine,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
+        "quality_gates": q_quality_gates,
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
         "lsh_cosine": q_lsh_cosine,
@@ -623,6 +630,49 @@ def oracle_sql() -> dict[str, str]:
                         END AS lang_guess,
                    {gmax} AS profile_hits
             FROM h
+        """,
+        "quality_gates": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 w -> length(w) > 0) AS words,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                                                l -> trim(l)),
+                                 l -> length(l) > 0) AS lines
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id,
+                     len(words)::DOUBLE AS n_words,
+                     CASE WHEN len(words) > 0
+                          THEN list_sum(list_transform(words, w -> length(w)))::DOUBLE / len(words)
+                          ELSE 0.0 END AS mean_wl,
+                     CASE WHEN len(words) > 0
+                          THEN len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE / len(words)
+                          ELSE 0.0 END AS frac_alpha,
+                     CASE WHEN len(lines) > 0
+                          THEN len(list_filter(lines, l -> starts_with(l, '-') OR starts_with(l, '*')))::DOUBLE / len(lines)
+                          ELSE 0.0 END AS bullet_frac,
+                     CASE WHEN len(lines) > 0
+                          THEN len(list_filter(lines, l -> ends_with(l, '...')))::DOUBLE / len(lines)
+                          ELSE 0.0 END AS ellipsis_frac,
+                     CASE WHEN len(lines) > 0
+                          THEN 1.0 - len(list_distinct(lines))::DOUBLE / len(lines)
+                          ELSE 0.0 END AS dup_frac
+              FROM base
+            )
+            SELECT doc_id,
+                   n_words::BIGINT AS n_words,
+                   round(mean_wl, 6) AS mean_word_len,
+                   round(frac_alpha, 6) AS frac_alpha_words,
+                   round(bullet_frac, 6) AS bullet_line_frac,
+                   round(ellipsis_frac, 6) AS ellipsis_line_frac,
+                   round(dup_frac, 6) AS dup_line_frac,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND mean_wl >= 3.0 AND mean_wl <= 10.0
+                    AND frac_alpha >= 0.8 AND bullet_frac <= 0.9
+                    AND ellipsis_frac <= 0.3 AND dup_frac <= 0.3) AS passes
+            FROM m
         """,
         "event_hourly": """
             SELECT event_type,

@@ -115,6 +115,68 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     )
 
 
+def gopher_quality_flags(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher/C4-style document quality gates (the published pretraining
+    filter rules), computed as pure column expressions in one scan:
+
+      n_words            whitespace-delimited words
+      mean_word_len      average word length
+      frac_alpha_words   fraction of words containing a letter
+      bullet_line_frac   fraction of lines starting with '-' or '*'
+      ellipsis_line_frac fraction of lines ending with '...'
+      dup_line_frac      1 - distinct/total over non-empty lines
+      passes             the conjunction of the standard thresholds:
+                         50 <= n_words <= 100000, 3 <= mean_word_len <= 10,
+                         frac_alpha_words >= 0.8, bullet <= 0.9,
+                         ellipsis <= 0.3, dup_line_frac <= 0.3
+    """
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda w: F.length(w) > 0
+    )
+    n_words = F.size(words).cast("double")
+    mean_wl = F.when(
+        n_words > 0,
+        F.aggregate(words, F.lit(0.0), lambda a, w: a + F.length(w)) / n_words,
+    ).otherwise(0.0)
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))).cast("double")
+    frac_alpha = F.when(n_words > 0, alpha / n_words).otherwise(0.0)
+
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), F.trim),
+        lambda l: F.length(l) > 0,
+    )
+    n_lines = F.size(lines).cast("double")
+    bullet = F.size(
+        F.filter(lines, lambda l: l.startswith("-") | l.startswith("*"))
+    ).cast("double")
+    ellipsis = F.size(F.filter(lines, lambda l: l.endswith("..."))).cast("double")
+    n_distinct = F.size(F.array_distinct(lines)).cast("double")
+    bullet_frac = F.when(n_lines > 0, bullet / n_lines).otherwise(0.0)
+    ellipsis_frac = F.when(n_lines > 0, ellipsis / n_lines).otherwise(0.0)
+    dup_frac = F.when(n_lines > 0, 1.0 - n_distinct / n_lines).otherwise(0.0)
+
+    passes = (
+        (n_words >= 50) & (n_words <= 100000)
+        & (mean_wl >= 3.0) & (mean_wl <= 10.0)
+        & (frac_alpha >= 0.8)
+        & (bullet_frac <= 0.9)
+        & (ellipsis_frac <= 0.3)
+        & (dup_frac <= 0.3)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(frac_alpha, 6).alias("frac_alpha_words"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+        F.round(dup_frac, 6).alias("dup_line_frac"),
+        passes.alias("passes"),
+    )
+
+
 def fingerprint64(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -334,3 +334,27 @@ class TestRealCodecs:
         assert len(au) == 1 and au[0]["media_id"] == 3
         assert au[0]["duration_ms"] == 500
         assert abs(au[0]["rms"] - 0.25 / np.sqrt(2)) < 1e-3
+
+
+class TestGopherQualityGates:
+    def test_flags_and_thresholds(self, spark):
+        from letarette_spark.functions.textstats import gopher_quality_flags
+
+        good = " ".join(f"word{i} content here" for i in range(30))  # 90 words
+        bullets = "\n".join(f"- item {i}" for i in range(10))
+        dupes = "same line again\n" * 10 + "unique closer"
+        short = "tiny doc"
+        rows = [
+            {"doc_id": 1, "text": good},
+            {"doc_id": 2, "text": bullets},
+            {"doc_id": 3, "text": dupes},
+            {"doc_id": 4, "text": short},
+            {"doc_id": 5, "text": ""},
+        ]
+        out = {r["doc_id"]: r for r in
+               gopher_quality_flags(spark.createDataFrame(rows)).collect()}
+        assert out[1]["passes"] and out[1]["n_words"] == 90
+        assert out[2]["bullet_line_frac"] == 1.0 and not out[2]["passes"]
+        assert out[3]["dup_line_frac"] > 0.3 and not out[3]["passes"]
+        assert not out[4]["passes"] and not out[5]["passes"]
+        assert out[5]["n_words"] == 0 and out[5]["dup_line_frac"] == 0.0
