@@ -33,10 +33,26 @@ def __getattr__(name):
         from letarette_spark.index import builder
 
         return getattr(builder, name)
-    if name in ("Searcher", "SearchResult", "Hit"):
+    if name in ("Searcher", "SearchResult", "Hit", "SearchTimeout"):
         from letarette_spark.query import executor
 
         return getattr(executor, name)
+    if name in ("CachingSearcher", "ResultCache"):
+        from letarette_spark.query import cache
+
+        return getattr(cache, name)
+    if name in ("sharded_search", "merge_results"):
+        from letarette_spark.query import sharded
+
+        return getattr(sharded, name)
+    if name in ("export_shard", "import_shard"):
+        from letarette_spark.index import cloning
+
+        return getattr(cloning, name)
+    if name in ("upsert_documents", "compact_index"):
+        from letarette_spark.index import incremental
+
+        return getattr(incremental, name)
     if name == "get_spark":
         from letarette_spark.session import get_spark
 
