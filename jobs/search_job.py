@@ -25,8 +25,8 @@ def main() -> None:
     ap.add_argument("--offset", type=int, default=0)
     ap.add_argument("--strategy", type=int, default=1)
     ap.add_argument("--no-autocorrect", action="store_true")
-    ap.add_argument("--timeout", type=float, default=4.0,
-                    help="per-query budget in seconds (reference LETARETTE_SEARCH_TIMEOUT default 4s; <=0 disables)")
+    ap.add_argument("--timeout", type=float, default=30.0,
+                    help="per-query budget in seconds (the reference's 4s default assumes a warm server; a cold Spark session needs more — the session is warmed before the budget is armed; <=0 disables)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -36,6 +36,9 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("letarette_search").getOrCreate()
     idx = Index.open(spark, args.root)
+    # warm the session (file listing, Python workers) OUTSIDE the budget,
+    # like the reference's long-lived worker; then arm the deadline
+    idx.term_stats().limit(1).count()
     searcher = Searcher(idx, timeout=args.timeout if args.timeout > 0 else None)
     for q in args.query:
         t0 = time.perf_counter()

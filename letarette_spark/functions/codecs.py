@@ -131,8 +131,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int] | None:
         elif cid == b"data":
             samples = np.frombuffer(body[: len(body) & ~1], dtype="<i2")
         pos += 8 + size + (size & 1)  # chunks are word-aligned
-    if rate is None or samples is None or not channels:
-        return None
+    if not rate or samples is None or not channels:
+        return None  # rate 0 (corrupt fmt chunk) is unparseable, not /0
     if channels > 1:
         n = len(samples) // channels * channels
         samples = samples[:n].reshape(-1, channels).mean(axis=1)

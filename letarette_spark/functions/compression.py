@@ -13,7 +13,14 @@ compiled extension — tests/compress_goldens.py):
 ``uncompress`` returns its input unchanged when the header doesn't parse
 or inflation fails — exactly the reference's "return the input if it is
 not in zlib format" behavior, which is what makes mixed compressed /
-uncompressed document columns safe to read uniformly.
+uncompressed document columns safe to read uniformly. Reference quirks
+preserved: a zero-length original is never "compressed" (the varint
+value 0 fails the gate, compress.c:146 — compress(b'') round-trips to
+the container blob, not to b''), and the zlib header bytes themselves
+are validated, not just the 0xf8 magic. One deliberate softening: where
+the reference raises an SQL error for a size-mismatched inflate, this
+returns the input unchanged (a hostile blob should not kill a Spark
+job).
 
 The zlib payload bytes may differ between producers (compression level is
 not part of the contract); interop is at the container level: each side
@@ -47,15 +54,27 @@ def _encode_size(n: int) -> bytes:
 
 
 def _decode_size(b: bytes) -> tuple[int, int] | None:
-    """(size, header_len) or None when the header is malformed."""
+    """(size, payload_offset) or None when the container is not a
+    compress() blob. Mirrors the reference's gate exactly
+    (compress.c:131-150 + isValidHeader): magic, terminated varint, a
+    NON-ZERO original size, and a valid zlib header (0x78 with the
+    RFC-1950 check bytes) right after the varint — so empty-input blobs
+    and 0xf8-leading garbage are both "not compressed" and pass through,
+    as in the reference."""
     if len(b) < 2 or b[0] != _MAGIC:
         return None
     n = 0
+    off = None
     for i in range(1, min(len(b), 6)):
         n = (n << 7) | (b[i] & 0x7F)
         if b[i] & 0x80:
-            return n, i + 1
-    return None
+            off = i + 1
+            break
+    if off is None or n == 0:
+        return None
+    if len(b) < off + 2 or b[off] != 0x78 or (b[off] * 256 + b[off + 1]) % 31 != 0:
+        return None
+    return n, off
 
 
 def compress_bytes(data: bytes | None) -> bytes | None:

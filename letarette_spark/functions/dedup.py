@@ -101,7 +101,11 @@ def jaccard_pairs(
 
 
 def jaccard_for_pairs(
-    sh: DataFrame, cand: DataFrame, threshold: float, id_col: str = "doc_id"
+    sh: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    _persisted: list | None = None,
 ) -> DataFrame:
     """Exact shingle Jaccard for an explicit candidate-pair set.
 
@@ -118,6 +122,8 @@ def jaccard_for_pairs(
     # the candidate docs' shingles feed three branches (sizes + both join
     # legs): persist so the tokenize→explode→semi-join pipeline runs once
     csh = sh.join(cand_docs, id_col, "left_semi").persist()
+    if _persisted is not None:
+        _persisted.append(csh)  # caller unpersists after materializing
     sizes = csh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sa = csh.select(F.col(id_col).alias("a"), "shingle")
     sb = csh.select(F.col(id_col).alias("b"), "shingle")
@@ -179,9 +185,15 @@ def minhash_lsh_pairs(
     threshold: float = 0.2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    eager_cleanup: bool = True,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding: docs sharing any band bucket are
     candidates; candidates are verified with the true n-gram Jaccard.
+
+    ``eager_cleanup`` (default) materializes the (small) verified pair set
+    and releases every persisted intermediate deterministically; pass
+    False to get the fully lazy plan (intermediates are then cleaned when
+    the returned frame is garbage-collected).
 
     Scale: candidate generation is groupBy(band_hash) — linear in corpus
     size — and verification (jaccard_for_pairs) touches only the candidate
@@ -216,7 +228,17 @@ def minhash_lsh_pairs(
         .distinct()
         .persist()  # reused: cand_docs derivation + the intersection join
     )
-    return jaccard_for_pairs(sh, cand, threshold, id_col)
+    persisted = [sh, cand]
+    verified = jaccard_for_pairs(sh, cand, threshold, id_col, _persisted=persisted)
+    if not eager_cleanup:
+        return verified
+    # materialize the (small) verified pair set eagerly, then release every
+    # intermediate cache deterministically — library calls must not leak
+    # persisted RDDs for the session's lifetime
+    out = verified.localCheckpoint()
+    for df in persisted:
+        df.unpersist()
+    return out
 
 
 # 64 signed-long bit weights; bit 63 is the sign bit
@@ -303,6 +325,7 @@ def lsh_embedding_duplicate_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    eager_cleanup: bool = True,
 ) -> DataFrame:
     """(a, b, cos) embedding near-dup pairs via banded hyperplane LSH —
     the 100TB path: candidates are per-(band, bucket) self-join collisions
@@ -331,9 +354,14 @@ def lsh_embedding_duplicate_pairs(
     vb = emb.select(
         F.col(id_col).alias("b"), F.col(vec_col).cast("array<double>").alias("vb")
     )
-    return (
+    verified = (
         cand.join(va, "a")
         .join(vb, "b")
         .select("a", "b", cosine_expr("va", "vb").alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+    if not eager_cleanup:
+        return verified
+    out = verified.localCheckpoint()  # materialize the small pair set...
+    buckets.unpersist()  # ...so the bucket cache can be released now
+    return out

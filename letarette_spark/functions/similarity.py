@@ -80,6 +80,14 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def _infer_dim(emb: DataFrame, vec_col: str) -> int | None:
+    """Vector dimension from the first row (one bounded job at plan-build
+    time — pass dim explicitly in pipelines to stay fully lazy); None on
+    an empty frame."""
+    row = emb.select(vec_col).first()
+    return len(row[0]) if row is not None and row[0] is not None else None
+
+
 def lsh_bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:
     """Random-hyperplane signature: bit i = sign(dot(v, plane_i)); returns
     a long bucket id. Deterministic (seeded planes are baked into the plan
@@ -113,7 +121,13 @@ def banded_lsh_buckets(
     signature for an OR over *bands* signatures (minhash-banding style):
     two vectors are neighbor candidates when they collide in ANY band."""
     if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+        dim = _infer_dim(emb, vec_col)
+        if dim is None:  # empty frame: no buckets
+            return emb.select(
+                F.col(id_col),
+                F.lit(0).alias("band"),
+                F.lit(0).cast("long").alias("bucket"),
+            ).limit(0)
     v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     per_band = [
         F.struct(
@@ -141,7 +155,11 @@ def lsh_cosine_candidates(
     collisions; join per bucket instead of the full cross product —
     the 100TB path (expected bucket size n/2^planes)."""
     if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+        dim = _infer_dim(emb, vec_col)
+        if dim is None:  # empty frame: no buckets
+            return emb.select(
+                F.col(id_col), F.lit(0).cast("long").alias("bucket")
+            ).limit(0)
     planes = _hyperplanes(dim, n_planes, seed)
     v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     return v.select(F.col(id_col), lsh_bucket_expr("v", planes).alias("bucket"))

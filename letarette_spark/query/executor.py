@@ -102,13 +102,23 @@ class Searcher:
             self.stopwords = load_stopwords(self.index)
         if self.synonyms is None:
             self.synonyms = load_synonyms(self.index)
+        import threading
+
         self._cached: list[DataFrame] = []
+        self._cache_lock = threading.Lock()
 
     def _evict_cache(self) -> None:
-        """Release the previous query's cached phrase-hit frames."""
-        for df in self._cached:
+        """Release the previous query's cached phrase-hit frames. Lock:
+        a cancelled query's worker thread may still be registering frames
+        (see _with_deadline) while the next query evicts."""
+        with self._cache_lock:
+            old, self._cached = self._cached, []
+        for df in old:
             df.unpersist()
-        self._cached = []
+
+    def _remember(self, df: DataFrame) -> None:
+        with self._cache_lock:
+            self._cached.append(df)
 
     # ------------------------------------------------------------------
     def analyze_phrase(self, p: Phrase) -> list[list[str]]:
@@ -286,7 +296,7 @@ class Searcher:
         hits = []
         for i, (p, terms) in enumerate(inc_terms):
             h = self._phrase_hits(terms, p.wildcard).cache()
-            self._cached.append(h)
+            self._remember(h)
             # phrase document frequency over the whole index — kept as a
             # 1-row DataFrame and broadcast into the scoring plan (no
             # driver-side action per phrase)
@@ -344,7 +354,7 @@ class Searcher:
             tf = F.col(f"tfw_{i}")
             score = score + idf * tf * (K1 + 1.0) / (tf + denom_dl)
         cand = cand.select("rowid", "space", (-score).alias("score")).cache()
-        self._cached.append(cand)  # evicted at the next query
+        self._remember(cand)  # evicted at the next query
 
         # the TotalHits count materializes the cached candidates, so the
         # top-k sort below reuses them instead of re-running joins + NEAR
@@ -374,6 +384,7 @@ class Searcher:
         group = f"lsearch-{id(self)}-{_time.monotonic_ns()}"
         out: list = []
         err: list = []
+        cancelled = threading.Event()
 
         def run():
             sc.setJobGroup(group, "letarette search deadline", True)
@@ -381,11 +392,17 @@ class Searcher:
                 out.append(fn())
             except BaseException as e:  # surfaced below
                 err.append(e)
+            finally:
+                if cancelled.is_set():
+                    # the zombie cleans up the frames it cached before the
+                    # cancellation landed — no leak per timed-out query
+                    self._evict_cache()
 
         t = threading.Thread(target=run, daemon=True)
         t.start()
         t.join(self.timeout)
         if t.is_alive():
+            cancelled.set()
             sc.cancelJobGroup(group)
             raise SearchTimeout(f"query exceeded {self.timeout}s budget")
         if err:

@@ -111,7 +111,10 @@ def _reduce_text(text: str) -> str:
     non-letters are stripped — so 'error 7' keeps the lone digit, and the
     regex passes run in the reference's exact order (mid, start, end,
     whitespace collapse)."""
-    if len(text) == 1 and not text.isnumeric():
+    # the Go cut is BYTE-length based: a single multi-byte rune ('å') has
+    # len > 1 in Go, skips the cut, and survives the \pL regexes (they
+    # need a flanking non-letter) — only 1-BYTE non-number phrases die
+    if len(text.encode("utf-8")) == 1 and not text.isnumeric():
         return ""
     t = _SINGLE_MID.sub(" ", text)
     t = _SINGLE_START.sub(" ", t)

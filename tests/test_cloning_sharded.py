@@ -29,8 +29,14 @@ class TestCompression:
     @given(st.binary(max_size=4096))
     def test_roundtrip(self, data):
         blob = compress_bytes(data)
-        assert is_compressed_bytes(blob)
-        assert uncompress_bytes(blob) == data
+        if data:
+            assert is_compressed_bytes(blob)
+            assert uncompress_bytes(blob) == data
+        else:
+            # reference quirk (compress.c:146): a zero-size original never
+            # passes the gate — the container blob passes through as-is
+            assert not is_compressed_bytes(blob)
+            assert uncompress_bytes(blob) == blob
 
     def test_passthrough_of_plain_data(self):
         for raw in [b"", b"hello", b"\xf7 nope", bytes(range(256))]:

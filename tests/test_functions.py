@@ -164,7 +164,7 @@ class TestDedupScaleShapes:
         from letarette_spark.functions.dedup import minhash_lsh_pairs
 
         df = minhash_lsh_pairs(near_dup_docs, bands=8, rows_per_band=1,
-                               n=3, threshold=0.3)
+                               n=3, threshold=0.3, eager_cleanup=False)
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert "LeftSemi" in plan
 
@@ -243,7 +243,8 @@ class TestDedupScaleShapes:
             for i, v in enumerate(rng.standard_normal((10, 8)))
         ]
         emb = spark.createDataFrame(rows)
-        df = lsh_embedding_duplicate_pairs(emb, threshold=0.5, dim=8)
+        df = lsh_embedding_duplicate_pairs(emb, threshold=0.5, dim=8,
+                                           eager_cleanup=False)
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert "Cross" not in plan
 
@@ -358,3 +359,35 @@ class TestGopherQualityGates:
         assert out[3]["dup_line_frac"] > 0.3 and not out[3]["passes"]
         assert not out[4]["passes"] and not out[5]["passes"]
         assert out[5]["n_words"] == 0 and out[5]["dup_line_frac"] == 0.0
+
+
+class TestReviewRegressions:
+    def test_wav_zero_rate_is_unparseable(self):
+        import numpy as np
+
+        from letarette_spark.functions.codecs import decode_wav, encode_wav
+
+        blob = bytearray(encode_wav(np.zeros(10, dtype=np.int16), 16000))
+        blob[24:28] = (0).to_bytes(4, "little")  # corrupt fmt: rate = 0
+        assert decode_wav(bytes(blob)) is None  # not ZeroDivisionError
+
+    def test_lsh_embedding_pairs_on_empty_frame(self, spark):
+        from letarette_spark.functions.dedup import lsh_embedding_duplicate_pairs
+        from letarette_spark.functions.similarity import lsh_cosine_candidates
+
+        empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        assert lsh_embedding_duplicate_pairs(empty, dim=None).count() == 0
+        assert lsh_cosine_candidates(empty).count() == 0
+
+    def test_dedup_ops_release_their_caches(self, spark, near_dup_docs):
+        from letarette_spark.functions.dedup import minhash_lsh_pairs
+
+        sc = spark.sparkContext
+        before = sc._jsc.sc().getPersistentRDDs().size()
+        out = minhash_lsh_pairs(near_dup_docs, bands=8, rows_per_band=1,
+                                n=3, threshold=0.3)
+        out.count()
+        after = sc._jsc.sc().getPersistentRDDs().size()
+        # +1 = the localCheckpoint of the returned pair set itself; all
+        # intermediate shingle/candidate caches must be gone
+        assert after <= before + 1, "dedup call leaked persisted RDDs"

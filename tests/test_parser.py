@@ -108,3 +108,17 @@ def test_reduce_regex_order_matches_reference():
     assert _reduce_text("a 7 b") == "7"
     assert _reduce_text("x-y") == ""          # both letters are single runs
     assert _reduce_text("grinder u") == "grinder"
+
+
+def test_reduce_keeps_single_multibyte_letters():
+    # the Go cut is byte-length based: len("å") == 2 bytes, so a 1-rune
+    # non-ASCII phrase survives (and the \pL regexes need flanking
+    # non-letters, so they leave it alone too)
+    from letarette_spark.query.parser import _reduce_text
+
+    assert _reduce_text("å") == "å"
+    assert _reduce_text("b") == ""
+    # flanked single letters still die regardless of byte width — the
+    # \pL regexes are rune-based (Go: "ö x" -> "")
+    assert _reduce_text("ö x") == ""
+    assert _reduce_text("åland ö") == "åland"
