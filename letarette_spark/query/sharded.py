@@ -54,13 +54,23 @@ def sharded_search(
     page_offset: int = 0,
     **search_kwargs,
 ) -> SearchResult:
-    """Query every shard searcher and merge (agent.go Search)."""
+    """Query every shard searcher and merge (agent.go Search). Shards are
+    queried CONCURRENTLY (the reference scatters over NATS and gathers
+    asynchronously; Spark actions are thread-safe, scheduled fairly
+    across driver threads) — latency is max-of-shards, not sum."""
+    from concurrent.futures import ThreadPoolExecutor
+
     n = len(searchers)
     if n == 0:
         return SearchResult([], 0, False, status="no_hit")
     sharded_limit = max(1, page_limit // n)
-    results = [
-        s.search(query, spaces, sharded_limit, page_offset, **search_kwargs)
-        for s in searchers
-    ]
+    with ThreadPoolExecutor(max_workers=min(16, n)) as ex:
+        results = list(
+            ex.map(
+                lambda s: s.search(
+                    query, spaces, sharded_limit, page_offset, **search_kwargs
+                ),
+                searchers,
+            )
+        )
     return merge_results(results)
