@@ -396,6 +396,17 @@ class Index:
         base build is seq 0. See index/incremental.py."""
         return self.meta.get("segments", [])
 
+    def _read_seg(self, path: str, fallback_schema) -> DataFrame:
+        """Read one delta-segment parquet dir; a DELETE-ONLY batch writes a
+        footerless dir (partitionBy of zero rows) — fall back to an empty
+        frame instead of a schema-inference error."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            return self.spark.read.parquet(path)
+        except AnalysisException:
+            return self.spark.createDataFrame([], fallback_schema)
+
     def _overlay(self, base: DataFrame, table: str) -> DataFrame:
         """Union base (seq 0) with delta segments; a row from seq S is dead
         when any later segment tombstoned its rowid (LSM-style overlay,
@@ -410,13 +421,14 @@ class Index:
             p = os.path.join(self.root, s[table])
             if os.path.exists(p):
                 parts.append(
-                    self.spark.read.parquet(p)
+                    self._read_seg(p, base.schema)
                     .drop("rb")  # docs segments carry the rowid-bucket dir
                     .withColumn("_seq", F.lit(s["seq"]))
                 )
             tombs.append(
-                self.spark.read.parquet(os.path.join(self.root, s["tombstones"]))
-                .select(
+                self._read_seg(
+                    os.path.join(self.root, s["tombstones"]), "rowid long"
+                ).select(
                     F.col("rowid").alias("_trowid"), F.lit(s["seq"]).alias("_tseq")
                 )
             )

@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 from letarette_spark.index.builder import (
     DEFAULT_BUCKETS,
     DEFAULT_DOC_BUCKETS,
+    POSTINGS_SCHEMA,
     Index,
     bucket_expr,
     tokenize_postings,
@@ -110,7 +111,8 @@ def _merged_stats(
     replaced versions). Returns the new global-stat meta fields."""
     cfg = index.analyzer_config
 
-    seg_post = spark.read.parquet(seg_post_path)
+    # a delete-only batch writes a footerless postings dir: empty delta
+    seg_post = index._read_seg(seg_post_path, POSTINGS_SCHEMA)
     add = (
         seg_post.groupBy("term")
         .agg(

@@ -323,3 +323,91 @@ def test_streaming_housekeeping_compacts_and_maintains(spark, tmp_path):
     did = run_housekeeping(spark, root, spelling_min_count=1,
                            spelling_max_lag=0, compact_segments_over=None)
     assert did["spelling"] and os.path.exists(os.path.join(root, "speling"))
+
+
+def test_randomized_upsert_sequences_match_rebuild_oracle(spark, tmp_path):
+    """Property-style: a random sequence of inserts/replaces/deletes over
+    several batches, through the ADDITIVE stats-merge path, must stay
+    rank-identical to FTS5 rebuilt from the final state — then again
+    after compaction. Also drives the bag-of-words API through the
+    with-segments exhaustive fallback."""
+    import random
+
+    rnd = random.Random(5)
+    words = ("quick brown fox lazy dog wizard sphinx quartz zephyr parser "
+             "buffer token stream index merge gold silver copper vector").split()
+
+    def make_body():
+        return " ".join(rnd.choice(words) for _ in range(rnd.randint(6, 14)))
+
+    state: dict[int, tuple[str, str]] = {}
+    initial = []
+    for r in range(1, 9):
+        t, b = f"title {rnd.choice(words)}", make_body()
+        state[r] = (t, b)
+        initial.append((r, t, b, True))
+
+    root = str(tmp_path / "rand_index")
+    build_index(spark, _docs_df(spark, initial), root, config=CFG,
+                n_build_partitions=2, chunk_size=2)
+
+    next_id = 9
+    for batch_no in range(3):
+        ops = []
+        for _ in range(rnd.randint(2, 4)):
+            kind = rnd.choice(["insert", "replace", "delete"])
+            if kind == "insert" or not state:
+                rid, next_id = next_id, next_id + 1
+                t, b = f"title {rnd.choice(words)}", make_body()
+                state[rid] = (t, b)
+                ops.append((rid, t, b, True))
+            elif kind == "replace":
+                rid = rnd.choice(sorted(state))
+                t, b = f"title {rnd.choice(words)} v2", make_body()
+                state[rid] = (t, b)
+                ops.append((rid, t, b, True))
+            else:
+                rid = rnd.choice(sorted(state))
+                del state[rid]
+                ops.append((rid, "", "", False))
+        # one row per doc_id per batch (the upsert contract)
+        dedup = {}
+        for rid, t, b, alive in ops:
+            dedup[rid] = (rid, t, b, alive)
+        upsert_documents(spark, root, _docs_df(spark, list(dedup.values())),
+                         batch_id=100 + batch_no)
+
+    oracle = Fts5Index.build([(r, t, b) for r, (t, b) in sorted(state.items())])
+    queries = ["quick", "wizard*", '"lazy dog"', "parser -buffer",
+               "gold silver", "sphinx"]
+
+    def check(idx):
+        from letarette_spark.query.parser import (
+            compile_match_string, parse_query, reduce_phrases,
+        )
+
+        s = Searcher(idx)
+        for q in queries:
+            match = compile_match_string(reduce_phrases(parse_query(q)))
+            expected = oracle.search(match, limit=10) if match else []
+            df, _t, _c = s.search_df(q, limit=10)
+            got = ([(r["rowid"], r["score"]) for r in df.collect()]
+                   if df is not None else [])
+            assert [r for r, _ in got] == [r for r, _ in expected], (q, got, expected)
+            for (_, sg), (_, se) in zip(got, expected):
+                assert math.isclose(sg, se, rel_tol=1e-9, abs_tol=1e-12), q
+
+    idx = Index.open(spark, root, CFG)
+    assert idx.meta["ndocs"] == len(state)
+    check(idx)
+
+    # bag-of-words API through the exhaustive with-segments fallback
+    s = Searcher(idx)
+    bw = s.search_terms_df(["quick", "wizard"], mode="or", limit=10)
+    exp = oracle.search('"quick" OR "wizard"', limit=10)
+    got = [(r["rowid"], r["score"]) for r in bw.collect()]
+    assert [r for r, _ in got] == [r for r, _ in exp]
+    for (_, sg), (_, se) in zip(got, exp):
+        assert math.isclose(sg, se, rel_tol=1e-9, abs_tol=1e-12)
+
+    check(compact_index(spark, root))
