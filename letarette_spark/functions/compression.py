@@ -61,20 +61,23 @@ def _decode_size(b: bytes) -> tuple[int, int] | None:
     RFC-1950 check bytes) right after the varint — so empty-input blobs
     and 0xf8-leading garbage are both "not compressed" and pass through,
     as in the reference."""
-    if len(b) < 2 or b[0] != _MAGIC:
+    if len(b) < 1 or b[0] != _MAGIC:
         return None
     n = 0
-    off = None
-    for i in range(1, min(len(b), 6)):
+    i = 1
+    while i < len(b) and i < 6:
         n = (n << 7) | (b[i] & 0x7F)
         if b[i] & 0x80:
-            off = i + 1
+            i += 1
             break
-    if off is None or n == 0:
+        i += 1
+    # NB: like the C, an unterminated varint still proceeds with i at the
+    # 6th byte — the zlib-header check is what gates it
+    if n == 0:
         return None
-    if len(b) < off + 2 or b[off] != 0x78 or (b[off] * 256 + b[off + 1]) % 31 != 0:
+    if len(b) < i + 2 or b[i] != 0x78 or (b[i] * 256 + b[i + 1]) % 31 != 0:
         return None
-    return n, off
+    return n, i
 
 
 def compress_bytes(data: bytes | None) -> bytes | None:
@@ -84,7 +87,12 @@ def compress_bytes(data: bytes | None) -> bytes | None:
 
 
 def uncompress_bytes(data: bytes | None) -> bytes | None:
-    """Inflate a compress()-format blob; pass anything else through."""
+    """Inflate a compress()-format blob; pass anything else through.
+    Like the C uncompress() into a size-n buffer: inflating to FEWER
+    bytes than the varint claims still succeeds (short output returned);
+    a stream needing more than n, or a corrupt stream, passes the input
+    through (the reference raises an SQL error for the former — softened
+    here so hostile blobs can't kill a Spark job)."""
     if data is None:
         return None
     hdr = _decode_size(data)
@@ -92,10 +100,13 @@ def uncompress_bytes(data: bytes | None) -> bytes | None:
         return data
     size, off = hdr
     try:
-        out = zlib.decompress(data[off:])
+        d = zlib.decompressobj()
+        out = d.decompress(data[off:], size)
+        if not d.eof or d.unconsumed_tail:
+            return data  # stream larger than the declared buffer
     except zlib.error:
         return data
-    return out if len(out) == size else data
+    return out
 
 
 def is_compressed_bytes(data: bytes | None) -> bool:

@@ -234,11 +234,12 @@ def minhash_lsh_pairs(
         return verified
     # materialize the (small) verified pair set eagerly, then release every
     # intermediate cache deterministically — library calls must not leak
-    # persisted RDDs for the session's lifetime
-    out = verified.localCheckpoint()
-    for df in persisted:
-        df.unpersist()
-    return out
+    # persisted RDDs for the session's lifetime (even when the job fails)
+    try:
+        return verified.localCheckpoint()
+    finally:
+        for df in persisted:
+            df.unpersist()
 
 
 # 64 signed-long bit weights; bit 63 is the sign bit
@@ -362,6 +363,7 @@ def lsh_embedding_duplicate_pairs(
     )
     if not eager_cleanup:
         return verified
-    out = verified.localCheckpoint()  # materialize the small pair set...
-    buckets.unpersist()  # ...so the bucket cache can be released now
-    return out
+    try:
+        return verified.localCheckpoint()  # materialize the small pair set
+    finally:
+        buckets.unpersist()  # released even when the job fails

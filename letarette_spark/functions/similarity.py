@@ -81,11 +81,12 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def _infer_dim(emb: DataFrame, vec_col: str) -> int | None:
-    """Vector dimension from the first row (one bounded job at plan-build
-    time — pass dim explicitly in pipelines to stay fully lazy); None on
-    an empty frame."""
-    row = emb.select(vec_col).first()
-    return len(row[0]) if row is not None and row[0] is not None else None
+    """Vector dimension from the first NON-NULL vector (one bounded job
+    at plan-build time — pass dim explicitly in pipelines to stay fully
+    lazy); None only when the frame has no usable vectors at all (a
+    stray NULL row must not silently zero out the whole result)."""
+    row = emb.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    return len(row[0]) if row is not None else None
 
 
 def lsh_bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:

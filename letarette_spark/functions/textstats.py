@@ -132,8 +132,10 @@ def gopher_quality_flags(
                          frac_alpha_words >= 0.8, bullet <= 0.9,
                          ellipsis <= 0.3, dup_line_frac <= 0.3
     """
+    # explicit whitespace class: Java's \s and RE2's \s disagree on \x0B,
+    # and the DuckDB oracle twin must split identically
     words = F.filter(
-        F.split(F.col(text_col), r"\s+"), lambda w: F.length(w) > 0
+        F.split(F.col(text_col), "[ \t\n\x0b\f\r]+"), lambda w: F.length(w) > 0
     )
     n_words = F.size(words).cast("double")
     mean_wl = F.when(

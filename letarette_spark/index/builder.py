@@ -76,7 +76,8 @@ TERM_STATS_SCHEMA = T.StructType(
 def _read_tree(spark: SparkSession, base_dir: str, glob: str, fallback_schema):
     """Read a parquet dir tree; an EMPTY index (zero-row build wrote no
     parquet footers, or no matching dirs yet) falls back to an empty frame
-    with the canonical schema instead of a schema-inference error."""
+    with the canonical schema instead of a schema-inference error. A
+    missing base dir (index corruption / wrong root) stays a hard error."""
     from pyspark.errors import AnalysisException
 
     try:
@@ -84,7 +85,9 @@ def _read_tree(spark: SparkSession, base_dir: str, glob: str, fallback_schema):
             os.path.join(base_dir, glob)
         )
     except AnalysisException:
-        return spark.createDataFrame([], fallback_schema)
+        if os.path.isdir(base_dir):
+            return spark.createDataFrame([], fallback_schema)
+        raise
 
 DEFAULT_BUCKETS = 64
 DEFAULT_DOC_BUCKETS = 16  # rowid-hash partition dirs for the docs table
@@ -399,13 +402,17 @@ class Index:
     def _read_seg(self, path: str, fallback_schema) -> DataFrame:
         """Read one delta-segment parquet dir; a DELETE-ONLY batch writes a
         footerless dir (partitionBy of zero rows) — fall back to an empty
-        frame instead of a schema-inference error."""
+        frame for that case ONLY. A MISSING directory stays a hard error:
+        silently treating absent tombstones as empty would resurrect
+        deleted documents."""
         from pyspark.errors import AnalysisException
 
         try:
             return self.spark.read.parquet(path)
         except AnalysisException:
-            return self.spark.createDataFrame([], fallback_schema)
+            if os.path.isdir(path):
+                return self.spark.createDataFrame([], fallback_schema)
+            raise
 
     def _overlay(self, base: DataFrame, table: str) -> DataFrame:
         """Union base (seq 0) with delta segments; a row from seq S is dead

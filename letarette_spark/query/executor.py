@@ -106,6 +106,7 @@ class Searcher:
 
         self._cached: list[DataFrame] = []
         self._cache_lock = threading.Lock()
+        self._tl = threading.local()  # per-thread frame ledger for zombies
 
     def _evict_cache(self) -> None:
         """Release the previous query's cached phrase-hit frames. Lock:
@@ -119,6 +120,9 @@ class Searcher:
     def _remember(self, df: DataFrame) -> None:
         with self._cache_lock:
             self._cached.append(df)
+        frames = getattr(self._tl, "frames", None)
+        if frames is not None:
+            frames.append(df)
 
     # ------------------------------------------------------------------
     def analyze_phrase(self, p: Phrase) -> list[list[str]]:
@@ -388,15 +392,19 @@ class Searcher:
 
         def run():
             sc.setJobGroup(group, "letarette search deadline", True)
+            self._tl.frames = []  # this thread's own frame ledger
             try:
                 out.append(fn())
             except BaseException as e:  # surfaced below
                 err.append(e)
             finally:
                 if cancelled.is_set():
-                    # the zombie cleans up the frames it cached before the
-                    # cancellation landed — no leak per timed-out query
-                    self._evict_cache()
+                    # the zombie releases ONLY the frames it registered —
+                    # never a newer query's caches (generation-scoped;
+                    # double-unpersist of already-evicted frames is a no-op)
+                    for df in self._tl.frames:
+                        df.unpersist()
+                self._tl.frames = None
 
         t = threading.Thread(target=run, daemon=True)
         t.start()
