@@ -73,21 +73,35 @@ TERM_STATS_SCHEMA = T.StructType(
 )
 
 
-def _read_tree(spark: SparkSession, base_dir: str, glob: str, fallback_schema):
-    """Read a parquet dir tree; an EMPTY index (zero-row build wrote no
-    parquet footers, or no matching dirs yet) falls back to an empty frame
-    with the canonical schema instead of a schema-inference error. A
-    missing base dir (index corruption / wrong root) stays a hard error."""
+def _parquet_or_empty(
+    spark: SparkSession,
+    read_path: str,
+    guard_dir: str,
+    fallback_schema,
+    base_path: str | None = None,
+):
+    """Read parquet; when the read fails but *guard_dir* EXISTS (a
+    zero-row write left a footerless dir), fall back to an empty frame
+    with the canonical schema. A missing dir (index corruption / wrong
+    root) stays a hard error — silent emptiness loses data."""
     from pyspark.errors import AnalysisException
 
     try:
-        return spark.read.option("basePath", base_dir).parquet(
-            os.path.join(base_dir, glob)
-        )
+        reader = spark.read
+        if base_path:
+            reader = reader.option("basePath", base_path)
+        return reader.parquet(read_path)
     except AnalysisException:
-        if os.path.isdir(base_dir):
+        if os.path.isdir(guard_dir):
             return spark.createDataFrame([], fallback_schema)
         raise
+
+
+def _read_tree(spark: SparkSession, base_dir: str, glob: str, fallback_schema):
+    return _parquet_or_empty(
+        spark, os.path.join(base_dir, glob), base_dir, fallback_schema,
+        base_path=base_dir,
+    )
 
 DEFAULT_BUCKETS = 64
 DEFAULT_DOC_BUCKETS = 16  # rowid-hash partition dirs for the docs table
@@ -405,14 +419,7 @@ class Index:
         frame for that case ONLY. A MISSING directory stays a hard error:
         silently treating absent tombstones as empty would resurrect
         deleted documents."""
-        from pyspark.errors import AnalysisException
-
-        try:
-            return self.spark.read.parquet(path)
-        except AnalysisException:
-            if os.path.isdir(path):
-                return self.spark.createDataFrame([], fallback_schema)
-            raise
+        return _parquet_or_empty(self.spark, path, path, fallback_schema)
 
     def _overlay(self, base: DataFrame, table: str) -> DataFrame:
         """Union base (seq 0) with delta segments; a row from seq S is dead
@@ -426,12 +433,20 @@ class Index:
         tombs = []
         for s in segs:
             p = os.path.join(self.root, s[table])
-            if os.path.exists(p):
-                parts.append(
-                    self._read_seg(p, base.schema)
-                    .drop("rb")  # docs segments carry the rowid-bucket dir
-                    .withColumn("_seq", F.lit(s["seq"]))
+            if not os.path.exists(p):
+                # symmetric with the tombstone guard: a segment the
+                # manifest lists but whose data dir is gone is corruption,
+                # not emptiness — silently skipping would vanish the
+                # segment's document versions
+                raise FileNotFoundError(
+                    f"index segment data missing: {p} "
+                    f"(manifest lists seq {s['seq']})"
                 )
+            parts.append(
+                self._read_seg(p, base.schema)
+                .drop("rb")  # docs segments carry the rowid-bucket dir
+                .withColumn("_seq", F.lit(s["seq"]))
+            )
             tombs.append(
                 self._read_seg(
                     os.path.join(self.root, s["tombstones"]), "rowid long"
