@@ -1,15 +1,20 @@
-"""Pure-numpy media codecs: 24-bit BMP and 16-bit PCM WAV.
+"""Pure-numpy media codecs: 24-bit BMP, 8-bit PNG, and 16-bit PCM WAV.
 
-Both formats are plain struct layouts — no image/audio libraries needed —
-so the multimodal pipeline's decode step is REAL for them (parse, pixel /
-sample math, resize, hashing all operate on actual payload content).
-Formats that genuinely need external codecs (JPEG, MP4, ...) remain
-behind the explicit `multimodal.require_real_decoder` boundary.
+These formats need no image/audio libraries — BMP/WAV are plain struct
+layouts and PNG is zlib (stdlib) + per-row unfiltering — so the multimodal
+pipeline's decode step is REAL for them (parse, pixel / sample math,
+resize, hashing all operate on actual payload content). Formats that
+genuinely need external codecs (JPEG, MP4, ...) remain behind the explicit
+`multimodal.require_real_decoder` boundary.
 
 Implemented from the public format specifications:
 - BMP: BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER (40 bytes),
   uncompressed BI_RGB 24bpp, BGR pixel order, rows padded to 4 bytes,
   bottom-up unless height < 0.
+- PNG (RFC 2083 / W3C PNG spec): signature + IHDR/IDAT/IEND chunks,
+  zlib-inflated scanlines, filter types 0-4 (None/Sub/Up/Average/Paeth),
+  bit depth 8, color types 0/2/4/6 (gray, RGB, gray+alpha, RGBA),
+  non-interlaced.
 - WAV: RIFF/WAVE container, fmt chunk (PCM, format tag 1), data chunk of
   interleaved little-endian int16 samples.
 """
@@ -17,6 +22,7 @@ Implemented from the public format specifications:
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -66,6 +72,143 @@ def decode_bmp(data: bytes) -> np.ndarray | None:
     if not top_down:
         rows = rows[::-1]
     return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+# --------------------------------------------------------------------------
+# PNG
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (bit depth 8 only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB -> non-interlaced 8-bit truecolor PNG bytes
+    (filter type 0 rows — valid, just uncompressed-friendly)."""
+    h, w, c = pixels.shape
+    assert c == 3
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG row filters. raw is h rows of (1 filter byte + stride
+    bytes); returns (h, stride) uint8. Row-sequential by necessity (Up/
+    Average/Paeth reference the prior reconstructed row); within a row the
+    Sub/Average/Paeth recurrences run over numpy int16 views."""
+    rows = raw.reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int16)
+    for y in range(h):
+        ftype = int(rows[y, 0])
+        cur = rows[y, 1:].astype(np.int16)
+        if ftype == 0:  # None
+            rec = cur
+        elif ftype == 1:  # Sub
+            rec = cur.copy()
+            for i in range(bpp, stride):
+                rec[i] = (rec[i] + rec[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            rec = (cur + prior) & 0xFF
+        elif ftype == 3:  # Average
+            rec = cur.copy()
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (rec[i] + ((int(left) + int(prior[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            rec = cur.copy()
+            for i in range(stride):
+                a = int(rec[i - bpp]) if i >= bpp else 0
+                b = int(prior[i])
+                c = int(prior[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (rec[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+        prior = rec
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray | None:
+    """PNG bytes -> HxWx3 uint8 RGB, or None when not a parseable
+    non-interlaced 8-bit gray/RGB/gray+alpha/RGBA PNG. Alpha is dropped;
+    grayscale expands to 3 identical channels."""
+    if len(data) < len(_PNG_SIG) + 12 or not data.startswith(_PNG_SIG):
+        return None
+    pos = len(_PNG_SIG)
+    w = h = channels = None
+    idat = bytearray()
+    try:
+        while pos + 8 <= len(data):
+            size = struct.unpack_from(">I", data, pos)[0]
+            ctype = data[pos + 4 : pos + 8]
+            body = data[pos + 8 : pos + 8 + size]
+            if len(body) != size:
+                return None
+            if ctype == b"IHDR":
+                w, h, depth, color, comp, filt, interlace = struct.unpack(
+                    ">IIBBBBB", body
+                )
+                if (
+                    depth != 8
+                    or color not in _PNG_CHANNELS
+                    or comp != 0
+                    or filt != 0
+                    or interlace != 0
+                    or w == 0
+                    or h == 0
+                ):
+                    return None
+                channels = _PNG_CHANNELS[color]
+            elif ctype == b"IDAT":
+                idat += body
+            elif ctype == b"IEND":
+                break
+            pos += 12 + size  # len + type + body + crc
+        if w is None or channels is None or not idat:
+            return None
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    except (struct.error, zlib.error):
+        return None
+    stride = w * channels
+    if len(raw) != h * (1 + stride):
+        return None
+    try:
+        px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    except ValueError:
+        return None
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    if channels == 2:  # gray + alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3].copy()  # RGB / RGBA
+
+
+def decode_image(data: bytes) -> np.ndarray | None:
+    """Decode any supported real image format (BMP, PNG) to HxWx3 RGB."""
+    px = decode_bmp(data)
+    if px is None:
+        px = decode_png(data)
+    return px
 
 
 def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:

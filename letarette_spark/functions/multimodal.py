@@ -67,12 +67,13 @@ def _fake_decode_image(data: bytes) -> dict:
 
 
 def default_decode_image(data: bytes) -> dict:
-    """REAL decode for BMP payloads (pure numpy); deterministic fake for
-    anything else. mean_luma is normalized to [0, 1]; phash is the
-    classic 64-bit average hash over actual pixels."""
-    from letarette_spark.functions.codecs import average_hash64, decode_bmp, luma
+    """REAL decode for BMP and PNG payloads (pure numpy + stdlib zlib);
+    deterministic fake for anything else. mean_luma is normalized to
+    [0, 1]; phash is the classic 64-bit average hash over actual
+    pixels."""
+    from letarette_spark.functions.codecs import average_hash64, decode_image, luma
 
-    px = decode_bmp(data)
+    px = decode_image(data)
     if px is None:
         return _fake_decode_image(data)
     return {
@@ -159,9 +160,10 @@ def image_features(media: DataFrame) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """(media_id, data): REAL nearest-neighbor resize for BMP payloads
-    (decode -> numpy index resize -> re-encode BMP); other formats get the
-    deterministic fake payload (sha of payload + target dims)."""
+    """(media_id, data): REAL nearest-neighbor resize for BMP/PNG
+    payloads (decode -> numpy index resize -> re-encode BMP); other
+    formats get the deterministic fake payload (sha of payload + target
+    dims)."""
 
     out_schema = T.StructType(
         [
@@ -172,13 +174,13 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 
     def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from letarette_spark.functions.codecs import (
-            decode_bmp, encode_bmp, resize_nearest,
+            decode_image, encode_bmp, resize_nearest,
         )
 
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                px = decode_bmp(bytes(r.data))
+                px = decode_image(bytes(r.data))
                 if px is not None:
                     out = encode_bmp(resize_nearest(px, width, height))
                 else:

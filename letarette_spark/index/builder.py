@@ -473,6 +473,8 @@ class Index:
         """Drop cached DataFrame handles after storage-layout mutations
         (upserts, compaction) — stale handles reference deleted files."""
         self.__dict__.pop("_postings_df", None)
+        self.__dict__.pop("_term_stats_df", None)
+        self.__dict__.pop("_speling_df", None)
 
     @property
     def n_buckets(self) -> int | None:
@@ -572,12 +574,20 @@ class Index:
         return self._overlay(base, "docs").filter(F.col("rowid").isin(rowids))
 
     def term_stats(self) -> DataFrame:
-        from pyspark.errors import AnalysisException
-
-        try:
-            return self.spark.read.parquet(self.term_stats_dir())
-        except AnalysisException:  # empty index: no footers written
-            return self.spark.createDataFrame([], TERM_STATS_SCHEMA)
+        # known schema (no inference job) + one handle per Index (repeated
+        # queries skip re-listing); invalidate() drops the handle
+        cached = self.__dict__.get("_term_stats_df")
+        if cached is not None:
+            return cached
+        path = self.term_stats_dir()
+        if os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        ):
+            df = self.spark.read.schema(TERM_STATS_SCHEMA).parquet(path)
+        else:  # empty index: no footers written
+            df = self.spark.createDataFrame([], TERM_STATS_SCHEMA)
+        self.__dict__["_term_stats_df"] = df
+        return df
 
     def preload(self) -> None:
         """Warm the executor block cache (reference analog: preloadDB's

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import os
 from functools import lru_cache
+from functools import reduce as _reduce
 
 import pandas as pd
 from pyspark.sql import functions as F
@@ -254,48 +255,74 @@ def build_speling_table(index, min_count: int = 4, min_len: int = 4) -> str:
         .write.mode("overwrite")
         .parquet(out)
     )
+    index.__dict__.pop("_speling_df", None)  # rewrite invalidates the handle
+    return out
+
+
+def _hash_prefix(term: str, scope: int) -> str | None:
+    """spellfix1 candidate scope: the first *scope* chars of the phonetic
+    hash, shrinking for short hashes exactly as the vtab does; non-ASCII
+    terms have no candidates (editdist1 rejects them)."""
+    if any(ord(ch) > 127 for ch in term):
+        return None
+    h = phonetic_hash(term)
+    n = len(h)
+    if n <= scope:
+        scope = n - 1 if n > 2 else n
+    return h[:scope]
+
+
+def respell_terms(
+    index, terms: list[str], scope: int = 3, max_distance: int | None = None
+) -> dict[str, tuple[str, int] | None]:
+    """Best correction per term in ONE speling-table scan (a query with k
+    misspelled words costs one Spark job, not k).
+
+    spellfix1 candidate rule per term: dictionary words whose phonetic
+    hash shares the term's hash prefix; rank by
+    score = editdist1(term, word) + 32 - bit_length(cnt), return the
+    winner's word and raw distance (db_spelling.go:42-43 selects
+    word + distance of the top-1 by score)."""
+    out: dict[str, tuple[str, int] | None] = {t: None for t in terms}
+    path = os.path.join(index.root, "speling")
+    if not terms or not os.path.exists(path):
+        return out
+    prefixes = {
+        t: p for t in out if (p := _hash_prefix(t, scope)) is not None
+    }
+    if not prefixes:
+        return out
+    uniq = sorted(set(prefixes.values()))
+    cond = _reduce(
+        lambda a, b: a | b, [F.col("hash").startswith(p) for p in uniq]
+    )
+    # candidates for ALL query terms in one scan; the speling table is
+    # hash-partitioned so the prefix disjunction prunes row groups. The
+    # handle is cached per Index (known schema: no inference job, no
+    # re-listing across queries); Index.invalidate() drops it.
+    df = index.__dict__.get("_speling_df")
+    if df is None:
+        df = index.spark.read.schema(SPELING_SCHEMA).parquet(path)
+        index.__dict__["_speling_df"] = df
+    rows = df.filter(cond).select("term", "hash", "cnt").collect()
+    for t, prefix in prefixes.items():
+        best: tuple[int, int, str] | None = None  # (score, distance, word)
+        for r in rows:
+            if not r["hash"].startswith(prefix) or r["term"] == t:
+                continue
+            d = edit_distance(t, r["term"])
+            if d < 0:
+                continue
+            key = (spelling_score(d, int(r["cnt"])), d, r["term"])
+            if best is None or key < best:
+                best = key
+        if best is not None and (max_distance is None or best[1] <= max_distance):
+            out[t] = (best[2], best[1])
     return out
 
 
 def respell_term(
     index, term: str, scope: int = 3, max_distance: int | None = None
 ) -> tuple[str, int] | None:
-    """Best correction for *term*, or None.
-
-    spellfix1 candidate rule: dictionary words whose phonetic hash shares
-    the first *scope* characters of the query's hash (scope shrinks for
-    short hashes exactly as the vtab does); rank by
-    score = editdist1(term, word) + 32 - bit_length(cnt), return the
-    winner's word and raw distance (db_spelling.go:42-43 selects
-    word + distance of the top-1 by score)."""
-    path = os.path.join(index.root, "speling")
-    if not os.path.exists(path):
-        return None
-    if any(ord(ch) > 127 for ch in term):
-        return None  # editdist1 rejects non-ASCII; reference finds nothing
-    h = phonetic_hash(term)
-    n = len(h)
-    if n <= scope:
-        scope = n - 1 if n > 2 else n
-    prefix = h[:scope]
-    cand = (
-        index.spark.read.parquet(path)
-        .filter(F.col("hash").startswith(prefix))
-        .select("term", "cnt")
-        .collect()
-    )
-    best: tuple[int, int, str] | None = None  # (score, distance, word)
-    for r in cand:
-        if r["term"] == term:
-            continue
-        d = edit_distance(term, r["term"])
-        if d < 0:
-            continue
-        key = (spelling_score(d, int(r["cnt"])), d, r["term"])
-        if best is None or key < best:
-            best = key
-    if best is None:
-        return None
-    if max_distance is not None and best[1] > max_distance:
-        return None
-    return best[2], best[1]
+    """Single-term convenience wrapper over respell_terms."""
+    return respell_terms(index, [term], scope, max_distance)[term]

@@ -44,23 +44,31 @@ def run_housekeeping(
     spelling_max_lag: int = 100,
     stopword_cutoff: float = 0.01,
     compact_segments_over: int | None = 8,
+    rebuild_blocks: bool = True,
 ) -> dict:
     """One housekeeping pass — the analog of the reference's idle-cycle
     doHousekeeping (indexer.go:476-487, every 5 min): rebuild the spelling
     dictionary when its lag exceeds MaxLag (defaults 5/100, config.go:
     57-60), refresh auto-stopwords, and — the Spark analog of FTS5 merge
-    maintenance — compact when delta segments pile up. Returns what ran."""
+    maintenance — compact when delta segments pile up. Upserts and
+    compaction drop stale WAND blocks; once the index is segment-free
+    again, rebuild them so a churning index regains its block-max top-k
+    pruning path. Returns what ran."""
     from letarette_spark.index.auxiliary import update_stopwords
+    from letarette_spark.index.blocks import build_blocks, has_blocks
     from letarette_spark.index.builder import Index
     from letarette_spark.index.incremental import compact_index
     from letarette_spark.index.stats import spelling_lag
     from letarette_spark.query.spelling import build_speling_table
 
     index = Index.open(spark, index_root)
-    did = {"spelling": False, "stopwords": False, "compacted": False}
+    did = {"spelling": False, "stopwords": False, "compacted": False, "blocks": False}
     if compact_segments_over is not None and len(index.segments) > compact_segments_over:
         index = compact_index(spark, index_root)
         did["compacted"] = True
+    if rebuild_blocks and not index.segments and not has_blocks(index):
+        build_blocks(index)
+        did["blocks"] = True
     if spelling_lag(index, min_count=spelling_min_count) >= spelling_max_lag:
         build_speling_table(index, min_count=spelling_min_count)
         did["spelling"] = True

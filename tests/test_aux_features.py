@@ -132,6 +132,27 @@ class TestSpelling:
         res = s.search("zephyr", limit=5)
         assert res.respelt == "" and res.total_hits == 1
 
+    def test_respell_is_batched_two_jobs(self, spark, aux_index):
+        """A respell attempt costs two Spark jobs regardless of how many
+        words need correction: one term_stats existence scan + one speling
+        candidate scan (round-2 verdict task #6)."""
+        build_speling_table(aux_index, min_count=1, min_len=4)
+        s = Searcher(aux_index, stopwords=frozenset(), synonyms={})
+        sc = spark.sparkContext
+        group = "respell-batch-test"
+        sc.setJobGroup(group, "respell batching assertion")
+        try:
+            fixed, dist, changed = s._respell("parsur handlur zephir")
+        finally:
+            sc.setJobGroup(None, None)
+        assert changed and dist > 0
+        assert "parser" in fixed and "handler" in fixed and "zephyr" in fixed
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        assert 0 < len(jobs) <= 2, (
+            f"respell of 3 misspelled words ran {len(jobs)} jobs; "
+            "must batch into term_stats scan + speling scan"
+        )
+
 
 class TestResultCache:
     def test_cache_hit_status_and_timeout_not_cached(self, aux_index):

@@ -166,6 +166,48 @@ def test_upsert_invalidates_wand_blocks(spark, tmp_path):
     assert total == 0
 
 
+def test_housekeeping_rebuilds_wand_blocks(spark, tmp_path, monkeypatch):
+    """A churning index must regain the block-max fast path: upsert drops
+    the stale blocks, housekeeping compacts and REBUILDS them, and a
+    single-term query routes through wand_topk again with rank-identical
+    results (round-2 verdict task #3)."""
+    from letarette_spark.index.blocks import build_blocks, has_blocks
+    from letarette_spark.query import wand as wand_mod
+    from letarette_spark.streaming.indexer import run_housekeeping
+
+    root = str(tmp_path / "blk_rebuild")
+    build_index(spark, _docs_df(spark, BASE), root, config=CFG,
+                n_build_partitions=2, chunk_size=2)
+    build_blocks(Index.open(spark, root, CFG), block_size=16)
+
+    upsert_documents(spark, root, _docs_df(spark, UPDATES_1), batch_id=1)
+    upsert_documents(spark, root, _docs_df(spark, UPDATES_2), batch_id=2)
+    idx = Index.open(spark, root, CFG)
+    assert not has_blocks(idx) and idx.segments
+
+    did = run_housekeeping(spark, root, compact_segments_over=0)
+    assert did["compacted"] and did["blocks"]
+    idx = Index.open(spark, root, CFG)
+    assert has_blocks(idx) and not idx.segments
+
+    hits = []
+    real = wand_mod.wand_topk
+    monkeypatch.setattr(
+        wand_mod, "wand_topk",
+        lambda *a, **k: hits.append(1) or real(*a, **k),
+    )
+    # housekeeping refreshed auto-stopwords over the tiny corpus; pin an
+    # empty set so the FTS5 oracle comparison stays apples-to-apples
+    s = Searcher(idx, stopwords=frozenset(), synonyms={})
+    df, total, _ = s.search_df("quick", limit=10)
+    got = [(r["rowid"], r["score"]) for r in df.collect()]
+    assert hits, "single-term query must route through the WAND fast path"
+    expected = Fts5Index.build(FINAL).search('"quick"', limit=10)
+    assert [r for r, _ in got] == [r for r, _ in expected]
+    for (_, sg), (_, se) in zip(got, expected):
+        assert math.isclose(sg, se, rel_tol=1e-9, abs_tol=1e-12)
+
+
 def test_streaming_batch_latest_version_wins(spark, tmp_path):
     """A micro-batch carrying v1 and v2 of a document must index the row
     with the max updated_at (the reference serializes writes in order);

@@ -1,0 +1,260 @@
+"""Generate golden stem vectors from the compiled Snowball C library.
+
+The reference builds its FTS5 tokenizer against libstemmer_c from
+snowballstem.org (reference internal/snowball/byggfil fetches
+libstemmer_c.tgz; snowball.c:296 creates sb_stemmer_new("english",
+"UTF_8")). The published english stemmer IS the spec porter2.py implements;
+this tool drives the system's compiled libstemmer (ctypes, no toolchain
+needed) over a dense vocabulary — morphological expansions, rule-edge
+adversarials, and seeded random strings — and pins (word, stem) pairs to
+tests/data/snowball_english_goldens.tsv.gz.
+
+Same oracle technique as tests/spellfix_goldens.py (compiled-extension
+golden capture). Run: python tools/gen_snowball_goldens.py
+"""
+
+from __future__ import annotations
+
+import ctypes
+import gzip
+import os
+import random
+import sys
+
+LIB_CANDIDATES = [
+    "libstemmer.so.0d",
+    "libstemmer.so.0",
+    "libstemmer.so",
+    "/usr/lib/x86_64-linux-gnu/libstemmer.so.0d",
+]
+
+# ~300 English bases chosen to cover every suffix-rule family: varied R1/R2
+# placement, short words, y-forms, doubles, li-endings, e-endings.
+BASES = """
+run hop stop plan travel cancel begin win swim sit set get put cut hit
+make take give live love move prove use fuse abuse refuse accuse amuse
+hope rope tape note vote quote state create relate debate locate dictate
+educate operate generate separate celebrate communicate indicate replicate
+navigate irritate hesitate imitate motivate cultivate activate innovate
+code node mode ride hide side guide decide divide provide reside confide
+time line mine fine dine shine combine define refine decline incline
+care share spare stare declare compare prepare aware square dare bare
+file mile pile smile while style tile compile profile reconcile
+type hype pipe ripe stripe wipe snipe gripe
+name game frame blame flame shame tame fame claim aim maim
+deny defy rely reply apply supply imply comply multiply occupy
+cry dry fry try fly shy sky spy sly ply pry why
+play stay pray spray delay relay display decay dismay survey obey enjoy
+destroy deploy employ annoy buy say lay pay way day key monkey donkey
+happy heavy ready steady study worry hurry carry marry bury ferry tidy
+city pity duty beauty party army country county history victory factory
+ability stability visibility possibility probability responsibility
+activity creativity productivity sensitivity capacity velocity scarcity
+nation station relation situation solution evolution revolution caution
+tension mansion passion session mission question suggestion digestion
+logical magical typical critical radical medical musical physical
+national rational optional regional personal original final general
+communal arsenal generous generic generation communication arsenic
+conspicuous continuous ambiguous gorgeous courageous outrageous
+famous nervous various serious obvious previous curious furious
+good bad big small tall short long strong wrong young
+feed need seed speed breed greed bleed exceed proceed succeed indeed
+agree free three degree decree guarantee
+inning outing canning herring earring evening morning nothing something
+news atlas cosmos bias andes skis sky early only singly ugly gently idly
+die lie tie vie
+true blue glue due sue cue queue value issue tissue rescue argue
+full bull doll tell well bell fall ball call small skill drill thrill
+control patrol enrol install recall fulfil fulfill
+mean clean lean bean dean glean
+keep deep sleep steep creep sweep weep
+feel steel wheel kneel peel reel heel
+meet greet street sweet fleet sheet
+book look cook hook brook crook
+end bend send lend mend tend trend defend depend extend intend pretend
+act fact pact tact react enact impact contact abstract extract attract
+form norm storm inform reform perform transform conform
+port sort fort short sport report support export import transport
+system item problem theorem anthem emblem
+open happen listen often soften fasten hasten
+matter better letter bitter butter clutter flutter
+offer suffer differ prefer refer transfer confer infer
+order border murder wonder ponder thunder blunder
+member number slumber lumber timber amber chamber
+measure pleasure treasure leisure seizure closure exposure
+nature feature creature picture culture future lecture mixture
+analyse analyze paralyse paralyze catalyse catalyze
+size prize seize realize organize recognize apologize criticize
+rise wise advise devise revise surprise exercise
+base case chase phase praise raise
+house mouse blouse spouse arouse
+cause pause clause applause
+knit fit quit admit commit permit submit transmit omit emit remit
+bat cat mat rat flat chat combat format
+bag tag flag drag snag stag
+bed red wed shed sled shred embed
+dig fig pig twig rig jig
+dog log fog jog clog blog
+bug hug jug mug plug slug snug
+tax fax wax mix fix six box fox relax
+buzz fizz jazz quiz whiz
+arch march search branch launch lunch church
+wish fish dish push rush crush flush blush
+watch match catch pitch switch stretch scratch
+pass class glass grass press stress address process access success
+bus gas plus thus virus focus bonus status campus census
+analysis basis crisis thesis emphasis
+index vertex complex reflex
+echo hero potato tomato zero
+radio studio scenario portfolio
+area idea era ohm
+ski taxi alibi
+menu guru emu flu
+law saw draw claw flaw straw
+new few dew crew screw view review interview
+low grow flow slow snow show know throw borrow follow narrow
+cow how now vow allow endow
+ion eon neon lion
+oil boil soil spoil coil toil
+air fair hair chair repair affair
+ear fear hear near clear appear
+our four pour tour hour sour flour
+eye dye rye bye
+"""
+
+SUFFIXES = [
+    "", "s", "es", "ies", "ed", "ied", "ing", "ings", "eed", "eedly",
+    "ly", "edly", "ingly", "ful", "fully", "fulness", "less", "lessly",
+    "lessness", "ness", "ment", "ments", "ation", "ations", "ization",
+    "izations", "ational", "ationally", "ize", "izes", "ized", "izer",
+    "izers", "ator", "ators", "ance", "ances", "ence", "ences", "anci",
+    "enci", "ancy", "ency", "able", "ible", "ably", "ibly", "abli",
+    "ability", "ibility", "abilities", "al", "ally", "alism", "alities",
+    "aliti", "ality", "alize", "alized", "ic", "ical", "ically", "icate",
+    "icated", "iciti", "icity", "ism", "ist", "ists", "ity", "ities",
+    "ive", "ively", "iveness", "ous", "ously", "ousness", "ant", "ent",
+    "ently", "ion", "ions", "tion", "sion", "er", "ers", "est", "eth",
+    "ogi", "ogy", "logies", "li", "bli", "bility", "biliti", "ement",
+    "ements", "'s", "'s'", "'",
+]
+
+ADVERSARIAL = """
+a i o ab at it up us ax
+ay by my oy yy ya ye yo yu
+aa bb abba ebb add odd egg inn
+ee oo ooze eerie
+y ya yay yyy ygg ybb
+beauty beautiful beautifully beautifulness
+gener generate generates generated generating generation generational
+generically generosity generously
+commun communal communicate communication communism communist community
+arsen arsenal arsenic
+sky skies ski skis skiing
+die dies died dying lie lies lied lying tie ties tied tying
+idly gently ugly early only singly
+inning innings outing outings canning herring earring earrings
+proceed proceeds proceeded proceeding exceed exceeds succeed succeeding
+news howe atlas cosmos bias andes
+vilely vilify vilification
+argue argues argued arguing argument arguments
+skate skated skating
+oed eed eeds eedly
+conspicuous inconspicuous conspicuously
+congener congeners
+arsenical communes communes' commune's
+fluently efficiently sufficiently anciently
+cement cements element elements excrement agreement agreements
+feed feeds fed bleed bled
+dropp dropped dropping droppings
+controll controlled controlling controllable
+hopp hopped hopping hopped
+box boxes boxed boxing
+quiz quizzes quizzed quizzing
+whizz whizzed whizzes
+panic panicked panicking picnicking
+exity exitied
+luxuriously luxuriousness luxuriant
+multiply multiplied multiplies multiplying
+supply supplied supplies supplying
+crying dryings fryings tryingly
+played playing stays staying prayed praying
+enjoyed enjoying employed employing
+dyed dying dyeing eyeing eying
+agreed agreeing freed freeing treed
+radii fungi alumni
+potatoes tomatoes heroes echoes zeroes
+analyses bases crises theses emphases
+indices vertices appendices matrices
+l ll lll bell bells belle belles
+knightly knightly's wrightly
+succ success successful successfully unsuccessfully
+outgeneraled outgeneralled
+"""
+
+
+def load_lib() -> ctypes.CDLL:
+    last = None
+    for name in LIB_CANDIDATES:
+        try:
+            return ctypes.CDLL(name)
+        except OSError as e:  # pragma: no cover
+            last = e
+    raise SystemExit(f"libstemmer not found: {last}")
+
+
+class SnowballStemmer:
+    """ctypes driver for the compiled libstemmer (the library the
+    reference's byggfil links)."""
+
+    def __init__(self, lang: str = "english"):
+        lib = load_lib()
+        lib.sb_stemmer_new.restype = ctypes.c_void_p
+        lib.sb_stemmer_new.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+        lib.sb_stemmer_stem.restype = ctypes.POINTER(ctypes.c_ubyte)
+        lib.sb_stemmer_stem.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
+        lib.sb_stemmer_length.restype = ctypes.c_int
+        lib.sb_stemmer_length.argtypes = [ctypes.c_void_p]
+        self._lib = lib
+        self._st = lib.sb_stemmer_new(lang.encode(), b"UTF_8")
+        if not self._st:
+            raise SystemExit(f"sb_stemmer_new({lang!r}) failed")
+
+    def stem(self, word: str) -> str:
+        b = word.encode("utf-8")
+        r = self._lib.sb_stemmer_stem(self._st, b, len(b))
+        n = self._lib.sb_stemmer_length(self._st)
+        return bytes(r[:n]).decode("utf-8")
+
+
+def vocabulary(n_random: int = 15000, seed: int = 20240816) -> list[str]:
+    words: set[str] = set()
+    bases = BASES.split()
+    for b in bases:
+        for s in SUFFIXES:
+            words.add(b + s)
+    words.update(ADVERSARIAL.split())
+    rng = random.Random(seed)
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    weighted = alphabet + "aeiouy" * 3 + "'" + "s" * 2 + "e" * 2
+    for _ in range(n_random):
+        n = rng.randint(1, 14)
+        words.add("".join(rng.choice(weighted) for _ in range(n)))
+    return sorted(words)
+
+
+def main() -> None:
+    out = os.path.join(
+        os.path.dirname(__file__), "..", "tests", "data",
+        "snowball_english_goldens.tsv.gz",
+    )
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    st = SnowballStemmer("english")
+    vocab = vocabulary()
+    with gzip.open(out, "wt", encoding="utf-8") as f:
+        for w in vocab:
+            f.write(f"{w}\t{st.stem(w)}\n")
+    print(f"wrote {len(vocab)} vectors to {os.path.normpath(out)}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
