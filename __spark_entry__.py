@@ -116,6 +116,63 @@ def q_engine_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(F.col("rowid"), F.round("score", 6).alias("score"))
 
 
+def _engine_index_simple(spark: SparkSession, sf_dir: str):
+    """Simple-analyzer (no stemming) index with rowid = doc_id, so the full
+    engine query path has a value-exact DuckDB twin (stemming is the only
+    non-ANSI-SQL step; the analyzer supports turning it off)."""
+    from letarette_spark.analysis.tokenizer import AnalyzerConfig
+    from letarette_spark.index.builder import Index, LAYOUT_VERSION, build_index
+    from letarette_spark.index.manifest import Manifest
+
+    key = os.path.abspath(sf_dir) + "|simple"
+    if key in _ENGINE_CACHE:
+        return _ENGINE_CACHE[key]
+    root = os.path.join(
+        tempfile.gettempdir(), "letarette_spark_idx",
+        os.path.abspath(sf_dir).strip("/").replace("/", "_") + "_simple",
+    )
+    cfg = AnalyzerConfig(mode="simple")
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("doc_id").cast("long").alias("rowid"),
+        F.col("lang").alias("space"),
+        F.col("source").alias("title"),
+        F.col("text").alias("body"),
+        F.lit(True).alias("alive"),
+    )
+    import shutil
+
+    needs_build = True
+    if Manifest.exists(root):
+        try:
+            idx = Index.open(spark, root, cfg)
+            needs_build = idx.meta.get("layout") != LAYOUT_VERSION
+        except Exception:
+            needs_build = True
+    if needs_build:
+        shutil.rmtree(root, ignore_errors=True)
+        build_index(spark, docs, root, config=cfg, n_build_partitions=4, chunk_size=4)
+        idx = Index.open(spark, root, cfg)
+    _ENGINE_CACHE[key] = idx
+    return idx
+
+
+def q_engine_bm25_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine path — postings retrieval, NEAR(15) conjunction with
+    participant-filtered tf, BM25(5.0, 1.0), top-k — hash-verified against
+    a DuckDB twin that reproduces the NEAR interval algebra with nested
+    list lambdas (the simple analyzer makes tokenization SQL-expressible)."""
+    from letarette_spark.query.executor import Searcher
+
+    idx = _engine_index_simple(spark, sf_dir)
+    s = Searcher(idx, stopwords=frozenset(), synonyms={})
+    df, _t, _c = s.search_df("key value", limit=10)
+    return (
+        df.select("rowid", F.round("score", 6).alias("score"))
+        .orderBy("score", "rowid")
+    )
+
+
 def q_term_stats(spark, sf_dir):
     from letarette_spark.functions.simple_text import term_stats
 
@@ -369,6 +426,7 @@ def q_top_users_per_type(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "engine_bm25": q_engine_bm25,
+        "engine_bm25_simple": q_engine_bm25_simple,
         "term_stats": q_term_stats,
         "stopword_candidates": q_stopword_candidates,
         "doc_token_counts": q_doc_token_counts,
@@ -773,8 +831,74 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
                                          eb.embedding::DOUBLE[]) >= 0.3
         """,
-        # engine_bm25: engine-native (stemmed BM25 + NEAR semantics) — not
-        # ANSI-SQL expressible; correctness is covered by the live-FTS5
-        # rank-identity suites under tests/ (including a pre-stemmed FTS5
-        # scoring oracle for the default letarette mode).
+        # engine_bm25: engine-native (stemmed BM25 + NEAR semantics) — the
+        # stemmer is not ANSI-SQL expressible; correctness is covered by
+        # the live-FTS5 rank-identity suites under tests/ (including a
+        # pre-stemmed FTS5 scoring oracle for the default letarette mode).
+        # engine_bm25_simple below IS the full engine query path (postings
+        # -> NEAR -> participant tf -> BM25 -> top-k) with a value-exact
+        # twin: the simple analyzer removes the stemming step, and DuckDB
+        # nested list lambdas reproduce the NEAR interval algebra.
+        #
+        # NEAR participation for two single-word phrases (executor.py
+        # _near_participants with lens = [1, 1], near = 15): instance y of
+        # one phrase participates iff the other phrase has an instance z
+        # with |z - y| <= near + 1; a column contributes tf only when it
+        # holds a full cluster (both participant counts > 0); tf is the
+        # 5.0/1.0 column-weighted participant count; dl/avgdl are
+        # unweighted totals over BOTH columns; idf ln-clamped at 1e-6.
+        "engine_bm25_simple": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(source), '[^a-z0-9]+'),
+                                 x -> length(x) >= 2) AS ta,
+                     {_ARR} AS ba
+              FROM documents
+            ),
+            p AS (
+              SELECT doc_id,
+                     list_filter(range(len(ta)), i -> ta[i+1] = 'key')   AS t0,
+                     list_filter(range(len(ta)), i -> ta[i+1] = 'value') AS t1,
+                     list_filter(range(len(ba)), i -> ba[i+1] = 'key')   AS b0,
+                     list_filter(range(len(ba)), i -> ba[i+1] = 'value') AS b1,
+                     (len(ta) + len(ba))::DOUBLE AS dl
+              FROM d
+            ),
+            stats AS (
+              SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl,
+                     (SELECT count(*) FROM p WHERE len(t0) + len(b0) > 0)::DOUBLE AS df0,
+                     (SELECT count(*) FROM p WHERE len(t1) + len(b1) > 0)::DOUBLE AS df1
+              FROM p
+            ),
+            nearc AS (
+              SELECT doc_id, dl,
+                len(list_filter(t0, y -> len(list_filter(t1, z -> abs(z - y) <= 16)) > 0)) AS tc0,
+                len(list_filter(t1, y -> len(list_filter(t0, z -> abs(z - y) <= 16)) > 0)) AS tc1,
+                len(list_filter(b0, y -> len(list_filter(b1, z -> abs(z - y) <= 16)) > 0)) AS bc0,
+                len(list_filter(b1, y -> len(list_filter(b0, z -> abs(z - y) <= 16)) > 0)) AS bc1
+              FROM p
+            ),
+            tf AS (
+              SELECT doc_id, dl,
+                (CASE WHEN tc0 > 0 AND tc1 > 0 THEN 5.0 * tc0 ELSE 0 END)
+                  + (CASE WHEN bc0 > 0 AND bc1 > 0 THEN 1.0 * bc0 ELSE 0 END) AS tf0,
+                (CASE WHEN tc0 > 0 AND tc1 > 0 THEN 5.0 * tc1 ELSE 0 END)
+                  + (CASE WHEN bc0 > 0 AND bc1 > 0 THEN 1.0 * bc1 ELSE 0 END) AS tf1
+              FROM nearc
+              WHERE (tc0 > 0 AND tc1 > 0) OR (bc0 > 0 AND bc1 > 0)
+            )
+            SELECT rowid, round(score, 6) AS score FROM (
+              SELECT doc_id AS rowid,
+                -( (CASE WHEN ln((stats.n - stats.df0 + 0.5)/(stats.df0 + 0.5)) <= 0
+                         THEN 1e-6
+                         ELSE ln((stats.n - stats.df0 + 0.5)/(stats.df0 + 0.5)) END)
+                     * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / stats.avgdl))
+                 + (CASE WHEN ln((stats.n - stats.df1 + 0.5)/(stats.df1 + 0.5)) <= 0
+                         THEN 1e-6
+                         ELSE ln((stats.n - stats.df1 + 0.5)/(stats.df1 + 0.5)) END)
+                     * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / stats.avgdl)) ) AS score
+              FROM tf CROSS JOIN stats
+              ORDER BY score, rowid LIMIT 10
+            ) ORDER BY score, rowid
+        """,
     }

@@ -27,6 +27,13 @@ def main() -> None:
     ap.add_argument("--no-autocorrect", action="store_true")
     ap.add_argument("--timeout", type=float, default=30.0,
                     help="per-query budget in seconds (the reference's 4s default assumes a warm server; a cold Spark session needs more — the session is warmed before the budget is armed; <=0 disables)")
+    ap.add_argument("--preload", action="store_true",
+                    help="pin postings+docs in executor memory before the "
+                         "first query (reference analog: preloadDB's "
+                         "page-cache touch, db.go:504-540)")
+    ap.add_argument("--cache-size", type=int, default=0,
+                    help="enable the query result cache with this many "
+                         "entries (0 = off); cache stats print at exit")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -50,7 +57,15 @@ def main() -> None:
 
     par = spark.sparkContext.defaultParallelism
     spark.range(par * 4, numPartitions=par).select(_warm("id")).count()
+    if args.preload:
+        idx.preload()  # pin postings+docs executor-side (db.go:504-540)
     searcher = Searcher(idx, timeout=args.timeout if args.timeout > 0 else None)
+    cache = None
+    if args.cache_size > 0:
+        from letarette_spark.query.cache import CachingSearcher, ResultCache
+
+        cache = ResultCache(max_entries=args.cache_size)
+        searcher = CachingSearcher(searcher, cache)
     for q in args.query:
         t0 = time.perf_counter()
         res = searcher.search(
@@ -71,6 +86,8 @@ def main() -> None:
                 for h in res.hits
             ],
         }))
+    if cache is not None:
+        print(json.dumps({"cache_stats": cache.stats()}), file=sys.stderr)
     spark.stop()
 
 

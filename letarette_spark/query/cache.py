@@ -27,18 +27,30 @@ class ResultCache:
     max_entries: int = 1024
     ttl_seconds: float = 600.0  # reference default 10 min (config.go:72)
     _data: OrderedDict = field(default_factory=OrderedDict)
+    hits: int = 0
+    misses: int = 0
 
     def get(self, key: Hashable):
         now = time.monotonic()
         item = self._data.get(key)
         if item is None:
+            self.misses += 1
             return None
         ts, doc_ids, value = item
         if now - ts > self.ttl_seconds:
             del self._data[key]
+            self.misses += 1
             return None
         self._data.move_to_end(key)
+        self.hits += 1
         return value
+
+    def stats(self) -> dict:
+        return {
+            "entries": len(self._data),
+            "hits": self.hits,
+            "misses": self.misses,
+        }
 
     def put(self, key: Hashable, value, doc_ids: set) -> None:
         self._data[key] = (time.monotonic(), frozenset(doc_ids), value)
