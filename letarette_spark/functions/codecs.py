@@ -1,10 +1,12 @@
-"""Pure-numpy media codecs: 24-bit BMP, 8-bit PNG, and 16-bit PCM WAV.
+"""Pure-numpy media codecs: 24-bit BMP, 8-bit PNG, 16-bit PCM WAV (here)
+and baseline JPEG (functions/jpeg.py).
 
 These formats need no image/audio libraries — BMP/WAV are plain struct
-layouts and PNG is zlib (stdlib) + per-row unfiltering — so the multimodal
-pipeline's decode step is REAL for them (parse, pixel / sample math,
-resize, hashing all operate on actual payload content). Formats that
-genuinely need external codecs (JPEG, MP4, ...) remain behind the explicit
+layouts, PNG is zlib (stdlib) + per-row unfiltering, JPEG is canonical
+Huffman + matrix IDCT over numpy — so the multimodal pipeline's decode
+step is REAL for them (parse, pixel / sample math, resize, hashing all
+operate on actual payload content). Formats that genuinely need external
+codecs (video/MP4, progressive JPEG, ...) remain behind the explicit
 `multimodal.require_real_decoder` boundary.
 
 Implemented from the public format specifications:
@@ -204,10 +206,15 @@ def decode_png(data: bytes) -> np.ndarray | None:
 
 
 def decode_image(data: bytes) -> np.ndarray | None:
-    """Decode any supported real image format (BMP, PNG) to HxWx3 RGB."""
+    """Decode any supported real image format (BMP, PNG, baseline JPEG)
+    to HxWx3 RGB."""
     px = decode_bmp(data)
     if px is None:
         px = decode_png(data)
+    if px is None:
+        from letarette_spark.functions.jpeg import decode_jpeg
+
+        px = decode_jpeg(data)
     return px
 
 

@@ -67,10 +67,10 @@ def _fake_decode_image(data: bytes) -> dict:
 
 
 def default_decode_image(data: bytes) -> dict:
-    """REAL decode for BMP and PNG payloads (pure numpy + stdlib zlib);
-    deterministic fake for anything else. mean_luma is normalized to
-    [0, 1]; phash is the classic 64-bit average hash over actual
-    pixels."""
+    """REAL decode for BMP, PNG and baseline-JPEG payloads (pure
+    numpy/stdlib — see codecs.py and jpeg.py); deterministic fake for
+    anything else. mean_luma is normalized to [0, 1]; phash is the
+    classic 64-bit average hash over actual pixels."""
     from letarette_spark.functions.codecs import average_hash64, decode_image, luma
 
     px = decode_image(data)
@@ -93,9 +93,11 @@ def set_decoder(fn: Callable[[bytes], dict]) -> None:
 
 
 def require_real_decoder() -> None:
-    """The explicit stub boundary: no real codec ships in this container."""
+    """The explicit stub boundary for formats still without a real codec
+    here (video/MP4, progressive/arithmetic JPEG). BMP, PNG, baseline
+    JPEG and PCM WAV decode for real (codecs.py, jpeg.py)."""
     raise NotImplementedError(
-        "real image/audio decoding requires PIL/ffmpeg, not present here; "
+        "real video decoding requires ffmpeg, not present here; "
         "install one and call set_decoder()"
     )
 
@@ -160,7 +162,7 @@ def image_features(media: DataFrame) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """(media_id, data): REAL nearest-neighbor resize for BMP/PNG
+    """(media_id, data): REAL nearest-neighbor resize for BMP/PNG/JPEG
     payloads (decode -> numpy index resize -> re-encode BMP); other
     formats get the deterministic fake payload (sha of payload + target
     dims)."""

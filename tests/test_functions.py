@@ -404,6 +404,60 @@ class TestRealCodecs:
         assert a is not None and a.shape == (5, 6, 3)
         assert np.array_equal(a, b)
 
+    def test_jpeg_roundtrip_444_and_420(self):
+        """Baseline JPEG is REAL: DCT roundtrip error bounded, both
+        subsampling modes, garbage rejected, lossy-but-close gradient."""
+        import numpy as np
+
+        from letarette_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+        solid = np.full((16, 24, 3), (200, 64, 32), dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(solid, quality=95))
+        assert dec is not None and dec.shape == solid.shape
+        assert np.abs(dec.astype(int) - solid.astype(int)).max() <= 1
+
+        yy, xx = np.mgrid[0:37, 0:53]
+        grad = np.stack(
+            [np.clip(yy * 4, 0, 255), np.clip(xx * 3, 0, 255),
+             np.clip(yy + xx, 0, 255)], axis=2,
+        ).astype(np.uint8)
+        for sub, tol in (("444", 4), ("420", 12)):
+            dec = decode_jpeg(encode_jpeg(grad, quality=92, subsampling=sub))
+            assert dec is not None and dec.shape == grad.shape
+            err = np.abs(dec.astype(int) - grad.astype(int))
+            assert err.max() <= tol and err.mean() < 2.5, (sub, err.max())
+
+        # non-multiple-of-MCU dims, noise input: decodes to right shape
+        rng = np.random.default_rng(5)
+        noise = rng.integers(0, 256, size=(23, 29, 3), dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(noise, quality=90, subsampling="420"))
+        assert dec is not None and dec.shape == noise.shape
+
+        assert decode_jpeg(b"\xff\xd8\xff\xe0nonsense") is None
+        assert decode_jpeg(b"not a jpeg") is None
+
+    def test_jpeg_through_decode_image_and_features(self):
+        """JPEG payloads flow through decode_image -> luma/aHash like BMP;
+        feature values match the BMP path within JPEG's loss bound."""
+        import numpy as np
+
+        from letarette_spark.functions.codecs import (
+            average_hash64, decode_image, encode_bmp, luma,
+        )
+        from letarette_spark.functions.jpeg import encode_jpeg
+
+        yy, xx = np.mgrid[0:32, 0:32]
+        grad = np.stack(
+            [np.clip(yy * 8, 0, 255)] * 3, axis=2
+        ).astype(np.uint8)
+        a = decode_image(encode_jpeg(grad, quality=95))
+        b = decode_image(encode_bmp(grad))
+        assert a is not None and b is not None
+        assert abs(float(luma(a).mean()) - float(luma(b).mean())) < 2.0
+        # aHash is threshold-based on an 8x8 mean — stable under the tiny
+        # DCT loss for a smooth vertical gradient
+        assert average_hash64(a) == average_hash64(b)
+
     def test_wav_roundtrip_and_rms(self):
         import numpy as np
 
