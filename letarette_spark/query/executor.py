@@ -396,31 +396,26 @@ class Searcher:
         if spaces:
             cand = cand.filter(F.col("space").isin(spaces))
 
-        cand = cand.cache()
-        self._remember(cand)  # evicted at the next query
-
-        # the TotalHits count materializes the cached candidates; the
-        # participant UDF + scoring below reuse them
-        total = cand.count()
-        capped = total > self.cap
-        if capped:
-            # reference cap: the SQL binds cap+1 as the LIMIT, so the first
-            # cap+1 matches in rowid order are ranked while TotalHits still
-            # reports min(total, cap) (search_1.sql:29 with :cap bound to
-            # resultCap+1, db_search.go:93-96; protocol.go:156-158).
-            # localCheckpoint cuts the optimizer boundary: without it,
-            # Catalyst pushes the NEAR-UDF projection below GlobalLimit
-            # (projects commute with limits), leaving the Arrow evaluator
-            # bounded only per-partition. The checkpointed frame is <=
-            # cap+1 rows, so materialization is trivially cheap.
+        if k > 1:
+            # Bounded single heavy pass, mirroring FTS5's `LIMIT :cap+1`
+            # (search_1.sql:29 with :cap = resultCap+1, db_search.go:93-96):
+            # the first cap+1 matches in rowid order come out of ONE
+            # TakeOrdered heap over the JVM-matched frame — the reference
+            # never counts matches beyond cap+1 either, and TotalHits
+            # reports min(n, cap) identically. localCheckpoint persists
+            # that <= cap+1-row set AND cuts the optimizer boundary:
+            # without it Catalyst pushes the NEAR-UDF projection below the
+            # limit (projects commute with limits) or clones it into the
+            # ok-filter. Never cache the unbounded wide match frame.
             cand = cand.orderBy("rowid").limit(self.cap + 1).localCheckpoint(
                 eager=False
             )
-
-        if k > 1:
-            # participant-filtered tf for scoring (Arrow UDF) — runs over at
-            # most cap+1 rows, the same bound FTS5's LIMIT enforces; every
-            # row already passed the JVM cluster-existence filter
+            n = cand.count()
+            capped = n > self.cap
+            total = min(n, self.cap)
+            # participant-filtered tf for scoring (Arrow UDF) — sees only
+            # the checkpointed <= cap+1 rows; every row already passed the
+            # JVM cluster-existence filter
             ne = self._near_eval(k, [l for _h, _n, l in hits], NEAR_RANGE)
             cand = cand.withColumn("ne", ne).filter(F.col("ne.ok"))
             for i in range(k):
@@ -440,12 +435,22 @@ class Searcher:
             idf = F.when(raw_idf <= 0.0, F.lit(1e-6)).otherwise(raw_idf)
             tf = F.col(f"tfw_{i}")
             score = score + idf * tf * (K1 + 1.0) / (tf + denom_dl)
-        # cache the scored frame: the global sort's range sampling would
-        # otherwise recompute the UDF subtree a second time
+        # cache the scored frame (NARROW: rowid/space/score): the count
+        # below materializes it once and the global sort's range sampling
+        # reuses it instead of recomputing the joins/UDF
         cand = cand.select("rowid", "space", (-score).alias("score")).cache()
         self._remember(cand)  # evicted at the next query
+
+        if k == 1:
+            # single-phrase: scoring is pure JVM, so count over the scored
+            # narrow cache in one pass (round-2 flow), then truncate
+            total = cand.count()
+            capped = total > self.cap
+            total = min(total, self.cap)
+            if capped:
+                cand = cand.orderBy("rowid").limit(self.cap + 1)
         out = cand.orderBy("score", "rowid").offset(offset).limit(limit)
-        return out, min(total, self.cap), capped
+        return out, total, capped
 
     # ------------------------------------------------------------------
     def _with_deadline(self, fn):
