@@ -292,6 +292,13 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    from letarette_spark.functions.dedup import duplicate_clusters, jaccard_pairs
+
+    pairs = jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.05)
+    return duplicate_clusters(pairs).select("component", "size", "members")
+
+
 def q_embedding_dups(spark, sf_dir):
     from letarette_spark.functions.dedup import embedding_duplicate_pairs
 
@@ -442,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "embedding_dups": q_embedding_dups,
         "lsh_embedding_dups": q_lsh_embedding_dups,
         "bpe_token_count": q_bpe_token_count,
@@ -634,6 +642,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = cand.a
             JOIN sizes sb ON sb.doc_id = cand.b
             WHERE i / (sa.sz + sb.sz - i) >= 0.05
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE arr AS (SELECT doc_id, {_ARR} AS a FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                     unnest(list_transform(range(greatest(len(a) - 2, 0)),
+                            i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3])) AS shingle
+                   FROM arr),
+            sizes AS (SELECT doc_id, count(*)::DOUBLE AS sz FROM sh GROUP BY doc_id),
+            inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*)::DOUBLE AS i
+                      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                      GROUP BY x.doc_id, y.doc_id),
+            pairs AS (SELECT a, b FROM inter
+                      JOIN sizes sa ON sa.doc_id = a
+                      JOIN sizes sb ON sb.doc_id = b
+                      WHERE i / (sa.sz + sb.sz - i) >= 0.05),
+            edges AS (SELECT a AS u, b AS v FROM pairs
+                      UNION ALL SELECT b, a FROM pairs),
+            nodes AS (SELECT DISTINCT u AS id FROM edges),
+            reach(id, n) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT r.id, e.v FROM reach r JOIN edges e ON e.u = r.n
+            ),
+            comp AS (SELECT id, min(n) AS component FROM reach GROUP BY id)
+            SELECT component, count(*)::BIGINT AS size,
+                   array_to_string(list_sort(list(id::VARCHAR)), ',') AS members
+            FROM comp GROUP BY component
         """,
         "embedding_dups": """
             SELECT a.vec_id AS a, b.vec_id AS b,

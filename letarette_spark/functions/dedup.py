@@ -367,3 +367,124 @@ def lsh_embedding_duplicate_pairs(
         return verified.localCheckpoint()  # materialize the small pair set
     finally:
         buckets.unpersist()  # released even when the job fails
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, component) — connected components of the near-duplicate pair
+    graph; component = the minimum node id reachable from each node.
+
+    This is the missing last step of every dedup pipeline: pair emitters
+    (minhash_lsh_pairs / lsh_embedding_duplicate_pairs / jaccard_pairs)
+    produce edges, but keep/drop decisions need *clusters* — a doc dup'd
+    against B and C must land in one group with one canonical survivor
+    even when (B, C) was never emitted as a pair.
+
+    Algorithm: distributed min-label propagation with pointer doubling.
+    Each round (1) lowers every node's label to the min over its
+    neighbors' labels, then (2) short-circuits chains by relabeling to
+    the label's own label (p(u) := p(p(u)), the classic hook-and-jump
+    acceleration — see Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14, for the family). Labels are
+    monotonically non-increasing and bounded by the component minimum,
+    and a fixpoint of step (1) over symmetric edges is constant on every
+    component — so on convergence the label IS the component min. The
+    doubling step makes path-shaped components converge in O(log
+    diameter) rounds instead of O(diameter).
+
+    Scale: state is one narrow (id, comp) frame, all joins are keyed on
+    uniformly-distributed node ids (no skew concentration), each round
+    is localCheckpoint'ed so the loop's lineage stays flat, and the
+    convergence test rides the checkpoint action (no extra scan of the
+    edge set). Duplicate clusters are overwhelmingly tiny (near-dup
+    radius), so real corpora converge in 2-3 rounds.
+    """
+    e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    edges = edges.persist()
+    lab = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint()
+    )
+    try:
+        for _ in range(max_iter):
+            # (1) min over own label + neighbors' labels
+            nbr = (
+                edges.join(lab.withColumnRenamed("id", "v"), "v")
+                .groupBy("u")
+                .agg(F.min("comp").alias("ncomp"))
+                .withColumnRenamed("u", "id")
+            )
+            lowered = (
+                lab.join(nbr, "id", "left")
+                .select("id", F.least("comp", "ncomp").alias("comp"))
+            )
+            # (2) pointer doubling: comp := comp(comp)
+            target = lowered.select(
+                F.col("id").alias("comp"), F.col("comp").alias("tcomp")
+            )
+            doubled = (
+                lowered.join(target, "comp", "left")
+                .select("id", F.least("comp", "tcomp").alias("comp"))
+            )
+            nxt = doubled.localCheckpoint()
+            changed = (
+                nxt.join(lab.withColumnRenamed("comp", "prev"), "id")
+                .filter(F.col("comp") != F.col("prev"))
+                .limit(1)
+                .count()
+            )
+            lab = nxt
+            if changed == 0:
+                break
+        return lab.select("id", F.col("comp").alias("component"))
+    finally:
+        edges.unpersist()
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(component, size, members) — one row per duplicate cluster.
+
+    component doubles as the canonical (keep) id: it is the minimum
+    member, mirroring exact_duplicate_groups' deterministic choice."""
+    comp = connected_components(pairs, a_col, b_col, max_iter)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list(F.col("id").cast("string")))
+            ).alias("members"),
+        )
+    )
+
+
+def drop_duplicates_by_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Keep-canonical filter: drop every doc that belongs to a duplicate
+    cluster and is not its minimum member. Docs in no pair pass through.
+
+    Scale: the drop list is |dup docs| - |clusters| rows — a left_anti
+    join on the id, broadcast-eligible under AQE when small."""
+    comp = connected_components(pairs, a_col, b_col, max_iter)
+    losers = comp.filter(F.col("component") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -347,9 +347,17 @@ def build_index(
     )
     ts_tmp = os.path.join(root, "term_stats.tmp")
     ts_dir = os.path.join(root, "term_stats")
-    term_stats.repartitionByRange(
-        max(2, files_per_chunk), "term"
-    ).sortWithinPartitions("term").write.mode("overwrite").parquet(ts_tmp)
+    # repartitionByRange SAMPLES its child: without a persist the full
+    # postings scan + groupBy would run twice (sample pass + write pass).
+    # The aggregated frame is one row per term — cheap to hold; the range
+    # layout is worth it (term_stats lookups range-prune by term).
+    term_stats = term_stats.persist()
+    try:
+        term_stats.repartitionByRange(
+            max(2, files_per_chunk), "term"
+        ).sortWithinPartitions("term").write.mode("overwrite").parquet(ts_tmp)
+    finally:
+        term_stats.unpersist()
     if os.path.exists(ts_dir):
         shutil.rmtree(ts_dir)
     os.replace(ts_tmp, ts_dir)

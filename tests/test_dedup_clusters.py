@@ -1,0 +1,82 @@
+"""Duplicate clustering: connected components over near-dup pairs.
+
+Verified against a driver-side union-find on crafted + seeded random
+graphs (path graphs force the pointer-doubling acceleration to do real
+work; random graphs sweep cluster shapes)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from letarette_spark.functions.dedup import (
+    connected_components,
+    drop_duplicates_by_pairs,
+    duplicate_clusters,
+)
+
+
+def _union_find(edges):
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical = min member per component
+    comp_min: dict = {}
+    for x in list(parent):
+        r = find(x)
+        comp_min[r] = min(comp_min.get(r, x), x)
+    return {x: comp_min[find(x)] for x in parent}
+
+
+def _spark_components(spark, edges):
+    df = spark.createDataFrame(edges, "a: long, b: long")
+    out = connected_components(df)
+    return {r["id"]: r["component"] for r in out.collect()}
+
+
+def test_components_crafted(spark):
+    # two triangles bridged + an isolated pair + a 12-node path (worst
+    # case for naive propagation: diameter >> 1)
+    edges = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (3, 10), (20, 21)]
+    edges += [(100 + i, 101 + i) for i in range(11)]
+    got = _spark_components(spark, edges)
+    assert got == _union_find(edges)
+
+
+def test_components_random(spark):
+    rng = random.Random(7)
+    nodes = list(range(60))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes))
+        for _ in range(45)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    got = _spark_components(spark, edges)
+    assert got == _union_find(edges)
+
+
+def test_duplicate_clusters_and_drop(spark):
+    edges = [(5, 9), (9, 2), (30, 31)]
+    pairs = spark.createDataFrame(edges, "a: long, b: long")
+    clusters = {
+        r["component"]: (r["size"], r["members"])
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert clusters == {2: (3, "2,5,9"), 30: (2, "30,31")}
+
+    docs = spark.range(0, 40).select(F.col("id").alias("doc_id"), F.lit("x").alias("text"))
+    kept = drop_duplicates_by_pairs(docs, pairs)
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    # losers 5, 9, 31 dropped; canonical 2 and 30 kept; untouched docs kept
+    assert kept_ids == set(range(40)) - {5, 9, 31}

@@ -196,8 +196,10 @@ def main() -> None:
     summary["tokenize_efficiency_vs_ceiling"] = round(tok_ratio / ceiling, 3)
     print(json.dumps(summary))
 
+    # Write the generated section to a SCRATCH file (SCALING.md is
+    # hand-merged: it accumulates cross-round runs + analysis)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "SCALING.md"), "w") as f:
+    with open(os.path.join(repo, "SCALING_RUN.md"), "w") as f:
         f.write(
             "# Scaling evidence (north_rule: throughput efficiency >= 0.8 from N to 4N)\n\n"
             "Sandbox proxy for N vs 4N executors: the identical index-build job\n"
