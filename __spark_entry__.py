@@ -299,6 +299,14 @@ def q_dedup_clusters(spark, sf_dir):
     return duplicate_clusters(pairs).select("component", "size", "members")
 
 
+def q_near_dedup_kept(spark, sf_dir):
+    from letarette_spark.functions.dedup import near_dedup
+
+    return near_dedup(
+        _docs(spark, sf_dir), bands=4, rows_per_band=2, n=3, threshold=0.05
+    ).select("doc_id")
+
+
 def q_embedding_dups(spark, sf_dir):
     from letarette_spark.functions.dedup import embedding_duplicate_pairs
 
@@ -450,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "near_dedup_kept": q_near_dedup_kept,
         "embedding_dups": q_embedding_dups,
         "lsh_embedding_dups": q_lsh_embedding_dups,
         "bpe_token_count": q_bpe_token_count,
@@ -669,6 +678,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT component, count(*)::BIGINT AS size,
                    array_to_string(list_sort(list(id::VARCHAR)), ',') AS members
             FROM comp GROUP BY component
+        """,
+        "near_dedup_kept": f"""
+            WITH RECURSIVE arr AS (SELECT doc_id, {_ARR} AS a FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                     unnest(list_transform(range(greatest(len(a) - 2, 0)),
+                            i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3])) AS shingle
+                   FROM arr),
+            sig AS (SELECT doc_id,
+                    {", ".join(f"min(md5(shingle || '#' || '{i}')) AS s{i}" for i in range(8))}
+                    FROM sh GROUP BY doc_id),
+            banded AS (SELECT doc_id, unnest([
+                    md5('0' || '|' || s0 || '|' || s1),
+                    md5('1' || '|' || s2 || '|' || s3),
+                    md5('2' || '|' || s4 || '|' || s5),
+                    md5('3' || '|' || s6 || '|' || s7)]) AS bucket FROM sig),
+            cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                     FROM banded x JOIN banded y
+                     ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+            sizes AS (SELECT doc_id, count(*)::DOUBLE AS sz FROM sh GROUP BY doc_id),
+            inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*)::DOUBLE AS i
+                      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                      GROUP BY x.doc_id, y.doc_id),
+            pairs AS (SELECT cand.a, cand.b FROM cand
+                      JOIN inter ON inter.a = cand.a AND inter.b = cand.b
+                      JOIN sizes sa ON sa.doc_id = cand.a
+                      JOIN sizes sb ON sb.doc_id = cand.b
+                      WHERE i / (sa.sz + sb.sz - i) >= 0.05),
+            edges AS (SELECT a AS u, b AS v FROM pairs
+                      UNION ALL SELECT b, a FROM pairs),
+            nodes AS (SELECT DISTINCT u AS id FROM edges),
+            reach(id, n) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT r.id, e.v FROM reach r JOIN edges e ON e.u = r.n
+            ),
+            comp AS (SELECT id, min(n) AS component FROM reach GROUP BY id)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT id FROM comp WHERE id != component)
         """,
         "embedding_dups": """
             SELECT a.vec_id AS a, b.vec_id AS b,

@@ -488,3 +488,25 @@ def drop_duplicates_by_pairs(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def near_dedup(
+    df: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    n: int = 3,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One-call near-dedup: the full training-data pipeline composed —
+    MinHash-LSH candidate pairs (linear), exact-Jaccard verification
+    (candidate-scoped), connected components, keep the minimum member of
+    each duplicate cluster, pass everything else through.
+
+    Returns *df* minus the non-canonical duplicates. Every stage is the
+    scale path: no operator in the chain is super-linear in corpus size."""
+    pairs = minhash_lsh_pairs(
+        df, bands, rows_per_band, n, threshold, id_col, text_col
+    )
+    return drop_duplicates_by_pairs(df, pairs, id_col)

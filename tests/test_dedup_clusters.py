@@ -66,6 +66,32 @@ def test_components_random(spark):
     assert got == _union_find(edges)
 
 
+def test_near_dedup_end_to_end(spark):
+    from pyspark.sql import Row
+
+    from letarette_spark.functions.dedup import minhash_lsh_pairs, near_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        Row(doc_id=i, text=f"unique document {i} " + base + f" tail {i}")
+        for i in range(10)
+    ]
+    # clones of doc 0 and of doc 3 (near-identical text -> LSH pairs)
+    rows += [Row(doc_id=100, text=rows[0].text + " x"),
+             Row(doc_id=101, text=rows[0].text + " y"),
+             Row(doc_id=103, text=rows[3].text + " z")]
+    docs = spark.createDataFrame(rows)
+    kept = {r["doc_id"] for r in near_dedup(docs, threshold=0.5).collect()}
+    # canonical (min id) survives each cluster; uniques pass through
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    losers = set()
+    comp = _union_find([(r["a"], r["b"]) for r in pairs.collect()])
+    losers = {x for x, c in comp.items() if x != c}
+    assert losers  # the clones were actually paired
+    assert kept == {r.doc_id for r in rows} - losers
+    assert 100 not in kept and 101 not in kept and 103 not in kept
+
+
 def test_duplicate_clusters_and_drop(spark):
     edges = [(5, 9), (9, 2), (30, 31)]
     pairs = spark.createDataFrame(edges, "a: long, b: long")
