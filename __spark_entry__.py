@@ -51,35 +51,42 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ENGINE_CACHE: dict[str, object] = {}
 
 
-def _engine_index(spark: SparkSession, sf_dir: str):
-    from letarette_spark.analysis.tokenizer import AnalyzerConfig
-    from letarette_spark.index.builder import Index, build_index
+def _engine_index_cached(
+    spark: SparkSession, sf_dir: str, mode: str = "porter",
+    suffix: str = "", with_rowid: bool = False,
+):
+    """Build-or-reuse an engine index for the driver gate, cached in-process
+    and under /tmp across driver invocations. ONE implementation of the
+    layout-version cache-wipe guard (rebuild when absent or when a prior
+    run left an older storage layout behind) for every analyzer variant."""
+    import shutil
 
-    key = os.path.abspath(sf_dir)
+    from letarette_spark.analysis.tokenizer import AnalyzerConfig
+    from letarette_spark.index.builder import Index, LAYOUT_VERSION, build_index
+    from letarette_spark.index.manifest import Manifest
+
+    key = os.path.abspath(sf_dir) + (f"|{suffix}" if suffix else "")
     if key in _ENGINE_CACHE:
         return _ENGINE_CACHE[key]
     root = os.path.join(
-        tempfile.gettempdir(), "letarette_spark_idx", key.strip("/").replace("/", "_")
+        tempfile.gettempdir(), "letarette_spark_idx",
+        os.path.abspath(sf_dir).strip("/").replace("/", "_")
+        + (f"_{suffix}" if suffix else ""),
     )
-    cfg = AnalyzerConfig(mode="porter")
-    docs = _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("doc_id"),
+    cfg = AnalyzerConfig(mode=mode)
+    cols = [F.col("doc_id").cast("string").alias("doc_id")]
+    if with_rowid:
+        cols.append(F.col("doc_id").cast("long").alias("rowid"))
+    cols += [
         F.col("lang").alias("space"),
         F.col("source").alias("title"),
         F.col("text").alias("body"),
         F.lit(True).alias("alive"),
-    )
-    import shutil
-
-    from letarette_spark.index.manifest import Manifest
-
-    # rebuild when absent OR when a previous run left an older storage
-    # layout behind (/tmp persists across driver invocations)
+    ]
+    docs = _docs(spark, sf_dir).select(*cols)
     needs_build = True
     if Manifest.exists(root):
         try:
-            from letarette_spark.index.builder import LAYOUT_VERSION
-
             idx = Index.open(spark, root, cfg)
             needs_build = idx.meta.get("layout") != LAYOUT_VERSION
         except Exception:
@@ -90,6 +97,10 @@ def _engine_index(spark: SparkSession, sf_dir: str):
         idx = Index.open(spark, root, cfg)
     _ENGINE_CACHE[key] = idx
     return idx
+
+
+def _engine_index(spark: SparkSession, sf_dir: str):
+    return _engine_index_cached(spark, sf_dir)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -120,41 +131,9 @@ def _engine_index_simple(spark: SparkSession, sf_dir: str):
     """Simple-analyzer (no stemming) index with rowid = doc_id, so the full
     engine query path has a value-exact DuckDB twin (stemming is the only
     non-ANSI-SQL step; the analyzer supports turning it off)."""
-    from letarette_spark.analysis.tokenizer import AnalyzerConfig
-    from letarette_spark.index.builder import Index, LAYOUT_VERSION, build_index
-    from letarette_spark.index.manifest import Manifest
-
-    key = os.path.abspath(sf_dir) + "|simple"
-    if key in _ENGINE_CACHE:
-        return _ENGINE_CACHE[key]
-    root = os.path.join(
-        tempfile.gettempdir(), "letarette_spark_idx",
-        os.path.abspath(sf_dir).strip("/").replace("/", "_") + "_simple",
+    return _engine_index_cached(
+        spark, sf_dir, mode="simple", suffix="simple", with_rowid=True
     )
-    cfg = AnalyzerConfig(mode="simple")
-    docs = _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        F.col("doc_id").cast("long").alias("rowid"),
-        F.col("lang").alias("space"),
-        F.col("source").alias("title"),
-        F.col("text").alias("body"),
-        F.lit(True).alias("alive"),
-    )
-    import shutil
-
-    needs_build = True
-    if Manifest.exists(root):
-        try:
-            idx = Index.open(spark, root, cfg)
-            needs_build = idx.meta.get("layout") != LAYOUT_VERSION
-        except Exception:
-            needs_build = True
-    if needs_build:
-        shutil.rmtree(root, ignore_errors=True)
-        build_index(spark, docs, root, config=cfg, n_build_partitions=4, chunk_size=4)
-        idx = Index.open(spark, root, cfg)
-    _ENGINE_CACHE[key] = idx
-    return idx
 
 
 def q_engine_bm25_simple(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -112,8 +112,12 @@ def encode_png(pixels: np.ndarray) -> bytes:
 def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     """Reverse PNG row filters. raw is h rows of (1 filter byte + stride
     bytes); returns (h, stride) uint8. Row-sequential by necessity (Up/
-    Average/Paeth reference the prior reconstructed row); within a row the
-    Sub/Average/Paeth recurrences run over numpy int16 views."""
+    Average/Paeth reference the prior reconstructed row). None/Up are
+    whole-row numpy ops and Sub is a per-channel-lane cumsum; Average and
+    Paeth are inherently element-sequential (the predictor needs the just-
+    reconstructed left byte through a floor/abs nonlinearity), so they run
+    as plain-int list loops — still linear in pixels, no numpy scalar-
+    indexing overhead."""
     rows = raw.reshape(h, 1 + stride)
     out = np.zeros((h, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.int16)
@@ -123,26 +127,31 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
         if ftype == 0:  # None
             rec = cur
         elif ftype == 1:  # Sub
-            rec = cur.copy()
-            for i in range(bpp, stride):
-                rec[i] = (rec[i] + rec[i - bpp]) & 0xFF
+            # rec[i] = cur[i] + rec[i-bpp] (mod 256) == per-lane prefix sum
+            rec = (
+                np.cumsum(cur.reshape(-1, bpp).astype(np.int64), axis=0) & 0xFF
+            ).reshape(stride).astype(np.int16)
         elif ftype == 2:  # Up
             rec = (cur + prior) & 0xFF
         elif ftype == 3:  # Average
-            rec = cur.copy()
+            rl = cur.tolist()
+            pl = prior.tolist()
             for i in range(stride):
-                left = rec[i - bpp] if i >= bpp else 0
-                rec[i] = (rec[i] + ((int(left) + int(prior[i])) >> 1)) & 0xFF
+                left = rl[i - bpp] if i >= bpp else 0
+                rl[i] = (rl[i] + ((left + pl[i]) >> 1)) & 0xFF
+            rec = np.asarray(rl, dtype=np.int16)
         elif ftype == 4:  # Paeth
-            rec = cur.copy()
+            rl = cur.tolist()
+            pl = prior.tolist()
             for i in range(stride):
-                a = int(rec[i - bpp]) if i >= bpp else 0
-                b = int(prior[i])
-                c = int(prior[i - bpp]) if i >= bpp else 0
+                a = rl[i - bpp] if i >= bpp else 0
+                b = pl[i]
+                c = pl[i - bpp] if i >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                rec[i] = (rec[i] + pred) & 0xFF
+                rl[i] = (rl[i] + pred) & 0xFF
+            rec = np.asarray(rl, dtype=np.int16)
         else:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = rec.astype(np.uint8)

@@ -169,7 +169,12 @@ class _BitReader:
         if self.nbits == 0 and not self._fill():
             raise EOFError
         self.nbits -= 1
-        return (self.cur >> self.nbits) & 1
+        bit = (self.cur >> self.nbits) & 1
+        # drop the consumed bit: cur must stay < 2^nbits, else every _fill
+        # shift grows an unbounded bigint and decode goes quadratic in
+        # scan size (measured 37.5s -> 0.55s on a 256x256 baseline JPEG)
+        self.cur &= (1 << self.nbits) - 1
+        return bit
 
     def receive(self, n: int) -> int:
         v = 0
