@@ -572,3 +572,23 @@ class TestReviewRegressions:
         # +1 = the localCheckpoint of the returned pair set itself; all
         # intermediate shingle/candidate caches must be gone
         assert after <= before + 1, "dedup call leaked persisted RDDs"
+
+    def test_jpeg_bitreader_state_stays_bounded(self):
+        # regression: consumed bits must be dropped from `cur`, otherwise
+        # it grows into a bigint and decode goes quadratic in scan size
+        from letarette_spark.functions.jpeg import _BitReader
+
+        data = bytes(range(1, 251)) * 40  # 10 KB, no FF markers
+        r = _BitReader(data, 0)
+        reads = 0
+        try:
+            while True:
+                r.read_bit()
+                reads += 1
+                assert r.cur.bit_length() <= 40, (
+                    f"BitReader accumulated {r.cur.bit_length()} bits "
+                    f"after {reads} reads"
+                )
+        except EOFError:
+            pass
+        assert reads == len(data) * 8
