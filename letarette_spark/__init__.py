@@ -57,4 +57,15 @@ def __getattr__(name):
         from letarette_spark.session import get_spark
 
         return get_spark
+    if name in (
+        "near_dedup",
+        "connected_components",
+        "duplicate_clusters",
+        "drop_duplicates_by_pairs",
+        "minhash_lsh_pairs",
+        "lsh_embedding_duplicate_pairs",
+    ):
+        from letarette_spark.functions import dedup
+
+        return getattr(dedup, name)
     raise AttributeError(name)
