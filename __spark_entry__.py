@@ -653,10 +653,18 @@ def oracle_sql() -> dict[str, str]:
                 UNION
                 SELECT r.id, e.v FROM reach r JOIN edges e ON e.u = r.n
             ),
-            comp AS (SELECT id, min(n) AS component FROM reach GROUP BY id)
-            SELECT component, count(*)::BIGINT AS size,
-                   array_to_string(list_sort(list(id::VARCHAR)), ',') AS members
-            FROM comp GROUP BY component
+            comp AS (SELECT id, min(n) AS component FROM reach GROUP BY id),
+            -- members capped at the 128 smallest per cluster, exactly like
+            -- duplicate_clusters(max_members=128)'s row_number bound
+            bounded AS (SELECT id, component,
+                        row_number() OVER (PARTITION BY component ORDER BY id) AS rn
+                        FROM comp)
+            SELECT c.component, c.size, b.members FROM
+              (SELECT component, count(*)::BIGINT AS size FROM comp GROUP BY component) c
+              JOIN (SELECT component,
+                    array_to_string(list_sort(list(id::VARCHAR)), ',') AS members
+                    FROM bounded WHERE rn <= 128 GROUP BY component) b
+              USING (component)
         """,
         "near_dedup_kept": f"""
             WITH RECURSIVE arr AS (SELECT doc_id, {_ARR} AS a FROM documents),

@@ -443,6 +443,15 @@ def connected_components(
             lab = nxt
             if changed == 0:
                 break
+        else:
+            # loop exhausted without the fixpoint break: labels may not be
+            # component minima, and a silent return would make downstream
+            # keep/drop decisions wrong. Unreachable in practice — pointer
+            # doubling converges in O(log diameter) rounds, so max_iter=50
+            # covers diameters beyond 2^49 — but fail loudly if it happens.
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds"
+            )
         return lab.select("id", F.col("comp").alias("component"))
     finally:
         edges.unpersist()
@@ -453,21 +462,38 @@ def duplicate_clusters(
     a_col: str = "a",
     b_col: str = "b",
     max_iter: int = 50,
+    max_members: int = 128,
 ) -> DataFrame:
     """(component, size, members) — one row per duplicate cluster.
 
     component doubles as the canonical (keep) id: it is the minimum
-    member, mirroring exact_duplicate_groups' deterministic choice."""
+    member, mirroring exact_duplicate_groups' deterministic choice.
+
+    ``members`` lists AT MOST *max_members* ids (the smallest by sort
+    order); ``size`` is always exact. At 100-TB scale a boilerplate
+    mega-cluster can have 10^7+ members — an unbounded collect_list would
+    concentrate the whole cluster into one in-memory row. The bound is
+    applied BEFORE any per-cluster collection: a row_number window keeps
+    only the first max_members rows per component (the window sort spills
+    to disk; a giant list row cannot), so the aggregated roster row is
+    O(max_members) regardless of cluster size. Callers that need the full
+    roster use connected_components(), which stays one narrow row per
+    member."""
+    from pyspark.sql import Window
+
     comp = connected_components(pairs, a_col, b_col, max_iter)
-    return (
-        comp.groupBy("component")
-        .agg(
-            F.count(F.lit(1)).alias("size"),
-            F.concat_ws(
-                ",", F.sort_array(F.collect_list(F.col("id").cast("string")))
-            ).alias("members"),
-        )
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    w = Window.partitionBy("component").orderBy("id")
+    bounded = (
+        comp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_members)
     )
+    roster = bounded.groupBy("component").agg(
+        F.concat_ws(
+            ",", F.sort_array(F.collect_list(F.col("id").cast("string")))
+        ).alias("members")
+    )
+    return sizes.join(roster, "component").select("component", "size", "members")
 
 
 def drop_duplicates_by_pairs(

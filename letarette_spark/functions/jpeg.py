@@ -234,6 +234,12 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             return None
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — skip them so seglen is read from the real segment
+        while pos + 4 <= len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(data):
+            return None
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             return None  # reached EOI without a scan

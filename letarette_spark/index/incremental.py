@@ -194,13 +194,19 @@ def upsert_documents(
     root: str,
     docs: DataFrame,
     batch_id: int | None = None,
+    caches: "tuple | list" = (),
 ) -> Index:
     """Apply a batch of document updates (insert / replace / tombstone).
 
     ``docs`` columns: (doc_id, space, title, body, alive), one row per
     doc_id; rows with alive=false delete the document (reference keeps the
     doc row but removes it from the FTS index — same observable behavior
-    here)."""
+    here).
+
+    ``caches``: ResultCache instances to invalidate per updated docID
+    (reference: indexer.go:82-84 calls cache.Invalidate per update,
+    cache.go:183-185); batches too large to enumerate clear the caches
+    wholesale."""
     index = Index.open(spark, root)
     man = Manifest.load(root)
     if batch_id is not None and batch_id in index.meta.get("applied_batches", []):
@@ -300,6 +306,22 @@ def upsert_documents(
     man.commit_snapshot(meta)  # ← the atomic commit point
     index.meta = man.state
     index.invalidate()
+    if caches:
+        # per-docID result-cache invalidation (cache.go:183-185). The
+        # doc_id list is bounded like batch_rowids; a huge batch clears.
+        ids = [
+            r["doc_id"]
+            for r in docs.select("doc_id")
+            .distinct()
+            .limit(MERGE_MAX_BATCH + 1)
+            .collect()
+        ]
+        for c in caches:
+            if len(ids) > MERGE_MAX_BATCH:
+                c.clear()
+            else:
+                for d in ids:
+                    c.invalidate_doc(d)
     docs.unpersist()
 
     # post-commit GC of unreferenced dirs + stale WAND blocks

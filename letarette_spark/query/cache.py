@@ -17,9 +17,22 @@ from typing import Hashable
 from letarette_spark.query.parser import canonicalize, parse_query, reduce_phrases
 
 
-def cache_key(query: str, spaces: list[str] | None, limit: int, offset: int) -> Hashable:
+def cache_key(
+    query: str, spaces: list[str] | None, limit: int, offset: int, **opts
+) -> Hashable:
+    """Canonical cache key. Any option that changes the observable result
+    (autocorrect can rewrite the query, snippets/strategy change hit
+    payloads) MUST ride in the key — otherwise a respelt or
+    snippet-bearing result would be served to a caller that disabled
+    those flags."""
     phrases = canonicalize(reduce_phrases(parse_query(query)))
-    return (phrases, tuple(sorted(spaces or [])), limit, offset)
+    return (
+        phrases,
+        tuple(sorted(spaces or [])),
+        limit,
+        offset,
+        tuple(sorted(opts.items())),
+    )
 
 
 @dataclass
@@ -78,7 +91,7 @@ class CachingSearcher:
         self.cache = cache or ResultCache()
 
     def search(self, query, spaces=None, limit=10, offset=0, **kw):
-        key = cache_key(query, spaces, limit, offset)
+        key = cache_key(query, spaces, limit, offset, **kw)
         hit = self.cache.get(key)
         if hit is not None:
             # reference marks served-from-cache responses distinctly

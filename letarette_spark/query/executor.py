@@ -89,6 +89,10 @@ class Searcher:
     timeout: float | None = None  # seconds per query; reference default 4s
     stopwords: frozenset[str] | None = None     # None -> load from index
     synonyms: dict[str, list[str]] | None = None  # None -> load from index
+    # optional result cache (reference: 250MB/10min LRU, config.go:71-72;
+    # served hits are marked cache_hit, searcher.go:95-97). Invalidated
+    # per-doc by upsert_documents(caches=[...]) like cache.go:183-185.
+    cache: "object | None" = None  # letarette_spark.query.cache.ResultCache
 
     def __post_init__(self):
         from letarette_spark.index.auxiliary import load_stopwords, load_synonyms
@@ -510,14 +514,31 @@ class Searcher:
         an empty result with status='timeout' instead of raising, exactly
         like the reference maps interrupts to SearchStatusTimeout
         (searcher.go:107-118)."""
+        key = None
+        if self.cache is not None:
+            from dataclasses import replace as _dc_replace
+
+            from letarette_spark.query.cache import cache_key
+
+            key = cache_key(
+                query, spaces, limit, offset,
+                autocorrect=autocorrect, snippets=snippets, strategy=strategy,
+            )
+            hit = self.cache.get(key)
+            if hit is not None:
+                return _dc_replace(hit, status="cache_hit")
         try:
-            return self._with_deadline(
+            res = self._with_deadline(
                 lambda: self._search_impl(
                     query, spaces, limit, offset, autocorrect, snippets, strategy
                 )
             )
         except SearchTimeout:
             return SearchResult([], 0, False, status="timeout")
+        if key is not None:
+            # only successful searches are cached (searcher.go:98-103)
+            self.cache.put(key, res, {h.doc_id for h in res.hits})
+        return res
 
     # ------------------------------------------------------------------
     def search_terms_df(

@@ -186,6 +186,71 @@ class TestResultCache:
         assert dropped == 1
         assert s.search("parser", limit=5).status == "index_hit"  # re-computed
 
+    def test_option_variance_is_keyed(self, aux_index):
+        """Calls differing only in snippets/autocorrect/strategy must not
+        share a cache entry (a snippet-bearing result would otherwise be
+        served to a caller that disabled snippets)."""
+        from letarette_spark.query.cache import CachingSearcher
+
+        s = CachingSearcher(Searcher(aux_index, stopwords=frozenset(), synonyms={}))
+        with_snip = s.search("parser", limit=5, snippets=True)
+        assert with_snip.status == "index_hit" and with_snip.hits[0].snippet
+        no_snip = s.search("parser", limit=5, snippets=False)
+        assert no_snip.status == "index_hit"  # distinct key -> recomputed
+        assert no_snip.hits[0].snippet == ""
+        # each variant now hits its own entry
+        assert s.search("parser", limit=5, snippets=True).status == "cache_hit"
+        assert s.search("parser", limit=5, snippets=False).status == "cache_hit"
+
+    def test_searcher_integrated_cache_upsert_invalidation(
+        self, spark, tmp_path_factory
+    ):
+        """Searcher(cache=...) serves cache_hit; upsert_documents with the
+        cache registered invalidates per updated docID (reference:
+        indexer.go:82-84 + cache.go:183-185): hit -> upsert -> miss."""
+        from letarette_spark.index.incremental import upsert_documents
+        from letarette_spark.query.cache import ResultCache
+
+        root = str(tmp_path_factory.mktemp("cache_upsert_idx"))
+        sdf = spark.createDataFrame(
+            [
+                {"doc_id": f"d{r}", "rowid": r, "space": "main", "title": t,
+                 "body": b, "alive": True}
+                for r, t, b in DOCS
+            ]
+        )
+        cfg = AnalyzerConfig(mode="porter")
+        build_index(spark, sdf, root, config=cfg, n_build_partitions=2, chunk_size=2)
+        cache = ResultCache()
+        s = Searcher(
+            Index.open(spark, root, cfg),
+            stopwords=frozenset(), synonyms={}, cache=cache,
+        )
+        r1 = s.search("parser", limit=5)
+        assert r1.status == "index_hit" and r1.hits
+        assert s.search("parser", limit=5).status == "cache_hit"
+        # an unrelated query's entry must survive the upsert below
+        r_other = s.search("zephyr", limit=5)
+        assert r_other.hits and r_other.hits[0].doc_id != r1.hits[0].doc_id
+
+        hit_doc = r1.hits[0].doc_id
+        upd = spark.createDataFrame(
+            [{"doc_id": hit_doc, "space": "main", "title": "updated",
+              "body": "totally different text now", "alive": True,
+              "rowid": int(hit_doc[1:])}]
+        )
+        upsert_documents(spark, root, upd, caches=[cache])
+        # a fresh searcher sees the new snapshot; the shared cache was
+        # invalidated for exactly the updated doc
+        s2 = Searcher(
+            Index.open(spark, root, cfg),
+            stopwords=frozenset(), synonyms={}, cache=cache,
+        )
+        # miss: recomputed against the new snapshot (the updated doc no
+        # longer matches, so the status may be no_hit — never cache_hit)
+        assert s2.search("parser", limit=5).status != "cache_hit"
+        assert s2.search("zephyr", limit=5).status == "cache_hit"  # survived
+
 
 class TestSpellfixExactness:
     def test_editdist1_and_phonetic_hash_goldens(self):

@@ -92,6 +92,33 @@ def test_near_dedup_end_to_end(spark):
     assert 100 not in kept and 101 not in kept and 103 not in kept
 
 
+def test_mega_cluster_bounded_roster(spark):
+    """A 50k-member cluster must not concentrate into one unbounded row:
+    members is capped (smallest ids kept), size stays exact."""
+    pairs = spark.range(1, 50001).select(
+        F.lit(0).alias("a"), F.col("id").alias("b")
+    )
+    out = duplicate_clusters(pairs, max_members=100).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["component"] == 0
+    assert r["size"] == 50001
+    members = r["members"].split(",")
+    assert len(members) == 100
+    assert set(members) == {str(i) for i in range(100)}  # the 100 smallest
+
+
+def test_components_nonconvergence_raises(spark):
+    """Exhausting max_iter without a fixpoint must fail loudly — silently
+    returning unconverged labels would keep non-canonical duplicates."""
+    import pytest
+
+    edges = [(i, i + 1) for i in range(5)]
+    df = spark.createDataFrame(edges, "a: long, b: long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=1)
+
+
 def test_duplicate_clusters_and_drop(spark):
     edges = [(5, 9), (9, 2), (30, 31)]
     pairs = spark.createDataFrame(edges, "a: long, b: long")

@@ -436,6 +436,33 @@ class TestRealCodecs:
         assert decode_jpeg(b"\xff\xd8\xff\xe0nonsense") is None
         assert decode_jpeg(b"not a jpeg") is None
 
+    def test_jpeg_fill_bytes_before_markers(self):
+        """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        marker — a legal stream padded this way must still decode."""
+        import numpy as np
+
+        from letarette_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+        solid = np.full((16, 16, 3), (90, 180, 40), dtype=np.uint8)
+        data = encode_jpeg(solid, quality=95)
+        # inject fill bytes before every marker segment after SOI: walk
+        # the marker chain of the encoded stream and pad each one
+        out = bytearray(data[:2])
+        pos = 2
+        while pos + 4 <= len(data):
+            assert data[pos] == 0xFF
+            marker = data[pos + 1]
+            seglen = int.from_bytes(data[pos + 2 : pos + 4], "big")
+            out += b"\xff\xff\xff"  # fill bytes, then the real marker
+            out += data[pos : pos + 2 + seglen]
+            pos += 2 + seglen
+            if marker == 0xDA:  # SOS: rest is entropy-coded data
+                out += data[pos:]
+                break
+        dec = decode_jpeg(bytes(out))
+        assert dec is not None and dec.shape == solid.shape
+        assert np.abs(dec.astype(int) - solid.astype(int)).max() <= 1
+
     def test_jpeg_through_decode_image_and_features(self):
         """JPEG payloads flow through decode_image -> luma/aHash like BMP;
         feature values match the BMP path within JPEG's loss bound."""
