@@ -12,8 +12,17 @@ Times the headline paths over $SPARK_GRAFT_SF_DIR (default
 - scale-path dedup: minhash-LSH near-dup pairs (candidate-only verify),
   banded-LSH embedding dup pairs, single-pass simhash
 
-`extra.suite_r01_total` sums the round-1 query subset so round-over-round
-totals stay comparable as new queries join the suite.
+Contention robustness: this host has invisible noisy neighbors (identical
+code has swung 26->90s run-to-run — BASELINE.md, CLAUDE.md), so every
+timed operation runs $SPARK_GRAFT_TRIALS times (default 3) INTERLEAVED —
+whole-suite passes, not back-to-back repeats, so one noisy window cannot
+poison all trials of a query — and the reported number per query is the
+MIN across trials. Per-trial raw timings and /proc/loadavg samples ride
+in `extra.trials` / `extra.load` so a noisy window is visible in the
+artifact itself.
+
+`extra.suite_r01_total` sums the round-1 query subset (min-of-trials) so
+round-over-round totals stay comparable as new queries join the suite.
 
 Output: {"metric": ..., "value": total_sec, "unit": "sec",
          "queries": {name: sec}, "sf": ..., "extra": {...}}
@@ -31,9 +40,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _load_avg() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except OSError:  # pragma: no cover - non-linux
+        return -1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    trials = max(1, int(os.environ.get("SPARK_GRAFT_TRIALS", 3)))
 
     from letarette_spark.session import get_spark
 
@@ -71,94 +89,116 @@ def main() -> None:
         F.lit(True).alias("alive"),
     )
 
-    timings: dict[str, float] = {}
-    root = tempfile.mkdtemp(prefix="letarette_bench_idx_")
-
-    def timed(name, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        return out
+    trial_timings: list[dict[str, float]] = []
+    load_samples: list[float] = [_load_avg()]
+    lat: list[float] = []
+    roots: list[str] = []
 
     try:
-        timed(
-            "index_build",
-            lambda: build_index(
-                spark, engine_docs, root,
-                config=AnalyzerConfig(mode="porter"),
-                n_build_partitions=max(4, cpus // 2),
-                chunk_size=max(4, cpus // 2),  # single chunk: pure throughput
-            ),
-        )
-        idx = Index.open(spark, root)
-        searcher = Searcher(idx)
+        for t in range(trials):
+            timings: dict[str, float] = {}
+            trial_timings.append(timings)
 
-        for name, q in [
-            ("engine_single", "value"),
-            ("engine_near", "key value"),
-            ("engine_not", "table -key"),
-            ("engine_phrase", '"key value"'),
-            ("engine_wildcard", "val*"),
-        ]:
-            timed(name, lambda q=q: searcher.search_df(q, limit=10)[0].collect())
-
-        timed(
-            "bm25_topk_simple",
-            lambda: bm25_scores(documents, ["key", "value"])
-            .orderBy(F.desc("score")).limit(10).collect(),
-        )
-        timed(
-            "minhash_signatures",
-            lambda: minhash_signatures(documents, k=8).count(),
-        )
-        timed(
-            "jaccard_pairs",
-            lambda: jaccard_pairs(documents, n=3, threshold=0.05).count(),
-        )
-        timed(
-            "knn_cosine",
-            lambda: cosine_topk(embeddings, query_id=0, k=5).collect(),
-        )
-        timed(
-            "minhash_lsh_pairs",
-            lambda: minhash_lsh_pairs(
-                documents, bands=4, rows_per_band=2, n=3, threshold=0.05
-            ).count(),
-        )
-        timed(
-            "lsh_embedding_dups",
-            lambda: lsh_embedding_duplicate_pairs(
-                embeddings, threshold=0.3, bands=2, planes_per_band=4, dim=64
-            ).count(),
-        )
-        timed("simhash", lambda: simhash64(documents).count())
-
-        # query-latency distribution over warm repeats (reference lrload
-        # reports mean/median/p90/p95/p99 — cmd/lrload/main.go:317-358)
-        lat: list[float] = []
-        for _ in range(3):
-            for q in ("value", "key value", "table -key", '"key value"'):
+            def timed(name, fn):
                 t0 = time.perf_counter()
-                searcher.search_df(q, limit=10)[0].collect()
-                lat.append(time.perf_counter() - t0)
-        lat.sort()
+                out = fn()
+                timings[name] = round(time.perf_counter() - t0, 4)
+                return out
 
-        def pct(p: float) -> float:
-            return round(lat[min(len(lat) - 1, int(p * len(lat)))], 4)
+            # fresh root per trial: rebuilding into an existing root would
+            # RESUME (skip all chunks) and fake a near-zero build time
+            root = tempfile.mkdtemp(prefix=f"letarette_bench_idx_{t}_")
+            roots.append(root)
+            timed(
+                "index_build",
+                lambda: build_index(
+                    spark, engine_docs, root,
+                    config=AnalyzerConfig(mode="porter"),
+                    n_build_partitions=max(4, cpus // 2),
+                    chunk_size=max(4, cpus // 2),  # single chunk: throughput
+                ),
+            )
+            idx = Index.open(spark, root)
+            searcher = Searcher(idx)
 
-        latency = {
-            "n": len(lat),
-            "mean": round(sum(lat) / len(lat), 4),
-            "p50": pct(0.50),
-            "p90": pct(0.90),
-            "p95": pct(0.95),
-            "p99": pct(0.99),
-        }
+            for name, q in [
+                ("engine_single", "value"),
+                ("engine_near", "key value"),
+                ("engine_not", "table -key"),
+                ("engine_phrase", '"key value"'),
+                ("engine_wildcard", "val*"),
+            ]:
+                timed(name, lambda q=q: searcher.search_df(q, limit=10)[0].collect())
+
+            timed(
+                "bm25_topk_simple",
+                lambda: bm25_scores(documents, ["key", "value"])
+                .orderBy(F.desc("score")).limit(10).collect(),
+            )
+            timed(
+                "minhash_signatures",
+                lambda: minhash_signatures(documents, k=8).count(),
+            )
+            timed(
+                "jaccard_pairs",
+                lambda: jaccard_pairs(documents, n=3, threshold=0.05).count(),
+            )
+            timed(
+                "knn_cosine",
+                lambda: cosine_topk(embeddings, query_id=0, k=5).collect(),
+            )
+            timed(
+                "minhash_lsh_pairs",
+                lambda: minhash_lsh_pairs(
+                    documents, bands=4, rows_per_band=2, n=3, threshold=0.05
+                ).count(),
+            )
+            timed(
+                "lsh_embedding_dups",
+                lambda: lsh_embedding_duplicate_pairs(
+                    embeddings, threshold=0.3, bands=2, planes_per_band=4, dim=64
+                ).count(),
+            )
+            timed("simhash", lambda: simhash64(documents).count())
+
+            # query-latency distribution over warm repeats (reference lrload
+            # reports mean/median/p90/p95/p99 — cmd/lrload/main.go:317-358)
+            for _ in range(3):
+                for q in ("value", "key value", "table -key", '"key value"'):
+                    t0 = time.perf_counter()
+                    searcher.search_df(q, limit=10)[0].collect()
+                    lat.append(time.perf_counter() - t0)
+
+            load_samples.append(_load_avg())
+            # keep only the last trial's index on disk while running
+            if len(roots) > 1:
+                shutil.rmtree(roots.pop(0), ignore_errors=True)
     finally:
-        shutil.rmtree(root, ignore_errors=True)
+        for r in roots:
+            shutil.rmtree(r, ignore_errors=True)
         spark.stop()
 
-    total = round(sum(timings.values()), 4)
+    # min across interleaved trials: the best number each operation reached
+    # in ANY window is the least contention-biased estimate on this host
+    best = {
+        k: min(tt[k] for tt in trial_timings if k in tt)
+        for k in trial_timings[0]
+    }
+    lat.sort()
+
+    def pct(p: float) -> float:
+        return round(lat[min(len(lat) - 1, int(p * len(lat)))], 4)
+
+    latency = {
+        "n": len(lat),
+        "mean": round(sum(lat) / len(lat), 4),
+        "p50": pct(0.50),
+        "p90": pct(0.90),
+        "p95": pct(0.95),
+        "p99": pct(0.99),
+    }
+
+    total = round(sum(best.values()), 4)
     r01_set = (
         "index_build", "engine_single", "engine_near", "engine_not",
         "engine_phrase", "engine_wildcard", "bm25_topk_simple",
@@ -168,14 +208,17 @@ def main() -> None:
         "metric": "index_build_plus_query_suite",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {k: round(v, 4) for k, v in best.items()},
         "sf": sf_dir,
         "extra": {
             "ndocs": ndocs,
-            "build_docs_per_sec": round(ndocs / timings["index_build"], 2),
+            "build_docs_per_sec": round(ndocs / best["index_build"], 2),
             "cpus": cpus,
+            "n_trials": trials,
+            "trials": trial_timings,
+            "load": load_samples,
             "query_latency": latency,
-            "suite_r01_total": round(sum(timings[k] for k in r01_set), 4),
+            "suite_r01_total": round(sum(best[k] for k in r01_set), 4),
         },
     }
     print(json.dumps(result))
