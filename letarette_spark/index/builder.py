@@ -105,9 +105,25 @@ def _read_tree(spark: SparkSession, base_dir: str, glob: str, fallback_schema):
 
 DEFAULT_BUCKETS = 64
 DEFAULT_DOC_BUCKETS = 16  # rowid-hash partition dirs for the docs table
+# prefix posting aggregates: the analog of the reference's prefix='2 3 4'
+# B-trees (1_init.up.sql:96) — per (plen, prefix, rowid) pre-merged
+# position lists so wildcard queries never scan the full postings table
+DEFAULT_PREFIX_LENGTHS = (2, 3, 4)
+PREFIX_BUCKETS = 64  # partition dirs keyed by hash of the FIRST character
 # bumped whenever the on-disk layout changes shape (readers rebuild stale
 # cached indexes instead of misreading them)
-LAYOUT_VERSION = 2
+LAYOUT_VERSION = 3
+
+PREFIX_SCHEMA = T.StructType(
+    [
+        T.StructField("prefix", T.StringType(), False),
+        T.StructField("rowid", T.LongType(), False),
+        T.StructField("space", T.StringType(), True),
+        T.StructField("dl", T.IntegerType(), False),
+        T.StructField("pos0", T.ArrayType(T.IntegerType()), False),
+        T.StructField("pos1", T.ArrayType(T.IntegerType()), False),
+    ]
+)
 
 
 def bucket_expr(n_buckets: int, term_col: str = "term"):
@@ -124,6 +140,73 @@ def bucket_of(term: str, n_buckets: int) -> int:
     import hashlib
 
     return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+
+
+def prefix_bucket_expr(prefix_col: str = "prefix", n_buckets: int = PREFIX_BUCKETS):
+    """Partition bucket for prefix aggregates: hash of the FIRST character
+    only. An exact prefix lookup prunes to one dir, and a query SHORTER
+    than the smallest configured length (e.g. 'a*' with lengths 2 3 4) can
+    still prune to the one dir holding every 'a?' group."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.substring(F.col(prefix_col), 1, 1)), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(n_buckets),
+    ).cast("int")
+
+
+def prefix_bucket_of(prefix: str, n_buckets: int) -> int:
+    return bucket_of(prefix[:1], n_buckets)
+
+
+def build_prefix_aggregates(
+    spark: SparkSession,
+    postings: DataFrame,
+    dest: str,
+    prefix_lengths: tuple[int, ...],
+    files_per_len: int = 8,
+    n_buckets: int = PREFIX_BUCKETS,
+) -> None:
+    """Materialize per-(plen, prefix, rowid) merged position lists.
+
+    Reference analog: FTS5's prefix indexes store, for each configured
+    prefix length, the merged doclist of every term sharing that prefix
+    (1_init.up.sql:96 `prefix='2 3 4'`) — paying ~1x the postings volume
+    per length at build time so prefix queries are O(result), not
+    O(index), at any vocabulary size.
+
+    Layout: dest/plen=L/pb=<first-char bucket>/..., rows sorted by
+    (prefix, rowid) within files — exact dir pruning for a prefix lookup
+    plus parquet row-group min/max pruning on the prefix column. One
+    postings scan + one shuffle for all lengths (explode by length)."""
+    lens = F.array(*[F.lit(int(x)) for x in prefix_lengths])
+    rows = (
+        postings.select(
+            F.explode(lens).alias("plen"),
+            "term", "rowid", "space", "dl", "pos0", "pos1",
+        )
+        .filter(F.length("term") >= F.col("plen"))
+        .select(
+            "plen",
+            F.expr("substring(term, 1, plen)").alias("prefix"),
+            "rowid", "space", "dl", "pos0", "pos1",
+        )
+        .groupBy("plen", "prefix", "rowid")
+        .agg(
+            F.first("space").alias("space"),
+            F.first("dl").alias("dl"),
+            F.array_sort(F.flatten(F.collect_list("pos0"))).alias("pos0"),
+            F.array_sort(F.flatten(F.collect_list("pos1"))).alias("pos1"),
+        )
+        .withColumn("pb", prefix_bucket_expr("prefix", n_buckets))
+    )
+    (
+        rows.repartition(max(2, files_per_len * len(prefix_lengths)), "plen", "pb")
+        .sortWithinPartitions("plen", "pb", "prefix", "rowid")
+        .write.partitionBy("plen", "pb")
+        .mode("overwrite")
+        .parquet(dest)
+    )
 
 
 def tokenize_postings(docs: DataFrame, config: AnalyzerConfig) -> DataFrame:
@@ -243,6 +326,7 @@ def build_index(
     files_per_chunk: int | None = None,
     n_buckets: int = DEFAULT_BUCKETS,
     docs_buckets: int = DEFAULT_DOC_BUCKETS,
+    prefix_lengths: tuple[int, ...] = DEFAULT_PREFIX_LENGTHS,
     verify_sha256: bool = False,
     fail_after_chunks: int | None = None,  # test hook: simulate a killed build
 ) -> BuildResult:
@@ -268,6 +352,7 @@ def build_index(
         "chunk_size": chunk_size,
         "n_buckets": n_buckets,
         "docs_buckets": docs_buckets,
+        "prefix_lengths": sorted(int(x) for x in prefix_lengths),
         "analyzer": config.key(),
     }
     lineage = man.start_plan(plan)
@@ -362,6 +447,17 @@ def build_index(
         shutil.rmtree(ts_dir)
     os.replace(ts_tmp, ts_dir)
 
+    if prefix_lengths:
+        pf_tmp = os.path.join(root, "prefix.tmp")
+        pf_dir = os.path.join(root, "prefix")
+        build_prefix_aggregates(
+            spark, postings_all, pf_tmp, tuple(prefix_lengths),
+            files_per_len=max(2, files_per_chunk // 2),
+        )
+        if os.path.exists(pf_dir):
+            shutil.rmtree(pf_dir)
+        os.replace(pf_tmp, pf_dir)
+
     docs_all = _read_tree(spark, os.path.join(root, "docs"), "chunk=*", DOCS_SCHEMA)
     ndocs = docs_all.filter(F.col("alive")).count()
     # global stats from the (small) term_stats table — no extra postings scan:
@@ -382,11 +478,25 @@ def build_index(
             "weights": {"title": TITLE_WEIGHT, "body": BODY_WEIGHT},
             "postings_buckets": n_buckets,
             "docs_buckets": docs_buckets,
+            "prefix_lengths": sorted(int(x) for x in prefix_lengths),
+            "prefix_buckets": PREFIX_BUCKETS if prefix_lengths else None,
             "plan": plan,
         }
     )
     man.clear_plan()
     return BuildResult(root, ndocs, nterms, int(agg["sum_dl"]), built, skipped)
+
+
+def _merge_posting_rows(df: DataFrame) -> DataFrame:
+    """Merge multiple posting/prefix rows per rowid into one: a doc may
+    contain several terms matching a prefix — union their instance lists
+    (FTS5 prefix-query semantics)."""
+    return df.groupBy("rowid").agg(
+        F.first("space").alias("space"),
+        F.first("dl").alias("dl"),
+        F.array_sort(F.flatten(F.collect_list("pos0"))).alias("pos0"),
+        F.array_sort(F.flatten(F.collect_list("pos1"))).alias("pos1"),
+    )
 
 
 @dataclass
@@ -429,29 +539,24 @@ class Index:
         deleted documents."""
         return _parquet_or_empty(self.spark, path, path, fallback_schema)
 
-    def _overlay(self, base: DataFrame, table: str) -> DataFrame:
-        """Union base (seq 0) with delta segments; a row from seq S is dead
-        when any later segment tombstoned its rowid (LSM-style overlay,
-        mirroring FTS5's delete+insert trigger maintenance,
-        1_init.up.sql:65-76)."""
-        segs = self.segments
-        if not segs:
-            return base
-        parts = [base.withColumn("_seq", F.lit(0))]
-        tombs = []
-        for s in segs:
+    def _segment_parts(
+        self, table: str, base_schema
+    ) -> tuple[list[DataFrame], list[DataFrame]]:
+        """Per-segment (rows tagged with _seq, tombstones tagged with
+        _tseq) for one overlaid table. Raises when a manifest-listed
+        segment's data dir is gone — that is corruption, not emptiness."""
+        parts, tombs = [], []
+        for s in self.segments:
             p = os.path.join(self.root, s[table])
             if not os.path.exists(p):
-                # symmetric with the tombstone guard: a segment the
-                # manifest lists but whose data dir is gone is corruption,
-                # not emptiness — silently skipping would vanish the
-                # segment's document versions
+                # symmetric with the tombstone guard: silently skipping
+                # would vanish the segment's document versions
                 raise FileNotFoundError(
                     f"index segment data missing: {p} "
                     f"(manifest lists seq {s['seq']})"
                 )
             parts.append(
-                self._read_seg(p, base.schema)
+                self._read_seg(p, base_schema)
                 .drop("rb")  # docs segments carry the rowid-bucket dir
                 .withColumn("_seq", F.lit(s["seq"]))
             )
@@ -462,20 +567,35 @@ class Index:
                     F.col("rowid").alias("_trowid"), F.lit(s["seq"]).alias("_tseq")
                 )
             )
-        allrows = parts[0]
-        for p in parts[1:]:
-            allrows = allrows.unionByName(p)
+        return parts, tombs
+
+    @staticmethod
+    def _apply_tombstones(rows: DataFrame, tombs: list[DataFrame]) -> DataFrame:
+        """Drop rows whose rowid is tombstoned by a LATER segment. The
+        churn between compactions is small relative to the base: broadcast
+        the tombstone set (at larger churn a bloom-filter join or an
+        Iceberg MERGE would take over; compaction bounds growth)."""
         tomb = tombs[0]
         for t in tombs[1:]:
             tomb = tomb.unionByName(t)
-        # churn between compactions is small relative to the base: broadcast
-        # the tombstone set (at larger churn a bloom-filter join or an
-        # Iceberg MERGE would take over; compaction bounds growth either way)
-        return allrows.join(
+        return rows.join(
             F.broadcast(tomb),
             (F.col("rowid") == F.col("_trowid")) & (F.col("_tseq") > F.col("_seq")),
             "left_anti",
         ).drop("_seq")
+
+    def _overlay(self, base: DataFrame, table: str) -> DataFrame:
+        """Union base (seq 0) with delta segments; a row from seq S is dead
+        when any later segment tombstoned its rowid (LSM-style overlay,
+        mirroring FTS5's delete+insert trigger maintenance,
+        1_init.up.sql:65-76)."""
+        if not self.segments:
+            return base
+        parts, tombs = self._segment_parts(table, base.schema)
+        allrows = base.withColumn("_seq", F.lit(0))
+        for p in parts:
+            allrows = allrows.unionByName(p)
+        return self._apply_tombstones(allrows, tombs)
 
     def invalidate(self) -> None:
         """Drop cached DataFrame handles after storage-layout mutations
@@ -503,8 +623,20 @@ class Index:
     def postings_base_dir(self) -> str:
         return os.path.join(self.root, self.meta.get("postings_dir", "postings"))
 
+    def prefix_base_dir(self) -> str:
+        return os.path.join(self.root, self.meta.get("prefix_dir", "prefix"))
+
     def docs_base_dir(self) -> str:
         return os.path.join(self.root, self.meta.get("docs_dir", "docs"))
+
+    def _postings_base(self) -> DataFrame:
+        """Base-snapshot postings only (seq 0, no segment overlay)."""
+        base_dir = self.postings_base_dir()
+        return _read_tree(
+            self.spark, base_dir, "chunk=*",
+            T.StructType(POSTINGS_SCHEMA.fields
+                     + [T.StructField("bucket", T.IntegerType())]),
+        ).drop("chunk")
 
     def postings(self) -> DataFrame:
         # reuse one DataFrame instance per Index: repeated queries skip
@@ -512,20 +644,14 @@ class Index:
         cached = self.__dict__.get("_postings_df")
         if cached is not None:
             return cached
-        base_dir = self.postings_base_dir()
-        base = _read_tree(
-            self.spark, base_dir, "chunk=*",
-            T.StructType(POSTINGS_SCHEMA.fields
-                     + [T.StructField("bucket", T.IntegerType())]),
-        ).drop("chunk")
-        df = self._overlay(base, "postings")
+        df = self._overlay(self._postings_base(), "postings")
         self.__dict__["_postings_df"] = df
         return df
 
-    def postings_for_terms(self, terms: list[str]) -> DataFrame:
-        """Term-pruned postings scan: bucket partition-dir pruning (exact)
-        + term predicate pushdown (row-group min/max on sorted files)."""
-        post = self.postings()
+    def _terms_cond(self, terms: list[str]):
+        """Pruning predicate for an exact term set: bucket partition-dir
+        pruning (exact) + term pushdown (row-group min/max on sorted
+        files)."""
         cond = F.col("term").isin(terms) if len(terms) > 1 else (
             F.col("term") == terms[0]
         )
@@ -538,7 +664,109 @@ class Index:
                 else (F.col("bucket") == buckets[0])
             )
             cond = bcond & cond
-        return post.filter(cond)
+        return cond
+
+    def postings_for_terms(self, terms: list[str]) -> DataFrame:
+        """Term-pruned postings scan over the live (overlaid) view."""
+        return self.postings().filter(self._terms_cond(terms))
+
+    # ---- prefix aggregates (wildcard fast path) ----
+    def _prefix_base(self, plen: int, prefix: str) -> DataFrame:
+        """Base-snapshot prefix-aggregate rows for one (plen, first-char
+        bucket) partition dir; empty frame when the dir does not exist."""
+        npb = self.meta.get("prefix_buckets") or PREFIX_BUCKETS
+        d = os.path.join(
+            self.prefix_base_dir(),
+            f"plen={plen}",
+            f"pb={prefix_bucket_of(prefix, npb)}",
+        )
+        if not os.path.isdir(d):
+            return self.spark.createDataFrame([], PREFIX_SCHEMA)
+        return self.spark.read.schema(PREFIX_SCHEMA).parquet(d)
+
+    def prefix_hits(self, prefix: str) -> DataFrame | None:
+        """Merged per-rowid hits (rowid, space, dl, pos0, pos1) for the
+        wildcard query `prefix*`, served from the build-time prefix
+        aggregates — the analog of the reference's prefix='2 3 4' B-trees
+        (1_init.up.sql:96). O(result) at any vocabulary size: one
+        partition dir + row-group-pruned prefix predicate, never a full
+        postings scan.
+
+        Returns None when no aggregate covers this prefix length (longer
+        than the largest configured length, or a pre-prefix-layout index)
+        — the caller falls back to dictionary expansion.
+
+        Delta segments are overlaid at query time: base rows for
+        tombstoned rowids are dropped and the (compaction-bounded)
+        segment postings contribute a startswith-filtered merge — upserts
+        never rewrite the base aggregates."""
+        lengths = self.meta.get("prefix_lengths") or []
+        if not lengths or not prefix:
+            return None
+        L = len(prefix)
+        cols = ["rowid", "space", "dl", "pos0", "pos1"]
+        if L in lengths:
+            base = (
+                self._prefix_base(L, prefix)
+                .filter(F.col("prefix") == prefix)
+                .select(*cols)
+            )
+            base_is_merged = True
+        elif L < min(lengths):
+            # shorter than every aggregate (e.g. 'a*' with lengths 2 3 4):
+            # all length-Lp groups extending the prefix live in ONE
+            # first-char dir; terms shorter than Lp that match (at most a
+            # handful, e.g. the bare term 'a') come from the dictionary +
+            # an exact-pruned base-postings lookup
+            Lp = min(x for x in lengths if x > L)
+            base = (
+                self._prefix_base(Lp, prefix)
+                .filter(F.col("prefix").startswith(prefix))
+                .select(*cols)
+            )
+            short_terms = [
+                r["term"]
+                for r in self.term_stats()
+                .filter(
+                    F.col("term").startswith(prefix) & (F.length("term") < Lp)
+                )
+                .select("term")
+                .collect()
+            ]
+            if short_terms:
+                base = base.unionByName(
+                    self._postings_base()
+                    .filter(self._terms_cond(short_terms))
+                    .select(*cols)
+                )
+            base_is_merged = False
+        else:
+            return None
+
+        if not self.segments:
+            return base if base_is_merged else _merge_posting_rows(base)
+
+        parts, tombs = self._segment_parts(
+            "postings",
+            T.StructType(POSTINGS_SCHEMA.fields
+                         + [T.StructField("bucket", T.IntegerType())]),
+        )
+        seg_rows = parts[0]
+        for p in parts[1:]:
+            seg_rows = seg_rows.unionByName(p)
+        seg_rows = self._apply_tombstones(
+            seg_rows.filter(F.col("term").startswith(prefix)), tombs
+        ).select(*cols)
+        # every segment posting's rowid is tombstoned in its own segment,
+        # so base-minus-tombstones and the segment rows are rowid-disjoint
+        tomb_ids = tombs[0]
+        for t in tombs[1:]:
+            tomb_ids = tomb_ids.unionByName(t)
+        tomb_ids = tomb_ids.select(F.col("_trowid").alias("rowid")).distinct()
+        base = base.join(F.broadcast(tomb_ids), "rowid", "left_anti")
+        if base_is_merged:
+            return base.unionByName(_merge_posting_rows(seg_rows))
+        return _merge_posting_rows(base.unionByName(seg_rows))
 
     def docs(self) -> DataFrame:
         base_dir = self.docs_base_dir()

@@ -60,7 +60,7 @@ from letarette_spark.index.manifest import Manifest
 # at that scale the recompute cost is amortized anyway
 MERGE_MAX_BATCH = 100_000
 
-_VERSIONED = re.compile(r"^(postings|docs|term_stats)(\.v\d+|\.tmp|\.compact)?$")
+_VERSIONED = re.compile(r"^(postings|docs|term_stats|prefix)(\.v\d+|\.tmp|\.compact)?$")
 
 
 def _gc_stale_dirs(root: str, keep_rel: set[str]) -> None:
@@ -324,12 +324,15 @@ def upsert_documents(
                     c.invalidate_doc(d)
     docs.unpersist()
 
-    # post-commit GC of unreferenced dirs + stale WAND blocks
+    # post-commit GC of unreferenced dirs + stale WAND blocks. The prefix
+    # aggregates are NOT rewritten on the upsert path (prefix_hits overlays
+    # segments at query time) — keep the base dir alive.
     _gc_stale_dirs(
         root,
         keep_rel={
             index.meta.get("postings_dir", "postings"),
             index.meta.get("docs_dir", "docs"),
+            index.meta.get("prefix_dir", "prefix"),
             ts_new_rel,
         },
     )
@@ -380,6 +383,20 @@ def compact_index(spark: SparkSession, root: str) -> Index:
     new_post = spark.read.option(
         "basePath", os.path.join(root, post_rel)
     ).parquet(os.path.join(root, post_rel, "chunk=*"))
+
+    # rebuild the prefix aggregates from the compacted postings (the one
+    # place that pays the index-wide scan; upserts only overlay)
+    prefix_lengths = tuple(index.meta.get("prefix_lengths") or ())
+    pf_rel = None
+    if prefix_lengths:
+        from letarette_spark.index.builder import build_prefix_aggregates
+
+        pf_rel = f"prefix.v{ver}"
+        build_prefix_aggregates(
+            spark, new_post, os.path.join(root, pf_rel), prefix_lengths,
+            files_per_len=max(2, par // 4),
+        )
+
     ts = new_post.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),
         F.sum(F.col("tf0") + F.col("tf1")).alias("cnt"),
@@ -410,12 +427,17 @@ def compact_index(spark: SparkSession, root: str) -> Index:
         nterms=nterms,
         blocks=None,
     )
+    if pf_rel:
+        meta["prefix_dir"] = pf_rel
     meta.pop("snapshot_id", None)
     man.commit_snapshot(meta)  # ← the atomic commit point
     index.meta = man.state
     index.invalidate()
 
-    _gc_stale_dirs(root, keep_rel={post_rel, docs_rel, ts_rel})
+    keep = {post_rel, docs_rel, ts_rel}
+    if pf_rel:
+        keep.add(pf_rel)
+    _gc_stale_dirs(root, keep_rel=keep)
     shutil.rmtree(os.path.join(root, "seg"), ignore_errors=True)
     _drop_blocks(root)
     return index

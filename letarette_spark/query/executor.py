@@ -156,12 +156,24 @@ class Searcher:
         last = len(alts) - 1
 
         def term_posts(i: int, terms_i: list[str]) -> DataFrame:
+            from letarette_spark.index.builder import _merge_posting_rows
+
             if wildcard and i == last:
-                # prefix: resolve matching terms from the sorted term
-                # dictionary first (range-pruned scan — the analog of the
-                # reference's prefix='2 3 4' B-trees, 1_init.up.sql:96),
-                # then hit only their buckets. Fall back to a full scan
-                # for huge expansions.
+                # prefix: serve from the build-time prefix aggregates
+                # (pre-merged per rowid, one partition dir + row-group
+                # pruning — the analog of the reference's prefix='2 3 4'
+                # B-trees, 1_init.up.sql:96). O(result) at any vocabulary
+                # size; segments overlay at query time.
+                pre = self.index.prefix_hits(terms_i[0])
+                if pre is not None:
+                    return pre
+                # no aggregate covers this length (longer than the largest
+                # configured, or a pre-prefix-layout index): resolve terms
+                # from the range-partitioned dictionary, then hit only
+                # their buckets. The full-scan fallback for >4096-term
+                # expansions is startswith-pushed (term-sorted files give
+                # row-group pruning) and in practice unreachable — a
+                # 5+-char prefix with thousands of completions.
                 expansion = [
                     r["term"]
                     for r in self.index.term_stats()
@@ -170,28 +182,23 @@ class Searcher:
                     .limit(MAX_PREFIX_EXPANSION + 1)
                     .collect()
                 ]
-                if 0 < len(expansion) <= MAX_PREFIX_EXPANSION:
+                if not expansion:
+                    df = self.index.postings().filter(F.lit(False))
+                elif len(expansion) <= MAX_PREFIX_EXPANSION:
                     df = self.index.postings_for_terms(expansion)
                 else:
                     df = self.index.postings().filter(
                         F.col("term").startswith(terms_i[0])
                     )
-            else:
-                # exact terms: bucket partition-dir pruning + term pushdown
-                df = self.index.postings_for_terms(terms_i)
-            if (wildcard and i == last) or len(terms_i) > 1:
-                # prefix / synonym match: a doc may contain several matching
-                # terms — union their instance lists (FTS5 prefix-query and
-                # colocated-token semantics).
-                df = df.groupBy("rowid").agg(
-                    F.first("space").alias("space"),
-                    F.first("dl").alias("dl"),
-                    F.array_sort(F.flatten(F.collect_list("pos0"))).alias("pos0"),
-                    F.array_sort(F.flatten(F.collect_list("pos1"))).alias("pos1"),
-                )
-            else:
-                df = df.select("rowid", "space", "dl", "pos0", "pos1")
-            return df
+                return _merge_posting_rows(df)
+            # exact terms: bucket partition-dir pruning + term pushdown
+            df = self.index.postings_for_terms(terms_i)
+            if len(terms_i) > 1:
+                # synonym match: a doc may contain several matching terms —
+                # union their instance lists (FTS5 colocated-token
+                # semantics).
+                return _merge_posting_rows(df)
+            return df.select("rowid", "space", "dl", "pos0", "pos1")
 
         cur = term_posts(0, alts[0])
         for i, t in enumerate(alts[1:], start=1):
