@@ -55,9 +55,19 @@ def _porter2_stem(word: str) -> str:
         return porter.stem(word)
 
 
+def _swedish_stem(word: str) -> str:
+    from letarette_spark.analysis import swedish
+
+    return swedish.stem(word)
+
+
 _STEMMERS: dict[str, Callable[[str], str]] = {
     "porter": porter.stem,
     "english": _porter2_stem,
+    # bit-exact to compiled libstemmer 'swedish' (analysis/swedish.py,
+    # pinned by tests/test_swedish_goldens.py); chain order follows the
+    # reference's first-stemmer-to-change-length rule (snowball.c:210-220)
+    "swedish": _swedish_stem,
 }
 
 

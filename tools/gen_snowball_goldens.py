@@ -226,16 +226,71 @@ class SnowballStemmer:
         return bytes(r[:n]).decode("utf-8")
 
 
-def vocabulary(n_random: int = 15000, seed: int = 20240816) -> list[str]:
+# Swedish: bases chosen to cover every rule family (R1 adjustment, the 36
+# step-1 endings, conditional 's', step-2 double-consonant trims, step-3
+# lig/ig/els + löst/fullt replacements, å/ä/ö vowels) — plus pre-folded
+# forms (the analyzer folds diacritics BEFORE stemming, unicode61
+# remove_diacritics 2, so the chain mostly sees a/o for å/ä/ö).
+BASES_SV = """
+jack flick kvinn hus barn land tak vagn vitt bygg hopp tro klok vacker
+frisk mörk tyst bred hög var jobb rol far tid svull kass pass vux öppn
+stämm glöm komplett projekt universitet fakultet möjlig verklig hemlig
+farlig rolig tidig ärlig jobbig krokig betydelse handel himmel exempel
+kärlek mening hoppfull meningsfull trolös kärlekslös nyckel bottn studsat
+följetong klot vilja skola flicka gata gator pojke hund katt bil väg stad
+människa tanke känsla fråga svar bok papper penna dator telefon fönster
+dörr vägg golv himmel jord vatten eld luft skog berg dal sjö hav strand
+sommar vinter vår höst morgon kväll natt dag vecka månad år tid stund
+arbete lek vila sömn dröm tanke ord mening språk röst ljud musik sång
+dans bild färg form ljus mörker skugga sol måne stjärna moln regn snö
+vind storm lugn frid krig fred kamp seger nederlag hopp rädsla glädje
+sorg kärlek hat vänskap familj släkt barn förälder syskon granne vän
+fiende folk land stat stad by gård hem rum kök säng bord stol
+mat dryck bröd mjölk kött fisk frukt grönsak socker salt peppar krydda
+possessiv aktiv passiv naiv massiv intensiv
+"""
+
+SUFFIXES_SV = [
+    "", "a", "arna", "erna", "heterna", "orna", "ad", "e", "ade", "ande",
+    "arne", "are", "aste", "en", "anden", "aren", "heten", "ern", "ar",
+    "er", "heter", "or", "as", "arnas", "ernas", "ornas", "es", "ades",
+    "andes", "ens", "arens", "hetens", "erns", "at", "andet", "het", "ast",
+    "s", "et", "ets", "ts", "ns", "dd", "gd", "nn", "dt", "gt", "kt", "tt",
+    "lig", "ig", "els", "löst", "fullt", "igt", "ligt", "igs", "hets",
+    "asts", "lost", "fullts", "elst", "lös", "full", "het", "heters",
+]
+
+ADVERSARIAL_SV = """
+a å ä ö ab åb bå hå hår hårt ha has hans mens dens bils tofs taxs klots
+aas ees yys ys ys ts abc bred bredd breddes byggd byggt högt trott trotts
+tyst varit vuxit kasst visst glömt stämmer komplett huset husets husents
+husens betets barnet landet taket universitetet fakulteten klokast
+klokaste vackrast jackor jackorna flickas flickans kvinnans kvinnorna
+bottnen nyckeln aktivt aktiva jobbigt roligt farligt tidigt ärlig ärligt
+svullet passat öppnades projektet ouppklarade oönskade möjlighet
+möjligheter möjligheten följetongens handels himmels exempels trolöst
+kärlekslöst hoppfullt meningsfullt vals valls studsats krokigt
+innehållsförteckning verksamhetsberättelse tillgänglighetsanpassning
+"""
+
+
+def vocabulary(
+    lang: str = "english", n_random: int = 15000, seed: int = 20240816
+) -> list[str]:
     words: set[str] = set()
-    bases = BASES.split()
-    for b in bases:
-        for s in SUFFIXES:
+    if lang == "swedish":
+        bases, suffixes, advers = BASES_SV, SUFFIXES_SV, ADVERSARIAL_SV
+        alphabet = "abcdefghijklmnopqrstuvwxyzäåö"
+        weighted = alphabet + "aeiouyäåö" * 3 + "s" * 2 + "e" * 2 + "t" * 2
+    else:
+        bases, suffixes, advers = BASES, SUFFIXES, ADVERSARIAL
+        alphabet = "abcdefghijklmnopqrstuvwxyz"
+        weighted = alphabet + "aeiouy" * 3 + "'" + "s" * 2 + "e" * 2
+    for b in bases.split():
+        for s in suffixes:
             words.add(b + s)
-    words.update(ADVERSARIAL.split())
+    words.update(advers.split())
     rng = random.Random(seed)
-    alphabet = "abcdefghijklmnopqrstuvwxyz"
-    weighted = alphabet + "aeiouy" * 3 + "'" + "s" * 2 + "e" * 2
     for _ in range(n_random):
         n = rng.randint(1, 14)
         words.add("".join(rng.choice(weighted) for _ in range(n)))
@@ -243,13 +298,18 @@ def vocabulary(n_random: int = 15000, seed: int = 20240816) -> list[str]:
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lang", default="english", choices=["english", "swedish"])
+    args = ap.parse_args()
     out = os.path.join(
         os.path.dirname(__file__), "..", "tests", "data",
-        "snowball_english_goldens.tsv.gz",
+        f"snowball_{args.lang}_goldens.tsv.gz",
     )
     os.makedirs(os.path.dirname(out), exist_ok=True)
-    st = SnowballStemmer("english")
-    vocab = vocabulary()
+    st = SnowballStemmer(args.lang)
+    vocab = vocabulary(args.lang)
     with gzip.open(out, "wt", encoding="utf-8") as f:
         for w in vocab:
             f.write(f"{w}\t{st.stem(w)}\n")
