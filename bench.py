@@ -48,6 +48,74 @@ def _load_avg() -> float:
         return -1.0
 
 
+def _bench_sharded(spark, idx, single_searcher, n_shards: int = 4) -> dict:
+    """Scatter-gather over n shard clones vs the single index: the merged
+    query fans out concurrently (query/sharded.py), so its latency should
+    track max-of-shards, not the sum — the reference's async NATS gather
+    (pkg/client/agent.go:118-211). Returns the measured section for
+    `extra.sharded`."""
+    from letarette_spark.index.builder import Index
+    from letarette_spark.index.cloning import export_shard, import_shard
+    from letarette_spark.query.executor import Searcher
+    from letarette_spark.query.sharded import sharded_search
+
+    tmp = tempfile.mkdtemp(prefix="letarette_bench_shards_")
+    try:
+        shard_searchers = []
+        for g in range(1, n_shards + 1):
+            exp = os.path.join(tmp, f"exp{g}")
+            root = os.path.join(tmp, f"idx{g}")
+            export_shard(idx, exp, f"{g}/{n_shards}")
+            import_shard(spark, exp, root)
+            shard_searchers.append(Searcher(Index.open(spark, root)))
+
+        queries = ("value", "key value", "table -key")
+        kw = {"snippets": False, "autocorrect": False}
+        # warm both paths (Python workers, file listings)
+        for q in queries:
+            single_searcher.search_df(q, limit=12)[0].collect()
+            sharded_search(shard_searchers, q, page_limit=12, **kw)
+
+        def best_of(fn, reps=3):
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn()
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        single = {
+            q: best_of(lambda q=q: single_searcher.search_df(q, limit=12)[0].collect())
+            for q in queries
+        }
+        fan = {
+            q: best_of(
+                lambda q=q: sharded_search(shard_searchers, q, page_limit=12, **kw)
+            )
+            for q in queries
+        }
+        per_shard = {
+            q: [
+                best_of(lambda s=s, q=q: s.search(q, limit=3, **kw), reps=2)
+                for s in shard_searchers
+            ]
+            for q in queries
+        }
+        return {
+            "n_shards": n_shards,
+            "single_sec": {q: round(v, 4) for q, v in single.items()},
+            "scatter_gather_sec": {q: round(v, 4) for q, v in fan.items()},
+            "per_shard_max_sec": {
+                q: round(max(v), 4) for q, v in per_shard.items()
+            },
+            "per_shard_sum_sec": {
+                q: round(sum(v), 4) for q, v in per_shard.items()
+            },
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
@@ -173,6 +241,11 @@ def main() -> None:
             # keep only the last trial's index on disk while running
             if len(roots) > 1:
                 shutil.rmtree(roots.pop(0), ignore_errors=True)
+
+        # ---- sharded scatter-gather (one-shot, after the trials): 4
+        # shard clones of the last trial's index; latency must track the
+        # slowest shard (concurrent scatter), not the sum ----
+        sharded = _bench_sharded(spark, idx, searcher, n_shards=4)
     finally:
         for r in roots:
             shutil.rmtree(r, ignore_errors=True)
@@ -219,6 +292,7 @@ def main() -> None:
             "load": load_samples,
             "query_latency": latency,
             "suite_r01_total": round(sum(best[k] for k in r01_set), 4),
+            "sharded": sharded,
         },
     }
     print(json.dumps(result))
