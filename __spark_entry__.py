@@ -152,6 +152,24 @@ def q_engine_bm25_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_engine_wildcard_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine WILDCARD path — build-time prefix aggregates (the
+    reference's prefix='2 3 4' B-tree analog), pre-merged per-rowid union
+    of matching terms' instances, BM25(5.0, 1.0), top-k — hash-verified
+    against a DuckDB twin that reproduces prefix matching with
+    starts_with over the token arrays (simple analyzer: tokenization is
+    SQL-expressible)."""
+    from letarette_spark.query.executor import Searcher
+
+    idx = _engine_index_simple(spark, sf_dir)
+    s = Searcher(idx, stopwords=frozenset(), synonyms={})
+    df, _t, _c = s.search_df("val*", limit=10)
+    return (
+        df.select("rowid", F.round("score", 6).alias("score"))
+        .orderBy("score", "rowid")
+    )
+
+
 def q_term_stats(spark, sf_dir):
     from letarette_spark.functions.simple_text import term_stats
 
@@ -421,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "engine_bm25": q_engine_bm25,
         "engine_bm25_simple": q_engine_bm25_simple,
+        "engine_wildcard_simple": q_engine_wildcard_simple,
         "term_stats": q_term_stats,
         "stopword_candidates": q_stopword_candidates,
         "doc_token_counts": q_doc_token_counts,
@@ -474,12 +493,17 @@ def oracle_sql() -> dict[str, str]:
     from letarette_spark.functions.similarity import _hyperplanes
     from letarette_spark.functions.textstats import LANG_PROFILES
 
+    from letarette_spark.functions.textstats import LANG_TRIGRAMS
+
     terms_in = ", ".join(f"'{t}'" for t in QUERY_TERMS)
     phrase = " ".join(QUERY_TERMS)
     sw = {k: ", ".join(f"'{w}'" for w in v) for k, v in LANG_PROFILES.items()}
-    langs = sorted(LANG_PROFILES)  # ties resolve to the first in this order
+    # trigram profiles injected from the SAME tables the Spark operator
+    # uses (single source of truth — the twin stays in lockstep)
+    tg = {k: ", ".join(f"'{t}'" for t in v) for k, v in LANG_TRIGRAMS.items()}
+    langs = sorted(LANG_TRIGRAMS)  # ties resolve to the first in this order
     lang_hits = ",\n                     ".join(
-        f"len(list_filter(arr, t -> list_contains([{sw[lg]}], t)))::BIGINT AS h_{lg}"
+        f"len(list_filter(tris, t -> list_contains([{tg[lg]}], t)))::BIGINT AS h_{lg}"
         for lg in langs
     )
     gmax = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
@@ -749,13 +773,18 @@ def oracle_sql() -> dict[str, str]:
             WITH h AS (
               SELECT doc_id,
                      {lang_hits}
-              FROM (SELECT doc_id, {_ARR} AS arr FROM documents)
+              FROM (SELECT doc_id,
+                           flatten(list_transform(arr,
+                             w -> list_transform(range(length(w)),
+                                    i -> substr('_' || w || '_', (i + 1)::INT, 3))))
+                             AS tris
+                    FROM (SELECT doc_id, {_ARR} AS arr FROM documents))
             )
             SELECT doc_id,
                    CASE WHEN {gmax} = 0 THEN 'und'
                         {lang_case}
                         END AS lang_guess,
-                   {gmax} AS profile_hits
+                   {gmax} AS trigram_hits
             FROM h
         """,
         "quality_gates": r"""
@@ -967,6 +996,46 @@ def oracle_sql() -> dict[str, str]:
                          ELSE ln((stats.n - stats.df1 + 0.5)/(stats.df1 + 0.5)) END)
                      * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / stats.avgdl)) ) AS score
               FROM tf CROSS JOIN stats
+              ORDER BY score, rowid LIMIT 10
+            ) ORDER BY score, rowid
+        """,
+        # engine_wildcard_simple: the full engine wildcard path (prefix
+        # aggregates -> pre-merged per-rowid instance union -> BM25 ->
+        # top-k). FTS5 prefix semantics: tf is the total instance count of
+        # ALL terms matching the prefix; phrase df is the count of docs
+        # containing ANY matching term; stats/idf/saturation identical to
+        # the single-phrase BM25 path.
+        "engine_wildcard_simple": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(source), '[^a-z0-9]+'),
+                                 x -> length(x) >= 2) AS ta,
+                     {_ARR} AS ba
+              FROM documents
+            ),
+            p AS (
+              SELECT doc_id,
+                     len(list_filter(ta, x -> starts_with(x, 'val'))) AS tf0,
+                     len(list_filter(ba, x -> starts_with(x, 'val'))) AS tf1,
+                     (len(ta) + len(ba))::DOUBLE AS dl
+              FROM d
+            ),
+            stats AS (
+              SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl,
+                     (SELECT count(*) FROM p WHERE tf0 + tf1 > 0)::DOUBLE AS df0
+              FROM p
+            ),
+            m AS (
+              SELECT doc_id, dl, 5.0 * tf0 + 1.0 * tf1 AS tfw
+              FROM p WHERE tf0 + tf1 > 0
+            )
+            SELECT rowid, round(score, 6) AS score FROM (
+              SELECT doc_id AS rowid,
+                -( (CASE WHEN ln((stats.n - stats.df0 + 0.5)/(stats.df0 + 0.5)) <= 0
+                         THEN 1e-6
+                         ELSE ln((stats.n - stats.df0 + 0.5)/(stats.df0 + 0.5)) END)
+                     * tfw * 2.2 / (tfw + 1.2 * (0.25 + 0.75 * dl / stats.avgdl)) ) AS score
+              FROM m CROSS JOIN stats
               ORDER BY score, rowid LIMIT 10
             ) ORDER BY score, rowid
         """,

@@ -40,6 +40,79 @@ LANG_PROFILES: dict[str, list[str]] = {
 
 STOPWORDS_EN = LANG_PROFILES["en"]
 
+# Extended per-language word lists feeding the char-trigram profiles
+# (round-3 verdict task #8: promote lang_id one fidelity notch). ASCII
+# only — the simple analyzer lowercases and splits on [^a-z0-9]+, so
+# accented forms arrive folded or split; lists are pre-folded the same
+# way. ~45 high-frequency words per language: the 20 function words above
+# plus frequent verbs/pronouns/nouns.
+LANG_WORDS: dict[str, list[str]] = {
+    "en": LANG_PROFILES["en"] + [
+        "have", "has", "not", "but", "they", "his", "her", "which", "were",
+        "been", "their", "more", "when", "who", "will", "would", "there",
+        "what", "about", "into", "than", "them", "can", "only", "other",
+    ],
+    "de": LANG_PROFILES["de"] + [
+        "wurde", "werden", "wird", "einer", "einem", "einen", "zum", "zur",
+        "bei", "aus", "nach", "wie", "ueber", "fuer", "sind", "war",
+        "haben", "hat", "noch", "aber", "oder", "wenn", "durch", "unter",
+        "zwischen",
+    ],
+    "fr": LANG_PROFILES["fr"] + [
+        "par", "plus", "ont", "ete", "sont", "aux", "ses", "mais", "comme",
+        "elle", "tout", "nous", "deux", "ans", "entre", "aussi", "bien",
+        "apres", "ces", "cette", "fait", "ils", "leur", "sans", "peut",
+    ],
+    "es": LANG_PROFILES["es"] + [
+        "fue", "ser", "son", "tiene", "entre", "cuando", "todo", "esta",
+        "ese", "tambien", "hasta", "hay", "donde", "quien", "desde",
+        "nos", "durante", "todos", "uno", "les", "muy", "anos", "dos",
+        "pero", "sobre",
+    ],
+    "it": LANG_PROFILES["it"] + [
+        "alla", "nella", "sua", "dei", "delle", "gli", "era", "sono",
+        "piu", "questo", "questa", "hanno", "essere", "stato", "dopo",
+        "dove", "quando", "tra", "suo", "loro", "fino", "due", "anni",
+        "molto", "tutti",
+    ],
+    "pt": LANG_PROFILES["pt"] + [
+        "foi", "ser", "tem", "seu", "sua", "ou", "quando", "muito", "ja",
+        "tambem", "so", "pelo", "pela", "ate", "isso", "ela", "entre",
+        "depois", "sem", "mesmo", "aos", "seus", "quem", "nas", "esse",
+    ],
+    "nl": LANG_PROFILES["nl"] + [
+        "naar", "uit", "over", "hij", "zij", "werd", "worden", "wordt",
+        "door", "nog", "wel", "geen", "tot", "deze", "onder", "tussen",
+        "heeft", "hebben", "was", "waren", "dit", "hun", "meer", "jaar",
+        "twee",
+    ],
+    "sv": LANG_PROFILES["sv"] + [
+        "fran", "under", "ocksa", "nar", "dar", "kan", "ska", "skulle",
+        "denna", "detta", "hon", "honom", "hennes", "hans", "sig", "sin",
+        "sitt", "blev", "blir", "vara", "varit", "mellan", "genom", "utan",
+        "mot",
+    ],
+}
+
+
+def _trigram_profile(words: list[str], n: int = 110) -> list[str]:
+    """Deterministic char-trigram table: padded-word trigrams ranked by
+    (frequency desc, trigram asc), truncated to n — every profile the
+    same size so cross-language hit counts compare fairly."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    for w in words:
+        p = f"_{w}_"
+        for i in range(len(p) - 2):
+            c[p[i : i + 3]] += 1
+    return [t for t, _cnt in sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:n]]
+
+
+LANG_TRIGRAMS: dict[str, list[str]] = {
+    lang: _trigram_profile(ws) for lang, ws in LANG_WORDS.items()
+}
+
 
 def token_count_expr(text_col: str = "text") -> Column:
     return F.size(token_array(text_col)).cast("long")
@@ -90,17 +163,41 @@ def quality_scores(
     )
 
 
-def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Stopword-profile language guess: the language whose profile words
-    occur most (ties -> lexicographically first; 'und' = undetermined)."""
+def doc_trigrams_expr(text_col: str = "text") -> Column:
+    """Padded per-token char trigrams of the analyzed tokens ('_the_' ->
+    _th, the, he_), with multiplicity — pure JVM array expressions."""
     arr = token_array(text_col)
-    langs = sorted(LANG_PROFILES)
+
+    def tri(t):
+        padded = F.concat(F.lit("_"), t, F.lit("_"))
+        return F.transform(
+            F.sequence(F.lit(1), F.length(t)),
+            lambda i: padded.substr(i, F.lit(3)),
+        )
+
+    return F.flatten(F.transform(arr, tri))
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Char-trigram language guess: the language whose trigram profile
+    (LANG_TRIGRAMS — 120 padded-word trigrams derived from ~45 common
+    words per language) matches the most document trigrams, counted with
+    multiplicity. Ties -> lexicographically first; no hits -> 'und'.
+
+    Heuristic-grade fidelity by design (documented in COVERAGE.md): the
+    gate pins determinism via a value-exact DuckDB twin, and a labeled
+    mini-set smoke-tests accuracy. Trigram profiles beat the previous
+    20-stopword profiles on short texts because inflected forms hit
+    partial trigrams ('hav' from 'have') without an exact word match.
+    One scan, pure JVM expressions — the 100-TB plan is unchanged."""
+    tris = doc_trigrams_expr(text_col)
+    langs = sorted(LANG_TRIGRAMS)
     hits = []
     for i, lang in enumerate(langs):
-        wl = F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])
+        tl = F.array(*[F.lit(t) for t in LANG_TRIGRAMS[lang]])
         hits.append(
             F.struct(
-                F.size(F.filter(arr, lambda t: F.array_contains(wl, t))).alias("hits"),
+                F.size(F.filter(tris, lambda t: F.array_contains(tl, t))).alias("hits"),
                 # ties resolve to the lexicographically-first language:
                 # higher priority = earlier lang, so max() picks it.
                 F.lit(len(langs) - 1 - i).alias("prio"),
@@ -111,7 +208,7 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     return df.select(
         F.col(id_col),
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_guess"),
-        best["hits"].cast("long").alias("profile_hits"),
+        best["hits"].cast("long").alias("trigram_hits"),
     )
 
 

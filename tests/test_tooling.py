@@ -165,3 +165,95 @@ class TestDegenerateCorpora:
         )
         assert quality_scores(df).count() == 2
         assert simhash64(df).count() == 2
+
+
+class TestLangIdTrigram:
+    """Char-trigram language ID (round-3 verdict task #8): accuracy smoke
+    over a labeled mini-set — the deterministic gate twin pins values; this
+    pins that the heuristic actually identifies languages."""
+
+    SAMPLES = {
+        "en": [
+            "the cat was sitting on the mat and it would not move from there",
+            "they have been working with this for more than a year",
+            "what can be said about the other side of the story",
+            "there is only one way to know which of them will win",
+            "this is the kind of thing that can only happen when nobody is looking",
+        ],
+        "de": [
+            "der hund ist mit der katze durch den garten gelaufen",
+            "die kinder haben nicht auf den bus gewartet",
+            "das wetter wird morgen besser als heute sein",
+            "sie wurde von einem freund nach hause gebracht",
+            "zwischen den beiden gibt es noch einen unterschied",
+        ],
+        "fr": [
+            "le chat est dans la maison avec les enfants",
+            "il y a deux ans nous sommes alles a paris ensemble",
+            "cette ville est plus belle que toutes les autres",
+            "ils ont fait tout ce qui etait possible pour nous aider",
+            "elle ne peut pas venir sans son frere et sa soeur",
+        ],
+        "es": [
+            "el perro esta en la casa con los ninos pequenos",
+            "cuando llegamos a madrid ya era muy tarde para cenar",
+            "todos los dias hay algo nuevo que aprender sobre esto",
+            "no se puede saber quien va a ganar hasta el final",
+            "durante muchos anos vivimos entre dos ciudades distintas",
+        ],
+        "it": [
+            "il gatto e nella casa con i bambini piccoli",
+            "dopo molti anni sono tornati nella loro citta",
+            "questo libro e piu interessante di quello che ho letto prima",
+            "non si sa quando arriveranno tutti gli altri",
+            "tra due giorni saremo di nuovo a roma con loro",
+        ],
+        "pt": [
+            "o gato esta na casa com as criancas pequenas",
+            "quando chegamos ao rio ja era muito tarde",
+            "nao se pode saber quem vai ganhar ate o final",
+            "depois de muitos anos ele voltou para a sua cidade",
+            "isso tambem pode ser feito sem a ajuda dos outros",
+        ],
+        "nl": [
+            "de kat zit in het huis met de kleine kinderen",
+            "hij werd door een vriend naar huis gebracht",
+            "er is nog geen nieuws over wat er is gebeurd",
+            "tussen de twee staat nog een ander gebouw",
+            "dit jaar hebben zij meer gedaan dan ooit tevoren",
+        ],
+        "sv": [
+            "katten sitter i huset med de sma barnen",
+            "han skulle inte komma utan att saga till",
+            "det finns inget nytt att beratta om detta",
+            "mellan de tva husen star ett annat hus",
+            "hon har varit dar manga ganger genom aren",
+        ],
+    }
+
+    def test_accuracy_on_labeled_miniset(self, spark):
+        from letarette_spark.functions.textstats import lang_id
+
+        rows = [
+            {"doc_id": f"{lang}-{i}", "text": text}
+            for lang, texts in self.SAMPLES.items()
+            for i, text in enumerate(texts)
+        ]
+        got = {
+            r["doc_id"]: r["lang_guess"]
+            for r in lang_id(spark.createDataFrame(rows)).collect()
+        }
+        correct = sum(1 for d, g in got.items() if g == d.split("-")[0])
+        total = len(rows)
+        assert correct / total >= 0.85, {
+            d: g for d, g in got.items() if g != d.split("-")[0]
+        }
+
+    def test_trigram_tables_deterministic(self):
+        from letarette_spark.functions.textstats import (
+            LANG_TRIGRAMS, _trigram_profile, LANG_WORDS,
+        )
+
+        for lang, tris in LANG_TRIGRAMS.items():
+            assert len(tris) == 110 and len(set(tris)) == 110
+            assert tris == _trigram_profile(LANG_WORDS[lang])
