@@ -61,13 +61,21 @@ def _swedish_stem(word: str) -> str:
     return swedish.stem(word)
 
 
+def _german_stem(word: str) -> str:
+    from letarette_spark.analysis import german
+
+    return german.stem(word)
+
+
 _STEMMERS: dict[str, Callable[[str], str]] = {
     "porter": porter.stem,
     "english": _porter2_stem,
-    # bit-exact to compiled libstemmer 'swedish' (analysis/swedish.py,
-    # pinned by tests/test_swedish_goldens.py); chain order follows the
-    # reference's first-stemmer-to-change-length rule (snowball.c:210-220)
+    # bit-exact to the compiled libstemmer stemmers (analysis/swedish.py,
+    # analysis/german.py — pinned by tests/test_swedish_goldens.py and
+    # tests/test_german_goldens.py); chain order follows the reference's
+    # first-stemmer-to-change-length rule (snowball.c:210-220)
     "swedish": _swedish_stem,
+    "german": _german_stem,
 }
 
 

@@ -274,10 +274,62 @@ innehållsförteckning verksamhetsberättelse tillgänglighetsanpassning
 """
 
 
+# German: bases x suffix matrix over every rule family (the three suffix
+# steps, R1 clamp + raw-R1-derived R2, intervocalic u/y consonant marking,
+# ß -> ss, conditional s/st endings, the niss special case, d-suffix
+# chains end/ung+ig, lich/heit+er/en, keit+lich/ig, umlaut stripping).
+BASES_DE = """
+haus maus kind mann frau tag jahr zeit hand aug kopf berg tal wald feld
+weg stadt dorf land meer see fluss bach stein baum blatt blum gras korn
+brot milch fleisch fisch obst wein bier wass feu luft erd himmel stern
+mond sonn freund feind lieb hass freud leid glück schmerz angst mut kraft
+schwäch möglich freundlich heilig ewig wesent dankbar verwandt zeugnis
+ereignis ergebnis verständnis kleid bild jung alt groß klein schön
+hässlich gut schlecht treu neu bau mau stei quell bequem aquarium typ
+system kategori auffäll grös weiss fussball müd büch schönheit trau träum
+läuf läss füss spiel arbeit schul lehr schrieb sprech denk fühl geh steh
+komm bring nehm geb seh hör less wiss kenn woll soll könn müss dürf mög
+"""
+
+SUFFIXES_DE = [
+    "", "e", "em", "en", "ern", "er", "es", "s", "est", "st",
+    "end", "ung", "ig", "ik", "isch", "lich", "heit", "keit", "nisse",
+    "niss", "nis", "ungen", "igkeit", "lichkeit", "erheit", "enheit",
+    "igung", "isches", "liche", "lichen", "licher", "keiten", "heiten",
+    "ss", "sse", "ßen", "ß", "igen", "iger", "igst", "igste",
+]
+
+ADVERSARIAL_DE = """
+a ä ö ü ß aß ess uß ab aber die der das und ist von mit den nicht
+verhaeltnisse verhältnisse auffaellig auffällig häuser haeuser grösse
+groesse größe weißen weissen fußball müde bücher schönheit möglichkeit
+freundlich freundlichkeit verständnis verständnisse ereignisse ergebnisse
+zeugnis zeugnisse jungen jünger jüngste kleidung bildung bildungen
+heiligkeit ewigkeit lieblich wesentlich dankbarkeit verwandtschaft daniel
+dies mannes kindes hauses tages armes quellen quer bequem aquarium steuer
+feuer treuen neuen bauer mauer mayer bayern yoga typ typen system systeme
+beendigung entschuldigung bedeutung bedeutend aufeinander kategorie
+unabhängigkeit wirklichkeitsnah unmissverständlich
+"""
+
+
 def vocabulary(
     lang: str = "english", n_random: int = 15000, seed: int = 20240816
 ) -> list[str]:
     words: set[str] = set()
+    if lang == "german":
+        bases, suffixes, advers = BASES_DE, SUFFIXES_DE, ADVERSARIAL_DE
+        alphabet = "abcdefghijklmnopqrstuvwxyzäöüß"
+        weighted = alphabet + "aeiouyäöü" * 3 + "s" * 2 + "e" * 2 + "n" * 2
+        for b in bases.split():
+            for s in suffixes:
+                words.add(b + s)
+        words.update(advers.split())
+        rng = random.Random(seed)
+        for _ in range(n_random):
+            n = rng.randint(1, 14)
+            words.add("".join(rng.choice(weighted) for _ in range(n)))
+        return sorted(words)
     if lang == "swedish":
         bases, suffixes, advers = BASES_SV, SUFFIXES_SV, ADVERSARIAL_SV
         alphabet = "abcdefghijklmnopqrstuvwxyzäåö"
@@ -301,7 +353,7 @@ def main() -> None:
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--lang", default="english", choices=["english", "swedish"])
+    ap.add_argument("--lang", default="english", choices=["english", "swedish", "german"])
     args = ap.parse_args()
     out = os.path.join(
         os.path.dirname(__file__), "..", "tests", "data",
