@@ -34,6 +34,10 @@ def main() -> None:
     ap.add_argument("--cache-size", type=int, default=0,
                     help="enable the query result cache with this many "
                          "entries (0 = off); cache stats print at exit")
+    ap.add_argument("--status", action="store_true",
+                    help="print the worker IndexStatus line + metrics "
+                         "JSON at exit (reference: status broadcasts + "
+                         "expvar metrics surfaced by lrmon)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -66,12 +70,16 @@ def main() -> None:
 
         cache = ResultCache(max_entries=args.cache_size)
         searcher = CachingSearcher(searcher, cache)
+    from letarette_spark.monitoring import METRICS
+
     for q in args.query:
         t0 = time.perf_counter()
+        METRICS.set("query_queue", 1)
         res = searcher.search(
             q, spaces=args.spaces, limit=args.limit, offset=args.offset,
             autocorrect=not args.no_autocorrect, strategy=args.strategy,
         )
+        METRICS.set("query_queue", 0)
         print(json.dumps({
             "query": q,
             "status": res.status,
@@ -88,6 +96,11 @@ def main() -> None:
         }))
     if cache is not None:
         print(json.dumps({"cache_stats": cache.stats()}), file=sys.stderr)
+    if args.status:
+        from letarette_spark.monitoring import index_status
+
+        print(str(index_status(idx)), file=sys.stderr)
+        print(METRICS.to_json(), file=sys.stderr)
     spark.stop()
 
 

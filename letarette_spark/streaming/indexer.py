@@ -127,7 +127,21 @@ def stream_document_updates(
             .filter(F.col("_rn") == 1)
             .drop("_rn", "updated_at")
         )
-        upsert_documents(spark, index_root, batch, batch_id=batch_id)
+        # persist so the metrics count below reuses the dedup shuffle
+        # instead of recomputing the micro-batch
+        batch = batch.persist()
+        n = batch.count()
+        try:
+            upsert_documents(spark, index_root, batch, batch_id=batch_id)
+        finally:
+            batch.unpersist()
+        # expvar analog (reference indexer.go:98,224-231): one request per
+        # micro-batch; served = docs upserted this batch
+        from letarette_spark.monitoring import METRICS
+
+        METRICS.add("doc_requests", 1)
+        METRICS.add("served_docs", n)
+        METRICS.set("update_queue", n)
         if housekeep_every_batches and (batch_id + 1) % housekeep_every_batches == 0:
             run_housekeeping(
                 spark, index_root, compact_segments_over=compact_segments_over
