@@ -337,6 +337,19 @@ def q_knn_cosine(spark, sf_dir):
     )
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN with a real (nprobe < n_cells) probe: deterministic
+    lowest-id centroid seeding + argmax-cosine assignment, so the whole
+    algebra (centroids -> cells -> probe-2-of-8 -> cosine top-k) has an
+    exact ANSI-SQL twin. The kmeans-refined variant (n_iter>0) is
+    pytest-covered against a numpy Lloyd reference (tests/test_ivf.py)."""
+    from letarette_spark.functions.similarity import ivf_topk
+
+    return ivf_topk(
+        _emb(spark, sf_dir), query_id=0, k=5, n_cells=8, nprobe=2, n_iter=0
+    ).select("vec_id", F.round("cos", 6).alias("cos"))
+
+
 def q_text_quality(spark, sf_dir):
     from letarette_spark.functions.textstats import quality_scores
 
@@ -461,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_embedding_dups": q_lsh_embedding_dups,
         "bpe_token_count": q_bpe_token_count,
         "knn_cosine": q_knn_cosine,
+        "ann_ivf": q_ann_ivf,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "quality_gates": q_quality_gates,
@@ -749,6 +763,39 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a, embeddings b
             WHERE a.vec_id = 0 AND b.vec_id <> 0
             ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC, b.vec_id
+            LIMIT 5
+        """,
+        "ann_ivf": """
+            WITH cents AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                       embedding::DOUBLE[] AS cv
+                FROM (SELECT vec_id, embedding FROM embeddings
+                      ORDER BY vec_id LIMIT 8)
+            ),
+            assign AS (
+                SELECT e.vec_id, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(
+                               e.embedding::DOUBLE[], c.cv) DESC,
+                               c.cell) AS rn
+                FROM embeddings e CROSS JOIN cents c
+            ),
+            cellof AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+            q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                  WHERE vec_id = 0),
+            probe AS (
+                SELECT c.cell FROM cents c CROSS JOIN q
+                ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cell
+                LIMIT 2
+            )
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cos
+            FROM embeddings e
+            JOIN cellof USING (vec_id)
+            CROSS JOIN q
+            WHERE cellof.cell IN (SELECT cell FROM probe) AND e.vec_id <> 0
+            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
+                     e.vec_id
             LIMIT 5
         """,
         "text_quality": f"""

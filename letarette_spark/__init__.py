@@ -68,4 +68,16 @@ def __getattr__(name):
         from letarette_spark.functions import dedup
 
         return getattr(dedup, name)
+    if name in (
+        "cosine_topk",
+        "ivf_centroids",
+        "ivf_assign",
+        "ivf_topk",
+        "ivf_index_write",
+        "ivf_index_topk",
+        "lsh_cosine_topk",
+    ):
+        from letarette_spark.functions import similarity
+
+        return getattr(similarity, name)
     raise AttributeError(name)

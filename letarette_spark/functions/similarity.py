@@ -197,3 +197,217 @@ def lsh_cosine_topk(
         .orderBy(F.desc("cos"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: partition the corpus into cells around centroids,
+# probe only the cells nearest the query. The brief's scale path alongside
+# hyperplane LSH: at 100 TB the corpus is written partitioned by cell
+# (ivf_index_write), so a query reads nprobe/n_cells of the data via plain
+# parquet partition pruning — no custom index structure needed.
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    emb: DataFrame,
+    n_cells: int = 8,
+    n_iter: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Train IVF centroids. Seeding is DETERMINISTIC — the ``n_cells``
+    lowest-id vectors, cell j = position in that id order — so the
+    0-iteration configuration is exactly expressible in ANSI SQL (the
+    driver-gate twin). ``n_iter`` Lloyd refinements (assign → per-cell
+    mean → repeat) improve cell balance; each round is one assign scan
+    plus one tiny (n_cells × dim) collect. At scale pass
+    ``sample_fraction`` to train on a seeded sample — centroid quality
+    needs only a sketch of the distribution, not the full corpus."""
+    train = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).filter(F.col("v").isNotNull())
+    cents = [
+        list(r["v"])
+        for r in train.orderBy(id_col).limit(n_cells).collect()
+    ]
+    if not cents:
+        return []
+    if n_iter > 0 and sample_fraction is not None:
+        train = train.sample(fraction=sample_fraction, seed=seed)
+    for _ in range(n_iter):
+        assigned = _with_centroid_cols(train, cents).select(
+            "v", _ivf_cell_expr("v", cents).alias("cell")
+        )
+        dim = len(cents[0])
+        means = (
+            assigned.groupBy("cell")
+            .agg(
+                *[
+                    F.avg(F.element_at("v", i + 1)).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        new = list(cents)  # empty cells keep their previous centroid
+        for r in means:
+            new[r["cell"]] = [r[f"m{i}"] for i in range(dim)]
+        if new == cents:
+            break
+        cents = new
+    return cents
+
+
+def _ivf_cell_expr(vec_col: str, centroids: list[list[float]]) -> Column:
+    """argmax_j cosine(v, centroid_j), ties to the lowest cell index.
+    Pure JVM: array_min over (−cos, j) structs — struct ordering is
+    field-lexicographic, so min(−cos) then min(j), matching the SQL
+    twin's ``ORDER BY cos DESC, cell ASC`` row_number."""
+    entries = [
+        F.struct(
+            (-cosine_expr(vec_col, f"__c{j}")).alias("negcos"),
+            F.lit(j).alias("cell"),
+        )
+        for j in range(len(centroids))
+    ]
+    return F.array_min(F.array(*entries))["cell"]
+
+
+def _with_centroid_cols(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Bake the (tiny) centroid table into the plan as literal arrays —
+    the broadcast-dim analog; no join, stays inside codegen."""
+    for j, c in enumerate(centroids):
+        df = df.withColumn(
+            f"__c{j}", F.array(*[F.lit(float(x)) for x in c])
+        )
+    return df
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell) assignment — one scan, no shuffle."""
+    v = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    return _with_centroid_cols(v, centroids).select(
+        F.col(id_col), _ivf_cell_expr("v", centroids).alias("cell")
+    )
+
+
+def ivf_probe_cells(
+    query_vec: list[float], centroids: list[list[float]], nprobe: int
+) -> list[int]:
+    """The nprobe cells nearest the query, by the same sequential-fold
+    cosine the assignment uses (math.fsum-free left fold, matching the
+    Spark/DuckDB accumulation order), ties to the lowest cell index."""
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return dot / ((na ** 0.5) * (nb ** 0.5))
+
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda j: (-cos(query_vec, centroids[j]), j),
+    )
+    return ranked[:nprobe]
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    n_iter: int = 0,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only the vectors assigned to the query's
+    nprobe nearest cells. nprobe = n_cells degrades to exact brute force
+    (every cell probed); the gate uses nprobe < n_cells against a full
+    ANSI-SQL twin of the same centroid/assignment/probe algebra."""
+    if centroids is None:
+        centroids = ivf_centroids(
+            emb, n_cells, n_iter, id_col=id_col, vec_col=vec_col
+        )
+    if not centroids:
+        return emb.select(
+            F.col(id_col), F.lit(0.0).alias("cos")
+        ).limit(0)
+    qrow = (
+        emb.filter(F.col(id_col) == query_id)
+        .select(F.col(vec_col).cast("array<double>").alias("qv"))
+        .first()
+    )
+    if qrow is None:
+        return emb.select(F.col(id_col), F.lit(0.0).alias("cos")).limit(0)
+    probes = ivf_probe_cells(list(qrow["qv"]), centroids, nprobe)
+    v = emb.filter(F.col(id_col) != query_id).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    v = _with_centroid_cols(v, centroids).filter(
+        _ivf_cell_expr("v", centroids).isin(probes)
+    )
+    q = emb.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    return (
+        v.crossJoin(F.broadcast(q))
+        .select(F.col(id_col), cosine_expr("v", "qv").alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_index_write(
+    emb: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the corpus partitioned by IVF cell (cell=N parquet
+    dirs). This is the 100-TB layout: ivf_index_topk's cell filter then
+    prunes at the DIRECTORY level, so a query reads ~nprobe/n_cells of
+    the bytes regardless of corpus size."""
+    assigned = _with_centroid_cols(
+        emb.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        ),
+        centroids,
+    ).select(F.col(id_col), F.col("v"), _ivf_cell_expr("v", centroids).alias("cell"))
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query a materialized IVF index: partition-pruned scan of the
+    nprobe nearest cells + cosine top-k against the literal query."""
+    probes = ivf_probe_cells(query_vec, centroids, nprobe)
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probes))
+        .withColumn("qv", qv)
+        .select(F.col(id_col), cosine_expr("v", "qv").alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )
