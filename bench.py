@@ -11,6 +11,7 @@ Times the headline paths over $SPARK_GRAFT_SF_DIR (default
   n-gram jaccard pairs, knn cosine
 - scale-path dedup: minhash-LSH near-dup pairs (candidate-only verify),
   banded-LSH embedding dup pairs, single-pass simhash
+- ANN: IVF probe-query top-k (pre-trained centroids; compare knn_cosine)
 
 Contention robustness: this host has invisible noisy neighbors (identical
 code has swung 26->90s run-to-run — BASELINE.md, CLAUDE.md), so every
@@ -137,7 +138,11 @@ def main() -> None:
         minhash_signatures,
         simhash64,
     )
-    from letarette_spark.functions.similarity import cosine_topk
+    from letarette_spark.functions.similarity import (
+        cosine_topk,
+        ivf_centroids,
+        ivf_topk,
+    )
     from letarette_spark.functions.simple_text import bm25_scores
     from letarette_spark.index.builder import Index, build_index
     from letarette_spark.query.executor import Searcher
@@ -156,6 +161,11 @@ def main() -> None:
         F.col("text").alias("body"),
         F.lit(True).alias("alive"),
     )
+
+    # IVF centroids trained once (build-side cost, like the index build
+    # below); the per-trial ann_ivf number is the PROBE-query path —
+    # directly comparable to knn_cosine's exact full scan
+    ivf_cents = ivf_centroids(embeddings, n_cells=16, n_iter=1)
 
     trial_timings: list[dict[str, float]] = []
     load_samples: list[float] = [_load_avg()]
@@ -214,6 +224,12 @@ def main() -> None:
             timed(
                 "knn_cosine",
                 lambda: cosine_topk(embeddings, query_id=0, k=5).collect(),
+            )
+            timed(
+                "ann_ivf",
+                lambda: ivf_topk(
+                    embeddings, query_id=0, k=5, nprobe=4, centroids=ivf_cents
+                ).collect(),
             )
             timed(
                 "minhash_lsh_pairs",

@@ -67,15 +67,30 @@ def _german_stem(word: str) -> str:
     return german.stem(word)
 
 
+def _norwegian_stem(word: str) -> str:
+    from letarette_spark.analysis import norwegian
+
+    return norwegian.stem(word)
+
+
+def _danish_stem(word: str) -> str:
+    from letarette_spark.analysis import danish
+
+    return danish.stem(word)
+
+
 _STEMMERS: dict[str, Callable[[str], str]] = {
     "porter": porter.stem,
     "english": _porter2_stem,
     # bit-exact to the compiled libstemmer stemmers (analysis/swedish.py,
-    # analysis/german.py — pinned by tests/test_swedish_goldens.py and
-    # tests/test_german_goldens.py); chain order follows the reference's
-    # first-stemmer-to-change-length rule (snowball.c:210-220)
+    # german.py, norwegian.py, danish.py — each pinned by its
+    # tests/test_*_goldens.py compiled-library vectors); chain order
+    # follows the reference's first-stemmer-to-change-length rule
+    # (snowball.c:210-220)
     "swedish": _swedish_stem,
     "german": _german_stem,
+    "norwegian": _norwegian_stem,
+    "danish": _danish_stem,
 }
 
 

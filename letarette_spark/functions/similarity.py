@@ -12,18 +12,22 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _cosine_cols(a: Column, b: Column) -> Column:
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
 def cosine_expr(a: str, b: str) -> Column:
     """cosine(a, b) for two array<double> columns, computed as
     dot / (||a|| * ||b||) in float64 (matches DuckDB list_cosine_similarity
     on double inputs)."""
-    dot = F.aggregate(
-        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    na = F.sqrt(F.aggregate(F.col(a), F.lit(0.0), lambda acc, v: acc + v * v))
-    nb = F.sqrt(F.aggregate(F.col(b), F.lit(0.0), lambda acc, v: acc + v * v))
-    return dot / (na * nb)
+    return _cosine_cols(F.col(a), F.col(b))
 
 
 def cosine_topk(
@@ -237,7 +241,7 @@ def ivf_centroids(
     if n_iter > 0 and sample_fraction is not None:
         train = train.sample(fraction=sample_fraction, seed=seed)
     for _ in range(n_iter):
-        assigned = _with_centroid_cols(train, cents).select(
+        assigned = train.select(
             "v", _ivf_cell_expr("v", cents).alias("cell")
         )
         dim = len(cents[0])
@@ -260,29 +264,33 @@ def ivf_centroids(
     return cents
 
 
+def _centroids_lit(centroids: list[list[float]]) -> Column:
+    """The (tiny) centroid table baked into the plan as ONE nested
+    literal array — the broadcast-dim analog; no join, stays inside
+    codegen."""
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+
+
 def _ivf_cell_expr(vec_col: str, centroids: list[list[float]]) -> Column:
     """argmax_j cosine(v, centroid_j), ties to the lowest cell index.
-    Pure JVM: array_min over (−cos, j) structs — struct ordering is
-    field-lexicographic, so min(−cos) then min(j), matching the SQL
-    twin's ``ORDER BY cos DESC, cell ASC`` row_number."""
-    entries = [
-        F.struct(
-            (-cosine_expr(vec_col, f"__c{j}")).alias("negcos"),
-            F.lit(j).alias("cell"),
-        )
-        for j in range(len(centroids))
-    ]
-    return F.array_min(F.array(*entries))["cell"]
-
-
-def _with_centroid_cols(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
-    """Bake the (tiny) centroid table into the plan as literal arrays —
-    the broadcast-dim analog; no join, stays inside codegen."""
-    for j, c in enumerate(centroids):
-        df = df.withColumn(
-            f"__c{j}", F.array(*[F.lit(float(x)) for x in c])
-        )
-    return df
+    Pure JVM: one transform lambda over the nested centroid literal
+    scores every cell (the cosine sub-expression appears ONCE in the
+    plan, not n_cells times — a per-cell expansion made Catalyst
+    analysis the dominant cost), then array_min over (−cos, j) structs —
+    struct ordering is field-lexicographic, so min(−cos) then min(j),
+    matching the SQL twin's ``ORDER BY cos DESC, cell ASC`` row_number.
+    Per-element arithmetic (zip_with multiply, sequential left-fold sum)
+    is identical to the expanded form."""
+    v = F.col(vec_col)
+    scored = F.transform(
+        _centroids_lit(centroids),
+        lambda c, i: F.struct(
+            (-_cosine_cols(v, c)).alias("negcos"), i.alias("cell")
+        ),
+    )
+    return F.array_min(scored)["cell"]
 
 
 def ivf_assign(
@@ -292,12 +300,9 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, cell) assignment — one scan, no shuffle."""
-    v = emb.select(
+    return emb.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-    )
-    return _with_centroid_cols(v, centroids).select(
-        F.col(id_col), _ivf_cell_expr("v", centroids).alias("cell")
-    )
+    ).select(F.col(id_col), _ivf_cell_expr("v", centroids).alias("cell"))
 
 
 def ivf_probe_cells(
@@ -354,10 +359,7 @@ def ivf_topk(
     probes = ivf_probe_cells(list(qrow["qv"]), centroids, nprobe)
     v = emb.filter(F.col(id_col) != query_id).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-    )
-    v = _with_centroid_cols(v, centroids).filter(
-        _ivf_cell_expr("v", centroids).isin(probes)
-    )
+    ).filter(_ivf_cell_expr("v", centroids).isin(probes))
     q = emb.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).cast("array<double>").alias("qv")
     )
@@ -380,13 +382,12 @@ def ivf_index_write(
     dirs). This is the 100-TB layout: ivf_index_topk's cell filter then
     prunes at the DIRECTORY level, so a query reads ~nprobe/n_cells of
     the bytes regardless of corpus size."""
-    assigned = _with_centroid_cols(
-        emb.select(
-            F.col(id_col),
-            F.col(vec_col).cast("array<double>").alias("v"),
-        ),
-        centroids,
-    ).select(F.col(id_col), F.col("v"), _ivf_cell_expr("v", centroids).alias("cell"))
+    assigned = emb.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).select(
+        F.col(id_col), F.col("v"), _ivf_cell_expr("v", centroids).alias("cell")
+    )
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
 
 

@@ -313,10 +313,113 @@ unabhängigkeit wirklichkeitsnah unmissverständlich
 """
 
 
+# Norwegian: rule families — R1 >= 3 clamp, step-1 endings incl. the
+# erte/ert -> er rewrite, the conditional s (s-ending letters OR k not
+# after a vowel — so 'sk' forms matter), dt/vt step 2, and the step-3
+# leg/eleg/ig/eig/lig/elig/els/lov/elov/slov/hetslov family.
+BASES_NO = """
+gutt jent hus barn land tak bygg tro klok vakker frisk mørk stille bred
+høy arbeid skol lær bok papir penn vindu dør vegg golv himmel jord vann
+ild luft skog berg dal sjø hav strand sommer vinter vår høst morgen kveld
+natt dag uke måned år tid stund lek hvil søvn drøm tanke ord mening språk
+røst lyd musikk sang dans bild farge form lys mørke skygge sol måne
+stjerne sky regn snø vind storm ro fred krig kamp seier håp redsel glede
+sorg kjærlighet hat vennskap familie slekt forelder søsken nabo venn
+fiende folk stat by gård hjem rom kjøkken seng bord stol mat drikke brød
+melk kjøtt fisk frukt grønnsak sukker salt vakr möjlig hemmelig farlig
+morsom viktig riktig tidlig ærlig kjedelig hyggelig billett beskrivelse
+handel eksempel kjærleik von matlov dyrelov rettslov helselov naturlov
+aktiv passiv naiv massiv intensiv eplet vannet andre vandre hundre
+"""
+
+SUFFIXES_NO = [
+    "", "a", "e", "ede", "ande", "ende", "ane", "ene", "hetene", "en",
+    "heten", "ar", "er", "heter", "as", "es", "edes", "endes", "enes",
+    "hetenes", "ens", "hetens", "ers", "ets", "et", "het", "ast", "s",
+    "erte", "ert", "dt", "vt", "leg", "eleg", "ig", "eig", "lig", "elig",
+    "els", "lov", "elov", "slov", "hetslov", "kt", "sk", "sks", "ks", "vs",
+]
+
+ADVERSARIAL_NO = """
+a å æ ø ab åb bå hå hår hårt ha has hans fisk fisks tofs takk takks klok
+kloks bredt høyt godt sterkt kaldt varmt grovt stivt dyktig dyktigst
+vanskelig vanskeligst kjørte kjørt lærte lært spiste spist hoppet hoppets
+eplet eplets vannet vannets landet husene husenes barnets gutten guttens
+jenta jentas bygningslov bygningslovs naturlovene rettslovens hetslov
+possessivs aktivt passivt naivt erte ert ertes sverte svart svarte
+oppmerksomhetene virksomhetens tilgjengelighetserklæring
+"""
+
+
+# Danish: rule families — the 32 step-1 endings, å-inclusive s-ending set,
+# gd/dt/gt/kt step 2, igst/løst step 3 with its internal step-2 repeat,
+# and the step-4 undoubling of identical consonants in R1.
+BASES_DA = """
+dreng pig hus barn land tag bygning tro klog smuk frisk mørk stille bred
+høj arbejd skol lær bog papir pen vindu dør væg gulv himmel jord vand ild
+luft skov bjerg dal sø hav strand sommer vinter forår efterår morgen
+aften nat dag uge måned år tid stund leg hvile søvn drøm tanke ord mening
+sprog røst lyd musik sang dans billede farve form lys mørke skygge sol
+måne stjerne sky regn sne vind storm ro fred krig kamp sejr håb frygt
+glæde sorg kærlighed had venskab familie slægt forælder søskende nabo ven
+fjende folk stat by gård hjem rum køkken seng bord stol mad drikke brød
+mælk kød fisk frugt grøntsag sukker salt vigtig rigtig tidlig ærlig
+kedelig hyggelig farlig hemmelig billet beskrivelse handel eksempel
+hoppe løbe spise købe betale snakke arbejde vente begynde huske glemme
+aktiv passiv naiv massiv intensiv fuld fuldt løst løs bundet trukket
+"""
+
+SUFFIXES_DA = [
+    "", "hed", "ethed", "ered", "e", "erede", "ende", "erende", "ene",
+    "erne", "ere", "en", "heden", "eren", "er", "heder", "erer", "heds",
+    "es", "endes", "erendes", "enes", "ernes", "eres", "ens", "hedens",
+    "erens", "ers", "ets", "erets", "et", "eret", "s", "gd", "dt", "gt",
+    "kt", "igst", "ig", "lig", "elig", "els", "løst", "igt", "ligt",
+    "igste", "elst", "tt", "nn", "dd", "ll", "mm",
+]
+
+ADVERSARIAL_DA = """
+a å æ ø ab åb bå hå hår hårt ha has hans hus huset husets husene husenes
+barnet børnene drengen drengens pigen pigens bredt højt godt stærkt koldt
+varmt groft stift dygtig dygtigst vanskelig vanskeligst kørte kørt lærte
+lært spiste spist hoppede hoppet æblet æblets vandet vandets landet
+kærligheden kærlighedens muligheder mulighedernes virksomhederne
+opmærksomhedens bygningslov løst løstes fuldt fuldts igst igste eligst
+frisk frisks tofs klods klodset sødt sød sødeste hottest bitte sidste
+menneskerettighedserklæring tilgængelighedserklæring yderst inderst
+"""
+
+
 def vocabulary(
     lang: str = "english", n_random: int = 15000, seed: int = 20240816
 ) -> list[str]:
     words: set[str] = set()
+    if lang == "norwegian":
+        bases, suffixes, advers = BASES_NO, SUFFIXES_NO, ADVERSARIAL_NO
+        alphabet = "abcdefghijklmnopqrstuvwxyzæåø"
+        weighted = alphabet + "aeiouyæåø" * 3 + "s" * 2 + "e" * 2 + "t" * 2 + "k" * 2
+        for b in bases.split():
+            for s in suffixes:
+                words.add(b + s)
+        words.update(advers.split())
+        rng = random.Random(seed)
+        for _ in range(n_random):
+            n = rng.randint(1, 14)
+            words.add("".join(rng.choice(weighted) for _ in range(n)))
+        return sorted(words)
+    if lang == "danish":
+        bases, suffixes, advers = BASES_DA, SUFFIXES_DA, ADVERSARIAL_DA
+        alphabet = "abcdefghijklmnopqrstuvwxyzæåø"
+        weighted = alphabet + "aeiouyæåø" * 3 + "s" * 2 + "e" * 2 + "t" * 2
+        for b in bases.split():
+            for s in suffixes:
+                words.add(b + s)
+        words.update(advers.split())
+        rng = random.Random(seed)
+        for _ in range(n_random):
+            n = rng.randint(1, 14)
+            words.add("".join(rng.choice(weighted) for _ in range(n)))
+        return sorted(words)
     if lang == "german":
         bases, suffixes, advers = BASES_DE, SUFFIXES_DE, ADVERSARIAL_DE
         alphabet = "abcdefghijklmnopqrstuvwxyzäöüß"
@@ -353,7 +456,11 @@ def main() -> None:
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--lang", default="english", choices=["english", "swedish", "german"])
+    ap.add_argument(
+        "--lang",
+        default="english",
+        choices=["english", "swedish", "german", "norwegian", "danish"],
+    )
     args = ap.parse_args()
     out = os.path.join(
         os.path.dirname(__file__), "..", "tests", "data",
