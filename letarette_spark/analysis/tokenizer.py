@@ -79,6 +79,12 @@ def _danish_stem(word: str) -> str:
     return danish.stem(word)
 
 
+def _french_stem(word: str) -> str:
+    from letarette_spark.analysis import french
+
+    return french.stem(word)
+
+
 _STEMMERS: dict[str, Callable[[str], str]] = {
     "porter": porter.stem,
     "english": _porter2_stem,
@@ -91,6 +97,7 @@ _STEMMERS: dict[str, Callable[[str], str]] = {
     "german": _german_stem,
     "norwegian": _norwegian_stem,
     "danish": _danish_stem,
+    "french": _french_stem,
 }
 
 

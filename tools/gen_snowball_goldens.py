@@ -390,10 +390,117 @@ menneskerettighedserklæring tilgængelighedserklæring yderst inderst
 """
 
 
+# French: bases x suffix matrix over every rule family — the step-1
+# standard suffixes with their ic/iv/at/eus/abl/iqU/ièr/abil chains, the
+# i-verb (2a) and er/a-verb (2b) conjugation families, residual
+# s/ion/ier/e, un_double (enn/onn/ett/ell/eill), un_accent, and the
+# prelude/postlude markings (u/i between vowels, y, qu, ë->He, ï->Hi, ç).
+BASES_FR = """
+parl donn chant march pens aim jou regard trouv form habit mont port
+mang envoy pay essay nettoy appel jet achet lev pes men esper ced
+fin chois gross reun remol établ nourr réfléch réun bât grand pun
+bland roug vieill sort part dorm serv cour ouvr offr souffr couvr
+nation form commun organis réalis général moral social spécial normal
+centr cultur struct natur fig déclar consol confus précis concis
+log psycholog biolog théolog géolog astrolog idéolog technolog
+absolu continu ingénu ambigu aigu exigu contigu
+élément mouv gouvern départ appart logement seul égal héros
+ic électric platic authentic class specific scientific
+activ créativ productiv sensibil possibil responsabil cap
+beau nouveau château gâteau oiseau bateau drapeau cadeau niveau réseau
+cheval journal animal général social spécial principal hôpital capital
+heur heureu joyeu sérieu curieu furieu nerveu dangereu courageu
+conn paraiss naiss croiss connaiss bienveill merveill travaill
+vill fill famill feuill bouteill oreill soleil pareil
+homm femm enfant pèr mèr frèr soeur oncl tant cousin voisin
+têt main bras jamb pied coeur corps sang peau chevel
+pain lait veau fromage beurr sucr sel poivr huil vinaigr
+jour nuit matin soir semain mois anné saison printemps
+chos temps monde vie mort amour haine joie tristesse peur
+qui que quoi quand comment pourquoi parce aussi toujours jamais
+naïv aïeul ambiguï haï ouï égoïst coïncid héroïn maïs
+noël aiguë ciguë contiguë exiguë ambiguë
+"""
+
+SUFFIXES_FR = [
+    "", "ance", "iqUe", "ique", "isme", "able", "iste", "eux", "ances",
+    "iques", "ismes", "ables", "istes", "atrice", "ateur", "ation",
+    "atrices", "ateurs", "ations", "ication", "icatrice", "logie",
+    "logies", "usion", "ution", "usions", "utions", "ence", "ences",
+    "ement", "ements", "ivement", "ativement", "eusement", "ablement",
+    "iquement", "ièrement", "ité", "ités", "abilité", "icité", "ivité",
+    "if", "ive", "ifs", "ives", "atif", "ative", "icatif", "eaux", "aux",
+    "euse", "euses", "issement", "issements", "amment", "emment", "ment",
+    "ments",
+    "îmes", "ît", "îtes", "i", "ie", "ies", "ir", "ira", "irai",
+    "iraIent", "iraient", "irais", "irait", "iras", "irent", "irez",
+    "iriez", "irions", "irons", "iront", "is", "issaient", "issais",
+    "issait", "issant", "issante", "issantes", "issants", "isse",
+    "issent", "isses", "issez", "issiez", "issions", "issons", "it",
+    "ions", "é", "ée", "ées", "és", "èrent", "er", "era", "erai",
+    "eraient", "erais", "erait", "eras", "erez", "eriez", "erions",
+    "erons", "eront", "ez", "iez", "âmes", "ât", "âtes", "a", "ai",
+    "aient", "ais", "ait", "ant", "ante", "antes", "ants", "as", "asse",
+    "assent", "asses", "assiez", "assions", "eassent",
+    "s", "ion", "ier", "ière", "e", "és", "ées",
+    "enne", "onne", "ette", "elle", "eille", "enn", "onn", "ett", "ell",
+    "eill", "ès", "és", "ét", "èt", "èrent",
+]
+
+ADVERSARIAL_FR = """
+a à â e é è ê ë i î ï o ô u û ù y ç œ qu que qui quoi yeux yeuse payer
+pays paysan essuyé ennuyeux royaume moyen voyage croyant fuyant ayant
+soyons ayons aïe haïr haïssable naïf naïve naïves aïeux égoïsme
+coïncidence maïs ouïe inouï ambiguïté exiguïté contiguïté noël
+aiguë ciguë ambiguë contiguë exiguë vendre prendre comprendre attendre
+entendre répondre descendre perdre mordre tordre coudre moudre résoudre
+absoudre peindre craindre joindre atteindre éteindre plaindre
+connaître paraître naître croître accroître châteaux gâteaux oiseaux
+bateaux drapeaux cadeaux niveaux réseaux chevaux journaux animaux
+généraux sociaux spéciaux principaux hôpitaux capitaux travaux vitraux
+heureux heureuse heureusement joyeux joyeuse sérieusement curieusement
+furieusement nerveusement dangereusement courageusement malheureusement
+belle nouvelle ancienne européenne parisienne moyenne bonne personne
+couronne chatte cette assiette fourchette serviette fillette
+merveille bouteille oreille soleil pareille travaille bataille
+médaille volaille muraille écaille canaille
+été étés étée étées père mère frère très près après auprès exprès
+succès procès accès excès décès congrès progrès
+allégrement avènement événement sévèrement complètement discrètement
+secrètement inquiètement légèreté étrangeté ancienneté netteté
+française français cité cités citée liberté égalité fraternité
+université réalité qualité quantité sécurité société variété moitié
+amitié pitié initié associé différencié apprécié remercié
+absolument résolument éperdument assidûment goulûment congrûment
+crûment dûment indûment continûment
+"""
+
+
 def vocabulary(
     lang: str = "english", n_random: int = 15000, seed: int = 20240816
 ) -> list[str]:
     words: set[str] = set()
+    if lang == "french":
+        bases, suffixes, advers = BASES_FR, SUFFIXES_FR, ADVERSARIAL_FR
+        alphabet = "abcdefghijklmnopqrstuvwxyzâàëéêèïîôûùç"
+        weighted = (
+            alphabet
+            + "aeiouyéèê" * 3
+            + "s" * 2
+            + "e" * 2
+            + "t" * 2
+            + "r" * 2
+            + "qu"
+        )
+        for b in bases.split():
+            for s in suffixes:
+                words.add(b + s)
+        words.update(advers.split())
+        rng = random.Random(seed)
+        for _ in range(n_random):
+            n = rng.randint(1, 14)
+            words.add("".join(rng.choice(weighted) for _ in range(n)))
+        return sorted(words)
     if lang == "norwegian":
         bases, suffixes, advers = BASES_NO, SUFFIXES_NO, ADVERSARIAL_NO
         alphabet = "abcdefghijklmnopqrstuvwxyzæåø"
@@ -459,7 +566,9 @@ def main() -> None:
     ap.add_argument(
         "--lang",
         default="english",
-        choices=["english", "swedish", "german", "norwegian", "danish"],
+        choices=[
+            "english", "swedish", "german", "norwegian", "danish", "french"
+        ],
     )
     args = ap.parse_args()
     out = os.path.join(
