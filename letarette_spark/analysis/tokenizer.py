@@ -85,6 +85,12 @@ def _french_stem(word: str) -> str:
     return french.stem(word)
 
 
+def _spanish_stem(word: str) -> str:
+    from letarette_spark.analysis import spanish
+
+    return spanish.stem(word)
+
+
 _STEMMERS: dict[str, Callable[[str], str]] = {
     "porter": porter.stem,
     "english": _porter2_stem,
@@ -98,6 +104,7 @@ _STEMMERS: dict[str, Callable[[str], str]] = {
     "norwegian": _norwegian_stem,
     "danish": _danish_stem,
     "french": _french_stem,
+    "spanish": _spanish_stem,
 }
 
 

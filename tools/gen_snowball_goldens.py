@@ -476,10 +476,105 @@ crûment dûment indûment continûment
 """
 
 
+# Spanish: bases x suffix matrix over every rule family — the step-0
+# attached-pronoun forms (géndo/ándo/ár/ér/ír + u-yendo), the step-1
+# standard suffixes with ic/iv/at/os/ad/abil/ante/able/ible chains, the
+# y-verbs (2a), the large 2b verb conjugation list with the gu->g
+# special case, residual os/a/o/á/í/ó/e/é with gu-e, and accent removal.
+BASES_ES = """
+habl cant camin trabaj estudi compr mir escuch pens olvid salt bail
+gan llor llam busc toc cocin limpi am dese ayud necesit
+com beb corr aprend vend romp met perd respond tem
+viv escrib sub abr recib decid part cumpl sufr exist
+nacion form organiz real general moral social especial normal central
+natur cultur estructur histori polít económ democrát
+log psicolog biolog teolog geolog ideolog tecnolog
+resoluc evoluc revoluc soluc instituc constituc distribuc contribuc
+pres ausenc influenc preferenc referenc consecuenc frecuenc
+element movim gobern departam apartam pensam sentim conocim
+ic eléctric práctic auténtic clásic específic científic
+activ creativ productiv sensibil posibil responsabil capac
+grand pequeñ buen mal nuev viej alt baj fuert débil feliz trist
+rico pobr limpi suci llen vací fácil difícil
+hombr mujer niñ padr madr herman abuel tí prim vecin amig
+cabez man braz piern pie corazón cuerp sangr piel cabell
+pan lech carn pescad frut verdur azúcar sal piment aceit
+día noch mañan tard seman mes añ estación primaver
+cos tiemp mund vid muert amor odi alegrí tristez mied
+guerr paz lueh cas mes sill ventan puert pared suel ciel
+atac destru constru huy contribuy distribuy influy concluy incluy
+arguy cay ley oy poseyendo proveyendo
+"""
+
+SUFFIXES_ES = [
+    "", "anza", "anzas", "ico", "ica", "icos", "icas", "ismo", "ismos",
+    "able", "ables", "ible", "ibles", "ista", "istas", "oso", "osa",
+    "osos", "osas", "amiento", "amientos", "imiento", "imientos",
+    "adora", "ador", "ación", "adoras", "adores", "aciones", "ante",
+    "antes", "ancia", "ancias", "icadora", "icación", "logía", "logías",
+    "ución", "uciones", "encia", "encias", "amente", "ivamente",
+    "ativamente", "osamente", "icamente", "adamente", "mente",
+    "antemente", "ablemente", "iblemente", "idad", "idades", "abilidad",
+    "icidad", "ividad", "iva", "ivo", "ivas", "ivos", "ativa", "ativo",
+    "ya", "ye", "yan", "yen", "yeron", "yendo", "yo", "yó", "yas", "yes",
+    "yais", "yamos", "uyendo", "uya", "uyeron",
+    "en", "es", "éis", "emos", "arían", "arías", "arán", "arás",
+    "aríais", "aría", "aréis", "aríamos", "aremos", "ará", "aré",
+    "erían", "erías", "erán", "erás", "ería", "eré", "irían", "irá",
+    "iré", "aba", "ada", "ida", "ía", "ara", "iera", "ad", "ed", "id",
+    "ase", "iese", "aste", "iste", "an", "aban", "ían", "aran", "ieran",
+    "asen", "iesen", "aron", "ieron", "ado", "ido", "ando", "iendo",
+    "ió", "ar", "er", "ir", "as", "abas", "adas", "idas", "ías", "aras",
+    "ieras", "ases", "ieses", "ís", "áis", "abais", "íais", "asteis",
+    "isteis", "ados", "idos", "amos", "ábamos", "íamos", "imos",
+    "áramos", "iéramos", "iésemos", "ásemos",
+    "ándome", "ándose", "ándolo", "ándola", "ándoles", "árselo", "érselas",
+    "iéndose", "iéndolo", "ándonos", "árme", "árle", "írse", "írsela",
+    "s", "os", "a", "o", "á", "í", "ó", "e", "é", "ue", "gue", "gué",
+]
+
+ADVERSARIAL_ES = """
+a á é í ó ú ü e o y u el la los las un una de en que no se me te lo le
+nos os les ya fue son está están soy eres es somos sois era eran
+haciéndolo dándoselo vendiéndoselas trayéndonoslo comprándomelo
+escribiéndole llevándoselas poniéndoselo diciéndome oyéndola
+huyendo construyendo destruyendo contribuyendo distribuyendo influyendo
+concluyendo incluyendo arguyendo cayendo leyendo oyendo creyendo
+guerra guerras llegue llegué pague pagué sigue sigo averigüe
+antigüedad cigüeña pingüino lingüística vergüenza agüero
+canción canciones corazón corazones razón razones acción acciones
+nación naciones región regiones religión religiones opinión opiniones
+jóvenes árbol árboles lápiz lápices inglés ingleses francés franceses
+café cafés sofá sofás mamá papá aquí allí después también además
+fácilmente difícilmente rápidamente lentamente felizmente tristemente
+completamente absolutamente perfectamente profundamente
+responsabilidades posibilidades capacidades universidades ciudades
+realidades cualidades cantidades seguridades sociedades variedades
+chiquitito grandote casona mujerzuela librote amigazo perrazo
+yendo yendose uyendo buyendo puyendo muyendo tuyendo suyendo
+"""
+
+
 def vocabulary(
     lang: str = "english", n_random: int = 15000, seed: int = 20240816
 ) -> list[str]:
     words: set[str] = set()
+    if lang == "spanish":
+        bases, suffixes, advers = BASES_ES, SUFFIXES_ES, ADVERSARIAL_ES
+        alphabet = "abcdefghijklmnopqrstuvwxyzáéíóúüñ"
+        weighted = (
+            alphabet + "aeiouáéíóú" * 3 + "s" * 2 + "e" * 2 + "r" * 2
+            + "n" * 2 + "gu" + "y" * 2
+        )
+        for b in bases.split():
+            for s in suffixes:
+                words.add(b + s)
+        words.update(advers.split())
+        rng = random.Random(seed)
+        for _ in range(n_random):
+            n = rng.randint(1, 14)
+            words.add("".join(rng.choice(weighted) for _ in range(n)))
+        return sorted(words)
     if lang == "french":
         bases, suffixes, advers = BASES_FR, SUFFIXES_FR, ADVERSARIAL_FR
         alphabet = "abcdefghijklmnopqrstuvwxyzâàëéêèïîôûùç"
@@ -567,7 +662,8 @@ def main() -> None:
         "--lang",
         default="english",
         choices=[
-            "english", "swedish", "german", "norwegian", "danish", "french"
+            "english", "swedish", "german", "norwegian", "danish",
+            "french", "spanish",
         ],
     )
     args = ap.parse_args()
