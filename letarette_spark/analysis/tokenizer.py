@@ -91,6 +91,18 @@ def _spanish_stem(word: str) -> str:
     return spanish.stem(word)
 
 
+def _italian_stem(word: str) -> str:
+    from letarette_spark.analysis import italian
+
+    return italian.stem(word)
+
+
+def _portuguese_stem(word: str) -> str:
+    from letarette_spark.analysis import portuguese
+
+    return portuguese.stem(word)
+
+
 _STEMMERS: dict[str, Callable[[str], str]] = {
     "porter": porter.stem,
     "english": _porter2_stem,
@@ -105,6 +117,8 @@ _STEMMERS: dict[str, Callable[[str], str]] = {
     "danish": _danish_stem,
     "french": _french_stem,
     "spanish": _spanish_stem,
+    "italian": _italian_stem,
+    "portuguese": _portuguese_stem,
 }
 
 

@@ -555,10 +555,198 @@ yendo yendose uyendo buyendo puyendo muyendo tuyendo suyendo
 """
 
 
+# Italian: bases x suffix matrix — the step-0 attached pronouns after
+# ando/endo (delete) and ar/er/ir (-> e), the step-1 standard suffixes
+# with ic/iv/at/os/abil chains and the RV-conditioned amento family, the
+# step-2 conjugation table, step-3a final-vowel (+i) deletion, step-3b
+# ch/gh -> c/g, and the prelude acute->grave + qu/u/i markings.
+BASES_IT = """
+parl cant camin lavor studi compr guard ascolt pens dimentic salt ball
+vinc piang chiam cerc tocc cucin pul am desider aiut
+cred vend corr legg scriv ricev tem batt
+dorm part sent serv fin cap costru pul nutr
+nazion form organizz realizz general moral social special normal centr
+natur cultur struttur stor polit economic democratic
+log psicolog biolog teolog geolog ideolog tecnolog
+risoluz evoluz rivoluz soluz instituz costituz distribuz contribuz
+pres assenz influenz preferenz referenz conseguenz frequenz
+element moviment govern dipartiment appartament pensament sentiment
+ic elettric pratic autentic classic specific scientific
+attiv creativ produttiv sensibil possibil responsabil capac
+grand piccol buon cattiv nuov vecchi alt bass fort debol felic trist
+ricc pover pulit sporc pien vuot facil difficil
+uom donn bambin padr madr fratell sorell zi cugin vicin amic
+test man bracci gamb pied cuor corp sangu pell capell
+pan latt carn pesc frutt verdur zuccher sal pep oli
+giorn nott mattin ser settiman mes ann stagion primaver
+cos temp mond vit mort amor odi gioi tristezz paur
+guerr pac cas tavol sedi finestr port paret suol ciel
+vecch bianch lungh larg logh stomac amich nemich colleg
+"""
+
+SUFFIXES_IT = [
+    "", "anza", "anze", "ico", "ici", "ica", "ice", "iche", "ichi",
+    "ismo", "ismi", "abile", "abili", "ibile", "ibili", "ista", "iste",
+    "isti", "istà", "istè", "istì", "oso", "osi", "osa", "ose", "mente",
+    "atrice", "atrici", "ante", "anti", "azione", "azioni", "atore",
+    "atori", "icazione", "icatore", "logia", "logie", "uzione", "uzioni",
+    "usione", "usioni", "enza", "enze", "amento", "amenti", "imento",
+    "imenti", "amente", "ivamente", "ativamente", "osamente",
+    "icamente", "abilmente", "ità", "abilità", "icità", "ività", "ivo",
+    "ivi", "iva", "ive", "ativo", "ativa",
+    "ammo", "ando", "ano", "are", "arono", "asse", "assero", "assi",
+    "assimo", "ata", "ate", "ati", "ato", "ava", "avamo", "avano",
+    "avate", "avi", "avo", "emmo", "enda", "ende", "endi", "endo",
+    "erà", "erai", "eranno", "ere", "erebbe", "erebbero", "erei",
+    "eremmo", "eremo", "ereste", "eresti", "erete", "erò", "erono",
+    "essero", "ete", "eva", "evamo", "evano", "evate", "evi", "evo",
+    "iamo", "immo", "irà", "irai", "iranno", "ire", "irebbe",
+    "irebbero", "irei", "iremmo", "iremo", "ireste", "iresti", "irete",
+    "irò", "irono", "isca", "iscano", "isce", "isci", "isco", "iscono",
+    "issero", "ita", "ite", "iti", "ito", "iva", "ivamo", "ivano",
+    "ivate", "ivi", "ivo", "ono", "uta", "ute", "uti", "uto", "ar", "ir",
+    "andolo", "andola", "andoli", "andole", "andomi", "andoci",
+    "andosene", "endolo", "endola", "endosi", "endogli", "andogliela",
+    "arla", "arlo", "arli", "arle", "armi", "arti", "arci", "arvi",
+    "arsene", "ersi", "erla", "erlo", "ergli", "irsi", "irla", "irlo",
+    "irsene", "a", "e", "i", "o", "à", "è", "ì", "ò", "ia", "io", "ii",
+    "chi", "ch", "gh", "ghi", "che", "ghe",
+]
+
+ADVERSARIAL_IT = """
+a à è ì ò ù á é í ó ú e i o u qu che chi perché però più città virtù
+caffè università qualità quantità società varietà metà papà
+mangiandolo vendendolo guardandoli portandomela dandoglielo
+facendosene prendendosi alzandosi lavandosi vestendosi
+parlarle scriverle dirgli farlo averli esserci andarsene
+bianchi vecchi lunghi larghi stomachi amichi nemichi colleghi
+banche barche mosche panche franche stanghe righe botteghe
+luoghi laghi obblighi dialoghi cataloghi prologhi
+uomini donne bambini ragazzi ragazze signori signore
+azioni nazioni stazioni relazioni situazioni soluzioni
+attenzione dimensione passione missione questione
+maggiore migliore peggiore minore signore colore dolore amore
+felicemente facilmente difficilmente velocemente lentamente
+completamente assolutamente perfettamente profondamente
+possibilità responsabilità attività creatività produttività
+guai buoi suoi tuoi miei vuoi puoi
+aiuola aiuole ghiaia ghiaie gioia gioie noia pioggia spiaggia
+"""
+
+
+# Portuguese: bases x suffix matrix — nasal-vowel marking (ã/õ), the
+# step-1 standard suffixes with their chains + e*ira->ir, the step-2
+# conjugation table (incl. ão/ões forms), step-3 c-i deletion, step-4
+# residual vowels, step-5 e/é/ê with gu/ci and ç->c.
+BASES_PT = """
+fal cant caminh trabalh estud compr olh escut pens esquec salt danç
+ganh chor cham busc toc cozinh limp am desej ajud precis
+com beb corr aprend vend romp met perd respond tem
+viv escrev sub abr receb decid part cumpr sofr exist
+nacion form organiz realiz geral moral social especial normal centr
+natur cultur estrutur histór polít económ democrát
+log psicolog biolog teolog geolog ideolog tecnolog
+resoluç evoluç revoluç soluç instituiç constituiç distribuiç
+pres ausênc influênc preferênc referênc consequênc frequênc
+element moviment govern departament apartament pensament sentiment
+ic elétric prát autênt clássic específic científic
+ativ criativ produtiv sensibil possibil responsabil capac
+grand pequen bom mau nov velh alt baix fort fraco feliz trist
+ric pobr limp suj chei vazi fácil difícil
+homem mulher menin pai mãe irmã avô ti prim vizinh amig
+cabeç mão braç pern pé coraçã corp sangu pel cabel
+pã leit carn peix frut verdur açúcar sal piment azeit
+di noit manhã tard seman mês an estaçã primaver
+cois temp mund vid mort amor ódi alegri tristez med
+guerr paz cas mes cadeir janel port pared chã céu
+condiç ediç ediçã naçã razã liçã opiniã regiã religiã
+"""
+
+SUFFIXES_PT = [
+    "", "eza", "ezas", "ico", "ica", "icos", "icas", "ismo", "ismos",
+    "ável", "ível", "ista", "istas", "oso", "osa", "osos", "osas",
+    "amento", "amentos", "imento", "imentos", "adora", "ador", "ação",
+    "adoras", "adores", "ações", "ante", "antes", "ância", "icação",
+    "logia", "logias", "ução", "uções", "ência", "ências", "amente",
+    "ivamente", "ativamente", "osamente", "icamente", "adamente",
+    "mente", "antemente", "avelmente", "ivelmente", "idade", "idades",
+    "abilidade", "icidade", "ividade", "iva", "ivo", "ivas", "ivos",
+    "ativa", "ativo", "eira", "eiras", "ira", "iras",
+    "ada", "ida", "ia", "aria", "eria", "iria", "ará", "ara", "erá",
+    "era", "irá", "ava", "asse", "esse", "isse", "aste", "este", "iste",
+    "ei", "arei", "erei", "irei", "am", "iam", "ariam", "eriam",
+    "iriam", "aram", "eram", "iram", "avam", "em", "arem", "erem",
+    "irem", "assem", "essem", "issem", "ado", "ido", "ando", "endo",
+    "indo", "arão", "erão", "irão", "ar", "er", "ir", "as", "adas",
+    "idas", "ias", "arias", "erias", "irias", "arás", "aras", "erás",
+    "eras", "irás", "avas", "es", "ardes", "erdes", "irdes", "ares",
+    "eres", "ires", "asses", "esses", "isses", "astes", "estes",
+    "istes", "is", "ais", "eis", "íeis", "aríeis", "eríeis", "iríeis",
+    "áreis", "areis", "éreis", "ereis", "íreis", "ireis", "ásseis",
+    "ésseis", "ísseis", "áveis", "ados", "idos", "ámos", "amos",
+    "íamos", "aríamos", "eríamos", "iríamos", "áramos", "éramos",
+    "íramos", "ávamos", "emos", "aremos", "eremos", "iremos",
+    "ássemos", "êssemos", "íssemos", "imos", "armos", "ermos", "irmos",
+    "eu", "iu", "ou", "os", "a", "i", "o", "á", "í", "ó", "e", "é", "ê",
+    "ç", "gue", "cie", "ci", "gu", "ue", "ãos", "ões", "ão",
+]
+
+ADVERSARIAL_PT = """
+a á é í ó ú â ê ô ã õ e i o u ão ções não são mão pão cão chão irmão
+coração corações nação nações razão razões lição lições opinião
+regiões religiões edição edições condição condições tradição tradições
+chegue cheguei pague paguei sigo sigа consigo
+felizmente facilmente dificilmente rapidamente lentamente
+completamente absolutamente perfeitamente profundamente
+responsabilidades possibilidades capacidades universidades cidades
+realidades qualidades quantidades seguranças sociedades variedades
+construindo destruindo contribuindo distribuindo influindo
+concluindo incluindo caindo lendo ouvindo crendo vendo tendo
+português portugueses inglês ingleses francês franceses
+café cafés sofá sofás avó avós bebé bebés
+primeira primeiro terceira madeira bandeira fronteira maneira
+cadeira ligeira estrangeira verdadeira
+atenção dimensão paixão missão questão decisão
+feliz felizes vez vezes voz vozes luz luzes rapaz rapazes
+"""
+
+
 def vocabulary(
     lang: str = "english", n_random: int = 15000, seed: int = 20240816
 ) -> list[str]:
     words: set[str] = set()
+    if lang == "portuguese":
+        bases, suffixes, advers = BASES_PT, SUFFIXES_PT, ADVERSARIAL_PT
+        alphabet = "abcdefghijklmnopqrstuvwxyzáéíóúâêôãõç"
+        weighted = (
+            alphabet + "aeiouáéíóúâêôãõ" * 2 + "s" * 2 + "e" * 2
+            + "r" * 2 + "ç" + "gu" + "ci" + "nd"
+        )
+        for b in bases.split():
+            for s in suffixes:
+                words.add(b + s)
+        words.update(advers.split())
+        rng = random.Random(seed)
+        for _ in range(n_random):
+            n = rng.randint(1, 14)
+            words.add("".join(rng.choice(weighted) for _ in range(n)))
+        return sorted(words)
+    if lang == "italian":
+        bases, suffixes, advers = BASES_IT, SUFFIXES_IT, ADVERSARIAL_IT
+        alphabet = "abcdefghijklmnopqrstuvwxyzàèìòùáéíóú"
+        weighted = (
+            alphabet + "aeiouàèìòù" * 3 + "s" * 2 + "e" * 2 + "r" * 2
+            + "n" * 2 + "qu" + "ch" + "gh"
+        )
+        for b in bases.split():
+            for s in suffixes:
+                words.add(b + s)
+        words.update(advers.split())
+        rng = random.Random(seed)
+        for _ in range(n_random):
+            n = rng.randint(1, 14)
+            words.add("".join(rng.choice(weighted) for _ in range(n)))
+        return sorted(words)
     if lang == "spanish":
         bases, suffixes, advers = BASES_ES, SUFFIXES_ES, ADVERSARIAL_ES
         alphabet = "abcdefghijklmnopqrstuvwxyzáéíóúüñ"
@@ -663,7 +851,7 @@ def main() -> None:
         default="english",
         choices=[
             "english", "swedish", "german", "norwegian", "danish",
-            "french", "spanish",
+            "french", "spanish", "italian", "portuguese",
         ],
     )
     args = ap.parse_args()
