@@ -103,6 +103,18 @@ def _portuguese_stem(word: str) -> str:
     return portuguese.stem(word)
 
 
+def _russian_stem(word: str) -> str:
+    from letarette_spark.analysis import russian
+
+    return russian.stem(word)
+
+
+def _dutch_stem(word: str) -> str:
+    from letarette_spark.analysis import dutch
+
+    return dutch.stem(word)
+
+
 _STEMMERS: dict[str, Callable[[str], str]] = {
     "porter": porter.stem,
     "english": _porter2_stem,
@@ -119,6 +131,8 @@ _STEMMERS: dict[str, Callable[[str], str]] = {
     "spanish": _spanish_stem,
     "italian": _italian_stem,
     "portuguese": _portuguese_stem,
+    "russian": _russian_stem,
+    "dutch": _dutch_stem,
 }
 
 

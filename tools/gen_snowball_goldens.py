@@ -711,10 +711,158 @@ feliz felizes vez vezes voz vozes luz luzes rapaz rapazes
 """
 
 
+# Russian: bases x suffix matrix — perfective gerunds (в/вши/вшись and
+# the ив/ыв forms), adjectival endings with participle conditions,
+# reflexive ся/сь, the verb and noun tables, derivational ост/ость,
+# the superlative ейш(е) tidy-up, нн undoubling, soft-sign removal,
+# and the ё->е prelude.
+BASES_RU = """
+говор работ дум чита пис слуша смотр люб жи вид ход беж лет
+сто сид леж спа еда пь нес вез вед идё шё
+красив хорош плох больш маленьк нов стар молод umn глуп
+сильн слаб богат бедн счастлив грустн умн
+национальн формальн организационн реальн общ социальн специальн
+нормальн центральн натуральн культурн структурн историческ
+политическ экономическ демократическ психологическ биологическ
+дом стол стул окн двер стен пол потолок город деревн
+человек женщин мужчин ребёнок отец мат брат сестр друг враг
+голов рук ног глаз сердц тел кров кож волос
+хлеб молок мяс рыб фрукт овощ сахар сол перец масл
+ден ноч утр вечер недел месяц год врем
+вещ мир жизн смерт любов ненавист радост грустност страх
+войн мир дом стол machin книг бумаг ручк компьютер телефон
+бега чита дела зна понима получ реша спрашива отвеча
+"""
+
+SUFFIXES_RU = [
+    "", "в", "вши", "вшись", "ив", "ивши", "ившись", "ыв", "ывши",
+    "ывшись", "ав", "авши", "авшись", "яв", "явши", "явшись",
+    "ее", "ие", "ые", "ое", "ими", "ыми", "ей", "ий", "ый", "ой", "ем",
+    "им", "ым", "ом", "его", "ого", "ему", "ому", "их", "ых", "ую",
+    "юю", "ая", "яя", "ою", "ею",
+    "ивш", "ывш", "ующ", "ем", "нн", "вш", "ющ", "щ",
+    "емый", "нный", "вший", "ющий", "щий", "ующая", "ывшее",
+    "ся", "сь", "лся", "лась", "лось", "лись", "ться", "ется",
+    "ла", "на", "ете", "йте", "ли", "й", "л", "ем", "н", "ло", "но",
+    "ет", "ют", "ны", "ть", "ешь", "нно",
+    "ила", "ыла", "ена", "ейте", "уйте", "ите", "или", "ыли", "ей",
+    "уй", "ил", "ыл", "им", "ым", "ен", "ило", "ыло", "ено", "ят",
+    "ует", "уют", "ит", "ыт", "ены", "ить", "ыть", "ишь", "ую", "ю",
+    "а", "ев", "ов", "ие", "ье", "е", "иями", "ями", "ами", "еи", "ии",
+    "и", "ией", "ей", "ой", "ий", "й", "иям", "ям", "ием", "ем", "ам",
+    "ом", "о", "у", "ах", "иях", "ях", "ы", "ь", "ию", "ью", "я",
+    "ост", "ость", "ости", "остью",
+    "ейш", "ейше", "ейший", "ейшая", "нн", "ннейш",
+]
+
+ADVERSARIAL_RU = """
+а е и о у ы э ю я ё й ь ъ же ли бы не на но он она оно они мы вы ты
+ёлка ёж сёстры партнёр актёр шофёр причём учёт отчёт расчёт
+красивейший умнейший сильнейший новейший старейший величайший
+деланнейший организованность заинтересованность ответственность
+возможность способность деятельность личность сущность
+говорившийся читавшаяся написавшись вернувшись улыбнувшись
+остановившись проснувшись одевшись умывшись
+стеснялся занимался поднимался просыпался улыбалась радовались
+строится находится считается является остаётся
+лучший больший меньший высший низший
+её неё моё твоё своё всё чьё
+семья семьи семье семью семьёй статья статьи статью статьёй
+жизнь жизни жизнью любовь любви любовью ночь ночи ночью
+онн аннн еннн нн ннн остьостью
+"""
+
+
+# Dutch: bases x suffix matrix — accent removal, initial-y / y-after-
+# vowel / i-between-vowels markings, R1>=3 clamp, heden->heid, the
+# en/ene endings with the gem guard + kk/dd/tt undoubling, s/se with
+# the j guard, the e ending (e_found), heid with the c guard, the
+# end/ing/ig/lijk/baar/bar d-suffixes, and vowel undoubling (maan->man).
+BASES_NL = """
+man vrouw kind huis boek tafel stoel raam deur muur vloer dak stad
+dorp land zee rivier beek steen boom blad bloem gras graan brood
+melk vlees vis fruit wijn bier water vuur lucht aard hemel ster
+maan zon vriend vijand liefd haat vreugd verdriet geluk pijn angst
+moed kracht zwakt mogelijk vriendelijk heilig eeuwig wezenlijk
+dankbaar verwant getuigenis gebeurtenis uitslag kleed beeld jong oud
+groot klein mooi lelijk goed slecht trouw nieuw bouw koop loop roep
+spring zing drink denk voel ga sta kom breng neem geef zie hoor
+lees weet ken wil zal kan moet mag werk speel leer schrijf spreek
+maak zoek vind breek spreek begin gemeen gemeente gem gemak
+koning koningin leraar lerares schrijver schrijfster zanger
+drukking drukkingen wandeling wandelingen verzameling
+lichamelijk maatschappelijk wetenschappelijk persoonlijk
+aanvaardbaar betaalbaar houdbaar zichtbaar draagbaar
+"""
+
+SUFFIXES_NL = [
+    "", "heden", "en", "ene", "s", "se", "e", "heid", "heids", "end",
+    "ing", "ig", "lijk", "lijke", "lijker", "baar", "bar", "bare",
+    "ingen", "enden", "igen", "igde", "igd", "ende", "ens", "es",
+    "eren", "eres", "ster", "sters", "ertje", "etje", "je", "tje",
+    "pje", "kje", "eling", "elingen", "enis", "enissen", "igheid",
+    "igheden", "elijk", "elijke", "endig", "samigheid", "achtig",
+    "achtige", "zaam", "zame", "loos", "loze", "vol", "volle",
+    "kken", "dden", "tten", "kke", "dde", "tte", "aar", "aren", "eerd",
+    "eerde", "eert", "eren", "ieren", "iseren", "iseerde",
+]
+
+ADVERSARIAL_NL = """
+a e i o u y è ä ë ï ö ü á é í ó ú ij ijs ijsje yoga yoghurt systeem
+maan man maat mat boom bom boot bot bood brood brod deur uur buur
+muur zuur puur duur gebeurtenissen getuigenissen gemeenten gemeenschap
+gemeen gemene gemeente gemak gemakken gemakkelijk
+lichamelijke maatschappelijke wetenschappelijke persoonlijke
+mogelijkheid mogelijkheden vriendelijkheid aardigheid zekerheid
+waarheid schoonheid vrijheid eenheid veiligheid werkelijkheid
+koninklijke nederlandse europese amerikaanse belgische
+bijzondere andere iedere elke enkele sommige vele weinige
+geel geler geelst groen groener rood roder blauw blauwer
+vrije vrijen blije blijen moeie mooie dooie gooien draaien
+aaien oeien ooien uien buien duiven druiven huizen muizen
+praatjes beetje beetjes kopje kopjes bakje bakjes bloemetje
+drukkingen wandelingen verzamelingen aanbiedingen oplossingen
+kaas kazen baas bazen doos dozen prijs prijzen reis reizen
+paraplu menu caféetje cafés
+"""
+
+
 def vocabulary(
     lang: str = "english", n_random: int = 15000, seed: int = 20240816
 ) -> list[str]:
     words: set[str] = set()
+    if lang == "dutch":
+        bases, suffixes, advers = BASES_NL, SUFFIXES_NL, ADVERSARIAL_NL
+        alphabet = "abcdefghijklmnopqrstuvwxyzèäëïöüáéíóú"
+        weighted = (
+            alphabet + "aeiouy" * 3 + "e" * 3 + "n" * 2 + "s" * 2
+            + "g" * 2 + "k" + "d" + "t" + "ij"
+        )
+        for b in bases.split():
+            for s in suffixes:
+                words.add(b + s)
+        words.update(advers.split())
+        rng = random.Random(seed)
+        for _ in range(n_random):
+            n = rng.randint(1, 14)
+            words.add("".join(rng.choice(weighted) for _ in range(n)))
+        return sorted(words)
+    if lang == "russian":
+        bases, suffixes, advers = BASES_RU, SUFFIXES_RU, ADVERSARIAL_RU
+        alphabet = "абвгдежзийклмнопрстуфхцчшщъыьэюяё"
+        weighted = (
+            alphabet + "аеиоуыэюя" * 3 + "н" * 2 + "с" * 2 + "в" * 2
+            + "ь" + "й" + "ё"
+        )
+        for b in bases.split():
+            for s in suffixes:
+                words.add(b + s)
+        words.update(advers.split())
+        rng = random.Random(seed)
+        for _ in range(n_random):
+            n = rng.randint(1, 14)
+            words.add("".join(rng.choice(weighted) for _ in range(n)))
+        return sorted(words)
     if lang == "portuguese":
         bases, suffixes, advers = BASES_PT, SUFFIXES_PT, ADVERSARIAL_PT
         alphabet = "abcdefghijklmnopqrstuvwxyzáéíóúâêôãõç"
@@ -851,7 +999,8 @@ def main() -> None:
         default="english",
         choices=[
             "english", "swedish", "german", "norwegian", "danish",
-            "french", "spanish", "italian", "portuguese",
+            "french", "spanish", "italian", "portuguese", "russian",
+            "dutch",
         ],
     )
     args = ap.parse_args()
