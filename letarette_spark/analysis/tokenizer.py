@@ -115,6 +115,12 @@ def _dutch_stem(word: str) -> str:
     return dutch.stem(word)
 
 
+def _finnish_stem(word: str) -> str:
+    from letarette_spark.analysis import finnish
+
+    return finnish.stem(word)
+
+
 _STEMMERS: dict[str, Callable[[str], str]] = {
     "porter": porter.stem,
     "english": _porter2_stem,
@@ -133,6 +139,7 @@ _STEMMERS: dict[str, Callable[[str], str]] = {
     "portuguese": _portuguese_stem,
     "russian": _russian_stem,
     "dutch": _dutch_stem,
+    "finnish": _finnish_stem,
 }
 
 

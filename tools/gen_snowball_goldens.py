@@ -827,10 +827,110 @@ paraplu menu caféetje cafés
 """
 
 
+# Finnish: bases x suffix matrix — the particle (kin/kaan/sti),
+# possessive (si/ni/nsa/an/än/en with their context conditions), case
+# (hXn harmony forms, siin/den/tten after Vi, seen after LV, the
+# ta/ssa/sta/lla/lta/lle/na/ksi/ine family, n with LV/ie shortening),
+# comparative (mpi/mma with the po guard), i/j/t plurals, and the
+# tidy-up endgame (LV shortening, oj/uj, double-consonant trim).
+BASES_FI = """
+puhu kirjoita lue laula tanssi juokse hyppää osta myy etsi
+löydä anna ota tee näe kuule tiedä halua voi saa
+kissa koira talo auto katu tie metsä järvi meri ranta
+kesä talvi kevät syksy aamu ilta yö päivä viikko kuukausi vuosi
+mies nainen lapsi isä äiti veli sisko ystävä vihollinen naapuri
+pää käsi jalka silmä sydän ruumis veri iho hius
+leipä maito liha kala hedelmä vihannes sokeri suola pippuri öljy
+asia aika maailma elämä kuolema rakkaus viha ilo suru pelko
+sota rauha koti pöytä tuoli ikkuna ovi seinä lattia katto
+kansallinen muodollinen todellinen yleinen sosiaalinen erityinen
+normaali keskeinen luonnollinen kulttuurinen historiallinen
+poliittinen taloudellinen demokraattinen psykologinen biologinen
+kaunis ruma hyvä paha uusi vanha korkea matala vahva heikko
+onnellinen surullinen rikas köyhä puhdas likainen täysi tyhjä
+helppo vaikea suuri pieni pitkä lyhyt nopea hidas
+edeltäj voittaj opettaj kirjailij laulaj tanssij juoksij
+taitelij myyj ostaj etsij löytäj antaj ottaj tekij näkij
+esimerkki ongelma järjestelmä hallitus osasto ajatus tunne tieto
+"""
+
+SUFFIXES_FI = [
+    "", "kin", "kaan", "kään", "ko", "kö", "han", "hän", "pa", "pä",
+    "sti", "nkin", "takaan", "akaan", "äkään",
+    "si", "ni", "nsa", "nsä", "mme", "nne", "an", "än", "en",
+    "tasi", "ssani", "stani", "llani", "ltansa", "namme", "llenne",
+    "ksesi", "kseni",
+    "haan", "heen", "hiin", "hoon", "huun", "hyyn", "hään", "höön",
+    "siin", "den", "tten", "seen", "a", "ä", "tta", "ttä", "ta", "tä",
+    "ssa", "ssä", "sta", "stä", "lla", "llä", "lta", "ltä", "lle",
+    "na", "nä", "ksi", "ine", "n", "in", "an", "aan", "een", "iin",
+    "oon", "uun", "yyn", "ään", "öön", "ien", "ein", "ain",
+    "mpi", "mpa", "mpä", "mmi", "mma", "mmä", "impi", "impa", "impä",
+    "immi", "imma", "immä", "eja", "ejä", "mman", "immat", "mmat",
+    "i", "j", "t", "it", "at", "ät", "et", "ot", "ut", "yt",
+    "ji", "ij", "oj", "uj", "jo", "ju",
+    "aa", "ee", "ii", "oo", "uu", "yy", "ää", "öö",
+    "kki", "ppi", "tti", "kko", "ppo", "tto", "kk", "pp", "tt",
+    "lli", "nni", "mmä", "rri", "ssi",
+    "ista", "istä", "ita", "itä", "ien", "iden", "itten", "eiden",
+    "eitten", "eissa", "eissä", "eista", "eistä", "eilla", "eillä",
+]
+
+ADVERSARIAL_FI = """
+a ä e i o u y ö aa ää ee ii oo uu yy öö ie uo yö
+koira koiran koiraa koirassa koirasta koiralla koiralta koiralle
+koirana koiraksi koirat koirien koiria koirissa koirista koirilla
+talo talon taloa talossa talosta talolla talolle talona taloksi
+talot talojen taloja taloissa taloista taloilla taloihin taloon
+järvi järven järveä järvessä järvestä järvellä järvelle järvenä
+järveksi järvet järvien järviä järvissä järvistä järvillä järviin
+maa maan maata maassa maasta maalla maalle maana maaksi maat maiden
+maitten maita maissa maista mailla maihin maahan
+puu puun puuta puussa puusta puulla puulle puuna puuksi puut puiden
+puitten puita puissa puista puilla puihin puuhun
+työ työn työtä työssä työstä työllä työlle työnä työksi työt töiden
+vapaa vapaan vapaata vapaassa vapaasta vapaalla vapaaseen vapaissa
+edeltäjistään edeltäjiensä edeltäjilleen edeltäjistä edeltäjien
+onnellisimman onnellisimmat onnellisempi onnellisempaa suurimman
+suurimmat suurempi suurempaa parhaimman parhaimmat parempi parempaa
+kaunein kauneimmat kauneimman kauniimpi vanhempi vanhimmat
+nopeimmin nopeammin helpoimmin vaikeimmin
+sanoja sanojen lukija lukijat lukijoiden opettajien laulajien
+tyttö tytön tyttöä tytöt tyttöjen poika pojan poikaa pojat poikien
+lakki lakin lakkia lakit lakkien kukka kukan kukkaa kukat kukkien
+pankki pankin pankkia pankit kirkko kirkon kirkkoa kirkot
+posti postin pommi pommin pommien pomo pomon pomoja po poa pon
+abehen abihin abohon abuhun abyhyn abähän aböhön abahan abxhin abxhen
+ajatushan kymoshyn oieyhöuthon ixuhun abuhu abihi taloihin puihin
+maahan taloon puuhun työhön tiehen aamuden aamuseen aamusiin aamutten
+syksyiden syksyitten öljyiden aamuhyyn aamuyy annayy ittta kevättta
+lyhyttta itt att aatt bitt aitt iitt itta itti ittä aabbii abba
+talooj taloja maaoj maajo abajo abkkä abkkö abkkaa abttee abkkie
+abkkio abkke abkku abkkuu aabb abb abbb aabbaa laki abki abbi ablli
+abnni abi abbiii talli kansi vuosi käsi
+"""
+
+
 def vocabulary(
     lang: str = "english", n_random: int = 15000, seed: int = 20240816
 ) -> list[str]:
     words: set[str] = set()
+    if lang == "finnish":
+        bases, suffixes, advers = BASES_FI, SUFFIXES_FI, ADVERSARIAL_FI
+        alphabet = "abcdefghijklmnopqrstuvwxyzäö"
+        weighted = (
+            alphabet + "aeiouyäö" * 3 + "n" * 2 + "t" * 2 + "s" * 2
+            + "i" * 2 + "kk" + "pp" + "tt"
+        )
+        for b in bases.split():
+            for s in suffixes:
+                words.add(b + s)
+        words.update(advers.split())
+        rng = random.Random(seed)
+        for _ in range(n_random):
+            n = rng.randint(1, 14)
+            words.add("".join(rng.choice(weighted) for _ in range(n)))
+        return sorted(words)
     if lang == "dutch":
         bases, suffixes, advers = BASES_NL, SUFFIXES_NL, ADVERSARIAL_NL
         alphabet = "abcdefghijklmnopqrstuvwxyzèäëïöüáéíóú"
@@ -1000,7 +1100,7 @@ def main() -> None:
         choices=[
             "english", "swedish", "german", "norwegian", "danish",
             "french", "spanish", "italian", "portuguese", "russian",
-            "dutch",
+            "dutch", "finnish",
         ],
     )
     args = ap.parse_args()
