@@ -68,6 +68,14 @@ def __getattr__(name):
         from letarette_spark.functions import dedup
 
         return getattr(dedup, name)
+    if name in ("parse_mp4", "write_minimal_mp4"):
+        from letarette_spark.functions import mp4
+
+        return getattr(mp4, name)
+    if name in ("video_metadata", "sample_frames", "synthesize_media"):
+        from letarette_spark.functions import multimodal
+
+        return getattr(multimodal, name)
     if name in (
         "cosine_topk",
         "ivf_centroids",

@@ -93,11 +93,14 @@ def set_decoder(fn: Callable[[bytes], dict]) -> None:
 
 
 def require_real_decoder() -> None:
-    """The explicit stub boundary for formats still without a real codec
-    here (video/MP4, progressive/arithmetic JPEG). BMP, PNG, baseline
-    JPEG and PCM WAV decode for real (codecs.py, jpeg.py)."""
+    """The explicit stub boundary for CODEC-level decode still missing
+    here (H.264/H.265 frame pixels, progressive/arithmetic JPEG). BMP,
+    PNG, baseline JPEG and PCM WAV decode for real (codecs.py, jpeg.py)
+    and MP4 CONTAINER structure parses for real (mp4.py: duration,
+    tracks, codec fourcc, dimensions, frame count) — only the
+    compressed-frame pixel decode is faked."""
     raise NotImplementedError(
-        "real video decoding requires ffmpeg, not present here; "
+        "real video frame decoding requires ffmpeg, not present here; "
         "install one and call set_decoder()"
     )
 
@@ -113,18 +116,40 @@ def synthesize_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                 i = int(i)
                 rng = np.random.default_rng((seed << 32) ^ i)
                 kind = kinds[i % 3]
-                data = rng.integers(0, 256, size=256 + (i % 512), dtype=np.uint8).tobytes()
+                width = 64 + (i % 16) * 8 if kind != "audio" else None
+                height = 48 + (i % 12) * 8 if kind != "audio" else None
+                duration = 1000 + i % 9000 if kind != "image" else None
+                if kind == "video":
+                    # REAL ISO-BMFF container (mp4.py) around opaque
+                    # frame payload bytes — the parse path downstream
+                    # exercises genuine box structure
+                    from letarette_spark.functions.mp4 import write_minimal_mp4
+
+                    fps = 10 + (i % 3) * 5
+                    data = write_minimal_mp4(
+                        width=width,
+                        height=height,
+                        n_frames=max(1, duration * fps // 1000),
+                        fps=fps,
+                        mdat=rng.integers(
+                            0, 256, size=256 + (i % 512), dtype=np.uint8
+                        ).tobytes(),
+                    )
+                else:
+                    data = rng.integers(
+                        0, 256, size=256 + (i % 512), dtype=np.uint8
+                    ).tobytes()
                 rows.append(
                     {
                         "media_id": i,
                         "kind": kind,
                         "mime": {"image": "image/fake", "audio": "audio/fake",
-                                 "video": "video/fake"}[kind],
+                                 "video": "video/mp4"}[kind],
                         "data": data,
-                        "width": 64 + (i % 16) * 8 if kind != "audio" else None,
-                        "height": 48 + (i % 12) * 8 if kind != "audio" else None,
+                        "width": width,
+                        "height": height,
                         "sample_rate": 16000 if kind == "audio" else None,
-                        "duration_ms": 1000 + i % 9000 if kind != "image" else None,
+                        "duration_ms": duration,
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
@@ -200,15 +225,87 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     )
 
 
-def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame sampling plumbing: one output row per sampled frame —
-    demonstrates the 1->N mapInPandas fan-out a real ffmpeg sampler uses."""
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("container", T.StringType(), True),   # brand, or None=not ISO-BMFF
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("fps", T.DoubleType(), True),
+    ]
+)
 
-    def fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+
+def video_metadata(media: DataFrame) -> DataFrame:
+    """REAL ISO-BMFF container parse (mp4.py): brand, video-track codec
+    fourcc, dimensions, duration, frame count, fps. Payloads that are
+    not MP4 containers keep the column metadata with container=None —
+    nothing is faked here."""
+
+    def vm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from letarette_spark.functions.mp4 import parse_mp4
+
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                n_frames = max(1, int(r.duration_ms or 0) // every_ms)
+                meta = parse_mp4(bytes(r.data))
+                vt = None
+                if meta is not None:
+                    vts = [t for t in meta["tracks"] if t["kind"] == "video"]
+                    vt = vts[0] if vts else None
+                rows.append(
+                    {
+                        "media_id": r.media_id,
+                        "container": meta["brand"] if meta else None,
+                        "codec": vt["codec"] if vt else None,
+                        "width": (vt or {}).get("width") or r.width,
+                        "height": (vt or {}).get("height") or r.height,
+                        "duration_ms": (meta or {}).get("duration_ms")
+                        or r.duration_ms,
+                        "n_frames": (vt or {}).get("n_samples"),
+                        "fps": (vt or {}).get("fps"),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_META_SCHEMA.fields]
+            )
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "width", "height", "duration_ms", "data")
+        .mapInPandas(vm, schema=VIDEO_META_SCHEMA)
+    )
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame sampling plumbing: one output row per sampled frame —
+    demonstrates the 1->N mapInPandas fan-out a real ffmpeg sampler
+    uses. For MP4 payloads the sampling GRID is real (frame count and
+    timing from the parsed stts/mdhd boxes); the frame PIXELS are the
+    documented fake boundary (codec decode needs ffmpeg —
+    require_real_decoder)."""
+
+    def fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from letarette_spark.functions.mp4 import parse_mp4
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                meta = parse_mp4(bytes(r.data))
+                duration = (meta or {}).get("duration_ms") or int(
+                    r.duration_ms or 0
+                )
+                n_frames = max(1, duration // every_ms)
+                if meta is not None:
+                    vts = [
+                        t for t in meta["tracks"]
+                        if t["kind"] == "video" and t["n_samples"]
+                    ]
+                    if vts:  # can't sample more frames than the track has
+                        n_frames = min(n_frames, vts[0]["n_samples"])
                 base = hashlib.sha256(bytes(r.data)).digest()
                 for i in range(n_frames):
                     rows.append(
