@@ -5,8 +5,10 @@ These formats need no image/audio libraries — BMP/WAV are plain struct
 layouts, PNG is zlib (stdlib) + per-row unfiltering, JPEG is canonical
 Huffman + matrix IDCT over numpy — so the multimodal pipeline's decode
 step is REAL for them (parse, pixel / sample math, resize, hashing all
-operate on actual payload content). Formats that genuinely need external
-codecs (video/MP4, progressive JPEG, ...) remain behind the explicit
+operate on actual payload content) — incl. PROGRESSIVE JPEG (SOF2,
+jpeg.py Annex-G scans) and MP4 container structure (mp4.py). What
+genuinely needs external codecs (compressed video frame pixels,
+arithmetic-coded JPEG) remains behind the explicit
 `multimodal.require_real_decoder` boundary.
 
 Implemented from the public format specifications:

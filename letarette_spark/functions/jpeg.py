@@ -1,14 +1,19 @@
-"""Pure-Python/numpy baseline JPEG codec (ITU-T T.81 sequential DCT).
+"""Pure-Python/numpy JPEG codec (ITU-T T.81), baseline AND progressive.
 
-Implements enough of the public JPEG standard for REAL decode of baseline
-JFIF files — marker parsing, canonical Huffman tables, MCU entropy
-decode with byte unstuffing and restart markers, dequantize + zigzag,
-matrix IDCT, chroma upsampling (4:4:4 / 4:2:2 / 4:2:0), YCbCr->RGB — and
-a matching 4:4:4 encoder (Annex K quantization + Huffman tables) used by
-the tests to produce known-pixel inputs.
+Implements enough of the public JPEG standard for REAL decode of
+baseline (SOF0) and progressive (SOF2, huffman) JFIF files — marker
+parsing, canonical Huffman tables, MCU entropy decode with byte
+unstuffing and restart markers, multi-scan spectral-selection +
+successive-approximation coefficient accumulation (Annex G: DC
+first/refine, AC first with EOBRUN, AC refinement correction bits),
+dequantize + zigzag, matrix IDCT, chroma upsampling (4:4:4 / 4:2:2 /
+4:2:0), YCbCr->RGB — and matching 4:4:4 encoders (baseline and
+progressive, Annex K tables) used by the tests to produce known-pixel
+inputs; the two encoders emit the same quantized coefficients, so the
+decoders must reconstruct byte-identical pixels (the central test).
 
-Progressive, arithmetic-coded, 12-bit and lossless JPEG remain out of
-scope (decode_jpeg returns None; multimodal falls back to its explicit
+Arithmetic-coded, 12-bit and lossless JPEG remain out of scope
+(decode_jpeg returns None; multimodal falls back to its explicit
 boundary). Throughput note: the entropy loop is Python — fine for
 thumbnails/tests and honest plumbing; a production deployment would
 `multimodal.set_decoder()` a libjpeg binding, keeping the identical
@@ -229,6 +234,9 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None  # (h, w, comps) comps = [(cid, hs, vs, tq)]
+    progressive = False
+    coeffs = None  # progressive: cid -> (blocks_y, blocks_x, 64) zigzag
+    preds = None
     restart_interval = 0
     pos = 2
     while pos + 4 <= len(data):
@@ -242,7 +250,7 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
             return None
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
-            return None  # reached EOI without a scan
+            break
         seglen = struct.unpack_from(">H", data, pos + 2)[0]
         body = data[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT
@@ -250,13 +258,13 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0xF
                 if pq != 0:
-                    return None  # 16-bit tables: not baseline
+                    return None  # 16-bit tables: 12-bit precision input
                 vals = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8).astype(np.int32)
                 tbl = np.zeros(64, dtype=np.int32)
                 tbl[ZIGZAG] = vals
                 qt[tq] = tbl.reshape(8, 8)
                 i += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
             if prec != 8 or nc not in (1, 3):
                 return None
@@ -265,9 +273,20 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            if marker == 0xC2:
+                progressive = True
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                coeffs = {
+                    cid: np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int32)
+                    for cid, hs, vs, _tq in comps
+                }
+                preds = {cid: 0 for cid, *_ in comps}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # non-baseline frame types
+            return None  # other frame types (arithmetic, lossless, ...)
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
@@ -288,11 +307,30 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
             for c in range(ns):
                 cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
                 scan.append((cs, tdta >> 4, tdta & 0xF))
-            return _decode_scan(
-                data, pos + 2 + seglen, frame, scan, qt, huff_dc, huff_ac,
-                restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    data, pos + 2 + seglen, frame, scan, qt, huff_dc,
+                    huff_ac, restart_interval,
+                )
+            ss, se, a = body[1 + 2 * ns : 4 + 2 * ns]
+            end = _progressive_scan(
+                data, pos + 2 + seglen, frame, scan, coeffs, preds,
+                huff_dc, huff_ac, restart_interval, ss, se, a >> 4, a & 0xF,
             )
+            # resume header parsing at the next real marker
+            pos = end
+            while pos + 1 < len(data):
+                if (
+                    data[pos] == 0xFF
+                    and data[pos + 1] != 0x00
+                    and not (0xD0 <= data[pos + 1] <= 0xD7)
+                ):
+                    break
+                pos += 1
+            continue
         pos += 2 + seglen
+    if progressive and frame is not None:
+        return _reconstruct_progressive(frame, coeffs, qt)
     return None
 
 
@@ -345,7 +383,12 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
                         y0, x0 = (my * vs + by) * 8, (mx * hs + bx) * 8
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px
             mcu_count += 1
-    # upsample to full resolution and convert
+    return _planes_to_rgb(frame, planes, hmax, vmax)
+
+
+def _planes_to_rgb(frame, planes, hmax, vmax) -> np.ndarray:
+    """Upsample component planes to full resolution and convert."""
+    h, w, comps = frame
     out_planes = []
     for cid, hs, vs, _tq in comps:
         p = planes[cid]
@@ -360,6 +403,191 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.stack([rch, g, b], axis=2).round(), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) decoding — T.81 Annex G, huffman coding. Each scan
+# deposits or refines quantized coefficients in per-component zigzag
+# buffers; reconstruction dequantizes + IDCTs once at the end.
+# ---------------------------------------------------------------------------
+
+
+def _comp_block_dims(frame, cid):
+    """Non-interleaved block grid for one component (T.81 A.2.2)."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    hs, vs = next((c[1], c[2]) for c in comps if c[0] == cid)
+    cw = -(-w * hs // hmax)
+    ch = -(-h * vs // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _progressive_scan(
+    data, pos, frame, scan, coeffs, preds, huff_dc, huff_ac, dri,
+    ss, se, ah, al,
+) -> int:
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    comp_of = {c[0]: c for c in comps}
+    r = _BitReader(data, pos)
+    pred = {cs: 0 for cs, _td, _ta in scan}  # fresh per scan
+    eobrun = 0
+
+    def maybe_restart(n_done, per_restart):
+        nonlocal eobrun
+        if dri and n_done and n_done % dri == 0:
+            r.align_restart()
+            for k in pred:
+                pred[k] = 0
+            eobrun = 0
+
+    if ss == 0:
+        # ---- DC scan (interleaved when ns > 1) ----
+        n_done = 0
+        if len(scan) > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    maybe_restart(n_done, dri)
+                    for cs, td, _ta in scan:
+                        _cid, hs, vs, _tq = comp_of[cs]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                _dc_unit(
+                                    r, coeffs[cs], my * vs + by,
+                                    mx * hs + bx, huff_dc.get(td), pred,
+                                    cs, ah, al,
+                                )
+                    n_done += 1
+        else:
+            cs, td, _ta = scan[0]
+            bh, bw = _comp_block_dims(frame, cs)
+            for by in range(bh):
+                for bx in range(bw):
+                    maybe_restart(n_done, dri)
+                    _dc_unit(r, coeffs[cs], by, bx, huff_dc.get(td), pred,
+                             cs, ah, al)
+                    n_done += 1
+    else:
+        # ---- AC scan: always single-component, non-interleaved ----
+        cs, _td, ta = scan[0]
+        bh, bw = _comp_block_dims(frame, cs)
+        actab = huff_ac.get(ta)
+        n_done = 0
+        for by in range(bh):
+            for bx in range(bw):
+                maybe_restart(n_done, dri)
+                blk = coeffs[cs][by, bx]
+                if ah == 0:
+                    eobrun = _ac_first_unit(r, blk, actab, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine_unit(r, blk, actab, ss, se, al, eobrun)
+                n_done += 1
+    return r.pos
+
+
+def _dc_unit(r, cbuf, by, bx, dctab, pred, cs, ah, al):
+    if ah == 0:
+        t = _decode_huff(r, dctab)
+        diff = _extend(r.receive(t), t)
+        pred[cs] += diff
+        cbuf[by, bx, 0] = pred[cs] << al
+    else:
+        if r.read_bit():
+            cbuf[by, bx, 0] |= 1 << al
+
+
+def _ac_first_unit(r, blk, actab, ss, se, al, eobrun) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff(r, actab)
+        rrrr, ssss = rs >> 4, rs & 0xF
+        if ssss == 0:
+            if rrrr == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = (1 << rrrr) - 1
+            if rrrr:
+                eobrun += r.receive(rrrr)
+            return eobrun
+        k += rrrr
+        if k > se:
+            raise ValueError("AC overrun")
+        blk[k] = _extend(r.receive(ssss), ssss) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_unit(r, blk, actab, ss, se, al, eobrun) -> int:
+    """T.81 G.1.2.3 correction-bit refinement."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(r, actab)
+            rrrr, ssss = rs >> 4, rs & 0xF
+            newval = 0
+            if ssss == 0:
+                if rrrr < 15:
+                    # INCLUSIVE of the current block: its remaining band
+                    # still consumes correction bits below
+                    eobrun = 1 << rrrr
+                    if rrrr:
+                        eobrun += r.receive(rrrr)
+                    break
+                # ZRL: advance over 16 zero-history coefficients
+            else:
+                newval = p1 if r.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if r.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                else:
+                    if rrrr == 0:
+                        break
+                    rrrr -= 1
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        # correction bits for the remainder of this block's band
+        while k <= se:
+            if blk[k] != 0:
+                if r.read_bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct_progressive(frame, coeffs, qt) -> np.ndarray | None:
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    planes = {}
+    for cid, hs, vs, tq in comps:
+        if tq not in qt or cid not in coeffs:
+            return None
+        q = qt[tq]
+        cbuf = coeffs[cid]
+        bh, bw = cbuf.shape[:2]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        for by in range(bh):
+            for bx in range(bw):
+                blk = np.zeros(64, dtype=np.int32)
+                blk[ZIGZAG] = cbuf[by, bx]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _idct2(blk.reshape(8, 8) * q) + 128.0
+                )
+        planes[cid] = plane
+    return _planes_to_rgb(frame, planes, hmax, vmax)
 
 
 # ---------------------------------------------------------------------------
@@ -508,4 +736,183 @@ def encode_jpeg(
         + dht(0, 0, _DC_LUMA) + dht(1, 0, _AC_LUMA)
         + dht(0, 1, _DC_CHROMA) + dht(1, 1, _AC_CHROMA)
         + sof + sos + bytes(bw.out) + b"\xff\xd9"
+    )
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (4:4:4, SOF2) — spectral selection + successive
+# approximation, Annex K tables, per-block EOB0 (no EOBRUN > 1, which
+# Annex K tables cannot express). Exists to prove the progressive
+# DECODER: the same quantized coefficients emitted baseline and
+# progressive must reconstruct to identical pixels.
+# ---------------------------------------------------------------------------
+
+
+def encode_progressive_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
+    h, w, c = pixels.shape
+    assert c == 3
+    ql = _scale_quant(_QUANT_LUMA_ZZ, quality).reshape(8, 8)
+    qc = _scale_quant(_QUANT_CHROMA_ZZ, quality).reshape(8, 8)
+
+    p = pixels.astype(np.float64)
+    y = 0.299 * p[:, :, 0] + 0.587 * p[:, :, 1] + 0.114 * p[:, :, 2]
+    cb = -0.168736 * p[:, :, 0] - 0.331264 * p[:, :, 1] + 0.5 * p[:, :, 2] + 128.0
+    cr = 0.5 * p[:, :, 0] - 0.418688 * p[:, :, 1] - 0.081312 * p[:, :, 2] + 128.0
+
+    H = -(-h // 8) * 8
+    W = -(-w // 8) * 8
+    pad = lambda ch: np.pad(ch, ((0, H - h), (0, W - w)), mode="edge")
+    chans = [(pad(y), ql), (pad(cb), qc), (pad(cr), qc)]
+    bh, bw_ = H // 8, W // 8
+
+    # quantized zigzag coefficients per component/block — computed once
+    zz = []
+    for ch, q in chans:
+        arr = np.zeros((bh, bw_, 64), dtype=np.int32)
+        for by in range(bh):
+            for bx in range(bw_):
+                blk = _dct2(ch[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0)
+                arr[by, bx] = np.round(blk / q).astype(np.int32).reshape(-1)[ZIGZAG]
+        zz.append(arr)
+
+    dc_t = [_build_encode_table(*_DC_LUMA), _build_encode_table(*_DC_CHROMA),
+            _build_encode_table(*_DC_CHROMA)]
+    ac_t = [_build_encode_table(*_AC_LUMA), _build_encode_table(*_AC_CHROMA),
+            _build_encode_table(*_AC_CHROMA)]
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def sos_header(comps_spec, ss, se, ah, al):
+        body = bytes([len(comps_spec)])
+        for cid, td, ta in comps_spec:
+            body += bytes([cid, (td << 4) | ta])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    out = bytearray()
+
+    # scan 1: DC first, all components interleaved, Al=1
+    bwr = _BitWriter()
+    pred = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw_):
+            for ci in range(3):
+                v = int(zz[ci][by, bx, 0]) >> 1  # DC point transform
+                diff = v - pred[ci]
+                pred[ci] = v
+                t = _csize(diff)
+                code, ln = dc_t[ci][t]
+                bwr.write(code, ln)
+                if t:
+                    bwr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    bwr.flush()
+    out += sos_header([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 0, 1)
+    out += bytes(bwr.out)
+
+    # scan 2: DC refine, Ah=1 Al=0 (raw bits, no huffman)
+    bwr = _BitWriter()
+    for by in range(bh):
+        for bx in range(bw_):
+            for ci in range(3):
+                bwr.write(int(zz[ci][by, bx, 0]) & 1, 1)
+    bwr.flush()
+    out += sos_header([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 1, 0)
+    out += bytes(bwr.out)
+
+    # per-component AC scans
+    for ci, cid in ((0, 1), (1, 2), (2, 3)):
+        act = ac_t[ci]
+        # AC first: band 1-63, Al=1
+        bwr = _BitWriter()
+        for by in range(bh):
+            for bx in range(bw_):
+                band = zz[ci][by, bx]
+                run = 0
+                emitted = False
+                for k in range(1, 64):
+                    v = int(band[k])
+                    t = abs(v) >> 1  # AC point transform: toward zero
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = act[0xF0]
+                        bwr.write(code, ln)
+                        run -= 16
+                    s = _csize(t)
+                    code, ln = act[(run << 4) | s]
+                    bwr.write(code, ln)
+                    tv = t if v > 0 else -t
+                    bwr.write(tv if tv >= 0 else tv + (1 << s) - 1, s)
+                    run = 0
+                    emitted = True
+                if run or not emitted:
+                    code, ln = act[0x00]  # EOB0
+                    bwr.write(code, ln)
+        bwr.flush()
+        out += sos_header([(cid, 0, 0 if ci == 0 else 1)], 1, 63, 0, 1)
+        out += bytes(bwr.out)
+
+    for ci, cid in ((0, 1), (1, 2), (2, 3)):
+        act = ac_t[ci]
+        # AC refine: band 1-63, Ah=1 -> Al=0 (T.81 G.1.2.3 inverse)
+        bwr = _BitWriter()
+        for by in range(bh):
+            for bx in range(bw_):
+                band = zz[ci][by, bx]
+                temps = [abs(int(band[k])) for k in range(64)]
+                eob = 0
+                for k in range(1, 64):
+                    if temps[k] == 1:  # newly significant at this level
+                        eob = k
+                run = 0
+                br: list[int] = []
+                for k in range(1, 64):
+                    t = temps[k]
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15 and k <= eob:
+                        code, ln = act[0xF0]
+                        bwr.write(code, ln)
+                        run -= 16
+                        for b in br:
+                            bwr.write(b, 1)
+                        br = []
+                    if t > 1:  # already significant: correction bit
+                        br.append(t & 1)
+                        continue
+                    # newly significant: (run, 1) + sign + buffered bits
+                    code, ln = act[(run << 4) | 1]
+                    bwr.write(code, ln)
+                    bwr.write(1 if int(band[k]) > 0 else 0, 1)
+                    for b in br:
+                        bwr.write(b, 1)
+                    br = []
+                    run = 0
+                if run or br:
+                    code, ln = act[0x00]  # EOB0
+                    bwr.write(code, ln)
+                    for b in br:
+                        bwr.write(b, 1)
+        bwr.flush()
+        out += sos_header([(cid, 0, 0 if ci == 0 else 1)], 1, 63, 1, 0)
+        out += bytes(bwr.out)
+
+    def dqt(tq, tbl):
+        return seg(0xDB, bytes([tq]) + bytes(int(x) for x in tbl.reshape(-1)[ZIGZAG]))
+
+    def dht(tc, th, spec):
+        bits, vals = spec
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    sof = seg(0xC2, bytes([8]) + struct.pack(">HH", h, w) + bytes(
+        [3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + dqt(0, ql) + dqt(1, qc)
+        + dht(0, 0, _DC_LUMA) + dht(1, 0, _AC_LUMA)
+        + dht(0, 1, _DC_CHROMA) + dht(1, 1, _AC_CHROMA)
+        + sof + bytes(out) + b"\xff\xd9"
     )
