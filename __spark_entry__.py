@@ -770,6 +770,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
                        embedding::DOUBLE[] AS cv
                 FROM (SELECT vec_id, embedding FROM embeddings
+                      WHERE embedding IS NOT NULL
                       ORDER BY vec_id LIMIT 8)
             ),
             assign AS (

@@ -162,10 +162,28 @@ def main() -> None:
         F.lit(True).alias("alive"),
     )
 
-    # IVF centroids trained once (build-side cost, like the index build
-    # below); the per-trial ann_ivf number is the PROBE-query path —
-    # directly comparable to knn_cosine's exact full scan
+    # IVF centroids trained once + the corpus materialized in the
+    # cell-partitioned layout (both build-side costs, like the index
+    # build below). Two query-side numbers each trial:
+    #   ann_ivf          — in-memory probe: recomputes the 16-cosine
+    #                      cell assignment per row, so it does MORE
+    #                      per-row work than knn_cosine's exact scan
+    #                      (only the final scoring set shrinks)
+    #   ann_ivf_indexed  — the actual scale path: directory-pruned scan
+    #                      of the materialized cells (reads
+    #                      ~nprobe/n_cells of the bytes at any size)
+    from letarette_spark.functions.similarity import (
+        ivf_index_topk,
+        ivf_index_write,
+    )
+
     ivf_cents = ivf_centroids(embeddings, n_cells=16, n_iter=1)
+    ivf_dir = tempfile.mkdtemp(prefix="letarette_bench_ivf_")
+    ivf_index_write(embeddings, ivf_dir, ivf_cents)
+    ivf_qvec = [
+        float(x)
+        for x in embeddings.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
 
     trial_timings: list[dict[str, float]] = []
     load_samples: list[float] = [_load_avg()]
@@ -232,6 +250,12 @@ def main() -> None:
                 ).collect(),
             )
             timed(
+                "ann_ivf_indexed",
+                lambda: ivf_index_topk(
+                    spark, ivf_dir, ivf_qvec, ivf_cents, k=5, nprobe=4
+                ).collect(),
+            )
+            timed(
                 "minhash_lsh_pairs",
                 lambda: minhash_lsh_pairs(
                     documents, bands=4, rows_per_band=2, n=3, threshold=0.05
@@ -265,6 +289,7 @@ def main() -> None:
     finally:
         for r in roots:
             shutil.rmtree(r, ignore_errors=True)
+        shutil.rmtree(ivf_dir, ignore_errors=True)
         spark.stop()
 
     # min across interleaved trials: the best number each operation reached

@@ -236,7 +236,6 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
     frame = None  # (h, w, comps) comps = [(cid, hs, vs, tq)]
     progressive = False
     coeffs = None  # progressive: cid -> (blocks_y, blocks_x, 64) zigzag
-    preds = None
     restart_interval = 0
     pos = 2
     while pos + 4 <= len(data):
@@ -283,7 +282,6 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
                     cid: np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int32)
                     for cid, hs, vs, _tq in comps
                 }
-                preds = {cid: 0 for cid, *_ in comps}
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             return None  # other frame types (arithmetic, lossless, ...)
@@ -314,7 +312,7 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
                 )
             ss, se, a = body[1 + 2 * ns : 4 + 2 * ns]
             end = _progressive_scan(
-                data, pos + 2 + seglen, frame, scan, coeffs, preds,
+                data, pos + 2 + seglen, frame, scan, coeffs,
                 huff_dc, huff_ac, restart_interval, ss, se, a >> 4, a & 0xF,
             )
             # resume header parsing at the next real marker
@@ -423,8 +421,17 @@ def _comp_block_dims(frame, cid):
     return -(-ch // 8), -(-cw // 8)
 
 
+def _require(tables, idx, ah):
+    """DC-first scans need a real table; refine scans (ah>0) read raw
+    bits only, so a missing table spec is fine there."""
+    t = tables.get(idx)
+    if t is None and ah == 0:
+        raise ValueError("missing DC huffman table")
+    return t
+
+
 def _progressive_scan(
-    data, pos, frame, scan, coeffs, preds, huff_dc, huff_ac, dri,
+    data, pos, frame, scan, coeffs, huff_dc, huff_ac, dri,
     ss, se, ah, al,
 ) -> int:
     h, w, comps = frame
@@ -437,7 +444,7 @@ def _progressive_scan(
     pred = {cs: 0 for cs, _td, _ta in scan}  # fresh per scan
     eobrun = 0
 
-    def maybe_restart(n_done, per_restart):
+    def maybe_restart(n_done):
         nonlocal eobrun
         if dri and n_done and n_done % dri == 0:
             r.align_restart()
@@ -451,14 +458,14 @@ def _progressive_scan(
         if len(scan) > 1:
             for my in range(mcuy):
                 for mx in range(mcux):
-                    maybe_restart(n_done, dri)
+                    maybe_restart(n_done)
                     for cs, td, _ta in scan:
                         _cid, hs, vs, _tq = comp_of[cs]
                         for by in range(vs):
                             for bx in range(hs):
                                 _dc_unit(
                                     r, coeffs[cs], my * vs + by,
-                                    mx * hs + bx, huff_dc.get(td), pred,
+                                    mx * hs + bx, _require(huff_dc, td, ah), pred,
                                     cs, ah, al,
                                 )
                     n_done += 1
@@ -467,8 +474,8 @@ def _progressive_scan(
             bh, bw = _comp_block_dims(frame, cs)
             for by in range(bh):
                 for bx in range(bw):
-                    maybe_restart(n_done, dri)
-                    _dc_unit(r, coeffs[cs], by, bx, huff_dc.get(td), pred,
+                    maybe_restart(n_done)
+                    _dc_unit(r, coeffs[cs], by, bx, _require(huff_dc, td, ah), pred,
                              cs, ah, al)
                     n_done += 1
     else:
@@ -476,10 +483,12 @@ def _progressive_scan(
         cs, _td, ta = scan[0]
         bh, bw = _comp_block_dims(frame, cs)
         actab = huff_ac.get(ta)
+        if actab is None and ah == 0:
+            raise ValueError("missing AC huffman table")
         n_done = 0
         for by in range(bh):
             for bx in range(bw):
-                maybe_restart(n_done, dri)
+                maybe_restart(n_done)
                 blk = coeffs[cs][by, bx]
                 if ah == 0:
                     eobrun = _ac_first_unit(r, blk, actab, ss, se, al, eobrun)
@@ -593,6 +602,20 @@ def _reconstruct_progressive(frame, coeffs, qt) -> np.ndarray | None:
 # ---------------------------------------------------------------------------
 # encoder (4:4:4 baseline, Annex K tables) — test-input producer
 # ---------------------------------------------------------------------------
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _dqt_seg(tq: int, tbl) -> bytes:
+    return _seg(0xDB, bytes([tq]) + bytes(int(x) for x in tbl.reshape(-1)[ZIGZAG]))
+
+
+def _dht_seg(tc: int, th: int, spec) -> bytes:
+    bits, vals = spec
+    return _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
 
 class _BitWriter:
     def __init__(self):
@@ -716,25 +739,15 @@ def encode_jpeg(
                 encode_block(crp, my // 2, mx // 2, qc, dc_c, ac_c, 2)
     bw.flush()
 
-    def seg(marker, body):
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
-
-    def dqt(tq, tbl):
-        return seg(0xDB, bytes([tq]) + bytes(int(x) for x in tbl.reshape(-1)[ZIGZAG]))
-
-    def dht(tc, th, spec):
-        bits, vals = spec
-        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
-
-    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes(
+    sof = _seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes(
         [3, 1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1]))
-    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     return (
         b"\xff\xd8"
-        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-        + dqt(0, ql) + dqt(1, qc)
-        + dht(0, 0, _DC_LUMA) + dht(1, 0, _AC_LUMA)
-        + dht(0, 1, _DC_CHROMA) + dht(1, 1, _AC_CHROMA)
+        + _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + _dqt_seg(0, ql) + _dqt_seg(1, qc)
+        + _dht_seg(0, 0, _DC_LUMA) + _dht_seg(1, 0, _AC_LUMA)
+        + _dht_seg(0, 1, _DC_CHROMA) + _dht_seg(1, 1, _AC_CHROMA)
         + sof + sos + bytes(bw.out) + b"\xff\xd9"
     )
 
@@ -780,14 +793,11 @@ def encode_progressive_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     ac_t = [_build_encode_table(*_AC_LUMA), _build_encode_table(*_AC_CHROMA),
             _build_encode_table(*_AC_CHROMA)]
 
-    def seg(marker, body):
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
-
     def sos_header(comps_spec, ss, se, ah, al):
         body = bytes([len(comps_spec)])
         for cid, td, ta in comps_spec:
             body += bytes([cid, (td << 4) | ta])
-        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
 
     out = bytearray()
 
@@ -899,20 +909,13 @@ def encode_progressive_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
         out += sos_header([(cid, 0, 0 if ci == 0 else 1)], 1, 63, 1, 0)
         out += bytes(bwr.out)
 
-    def dqt(tq, tbl):
-        return seg(0xDB, bytes([tq]) + bytes(int(x) for x in tbl.reshape(-1)[ZIGZAG]))
-
-    def dht(tc, th, spec):
-        bits, vals = spec
-        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
-
-    sof = seg(0xC2, bytes([8]) + struct.pack(">HH", h, w) + bytes(
+    sof = _seg(0xC2, bytes([8]) + struct.pack(">HH", h, w) + bytes(
         [3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
     return (
         b"\xff\xd8"
-        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-        + dqt(0, ql) + dqt(1, qc)
-        + dht(0, 0, _DC_LUMA) + dht(1, 0, _AC_LUMA)
-        + dht(0, 1, _DC_CHROMA) + dht(1, 1, _AC_CHROMA)
+        + _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + _dqt_seg(0, ql) + _dqt_seg(1, qc)
+        + _dht_seg(0, 0, _DC_LUMA) + _dht_seg(1, 0, _AC_LUMA)
+        + _dht_seg(0, 1, _DC_CHROMA) + _dht_seg(1, 1, _AC_CHROMA)
         + sof + bytes(out) + b"\xff\xd9"
     )

@@ -55,7 +55,16 @@ _CONTAINERS = ("moov", "trak", "mdia", "minf", "stbl")
 
 def parse_mp4(data: bytes) -> dict | None:
     """Parse an ISO-BMFF container. Returns None when the payload is not
-    one (no well-formed ftyp/moov at top level)."""
+    one (no well-formed ftyp/moov at top level) OR when the box contents
+    are truncated/malformed — this function NEVER raises (crawled
+    corpora are full of cut-off files; one must not kill a Spark task)."""
+    try:
+        return _parse_mp4_inner(data)
+    except (IndexError, struct.error, ValueError, ZeroDivisionError):
+        return None
+
+
+def _parse_mp4_inner(data: bytes) -> dict | None:
     n = len(data)
     top = list(_walk(data, 0, n))
     if not any(fc == "moov" for fc, _, _ in top):

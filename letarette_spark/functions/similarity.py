@@ -317,7 +317,10 @@ def ivf_probe_cells(
             dot += x * y
             na += x * x
             nb += y * y
-        return dot / ((na ** 0.5) * (nb ** 0.5))
+        denom = (na ** 0.5) * (nb ** 0.5)
+        # zero-norm vector: Spark/DuckDB produce NaN; here rank such
+        # cells last deterministically instead of raising
+        return dot / denom if denom else float("-inf")
 
     ranked = sorted(
         range(len(centroids)),

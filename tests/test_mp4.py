@@ -40,13 +40,21 @@ def test_not_mp4_returns_none():
 
 def test_truncation_is_safe():
     data = write_minimal_mp4()
-    for cut in range(0, len(data), 7):
+    for cut in range(0, len(data)):
         parse_mp4(data[:cut])  # must never raise
-    # corrupt every byte position in the moov header region
-    for pos in range(0, min(len(data), 200)):
+    # corrupt every single byte position
+    for pos in range(0, len(data)):
         mutated = bytearray(data)
         mutated[pos] ^= 0xFF
         parse_mp4(bytes(mutated))  # must never raise
+    # size fields rewritten to lie about their box extents
+    for pos in range(0, len(data) - 4, 4):
+        mutated = bytearray(data)
+        mutated[pos : pos + 4] = struct.pack(">I", 9)
+        parse_mp4(bytes(mutated))
+    # an mvhd whose body is empty (the repro that used to IndexError)
+    assert parse_mp4(_box("moov", _box("mvhd", b"")) + b"") is None
+    assert parse_mp4(_box("moov", _box("mvhd", b"\x00\x00\x00"))) is None
 
 
 def test_largesize_and_v1_boxes():
