@@ -121,6 +121,12 @@ def _finnish_stem(word: str) -> str:
     return finnish.stem(word)
 
 
+def _romanian_stem(word: str) -> str:
+    from letarette_spark.analysis import romanian
+
+    return romanian.stem(word)
+
+
 _STEMMERS: dict[str, Callable[[str], str]] = {
     "porter": porter.stem,
     "english": _porter2_stem,
@@ -140,6 +146,7 @@ _STEMMERS: dict[str, Callable[[str], str]] = {
     "russian": _russian_stem,
     "dutch": _dutch_stem,
     "finnish": _finnish_stem,
+    "romanian": _romanian_stem,
 }
 
 

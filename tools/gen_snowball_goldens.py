@@ -911,10 +911,105 @@ abnni abi abbiii talli kansi vuosi käsi
 """
 
 
+# Romanian: bases x suffix matrix — the step-0 plural/article removals,
+# the step-1 combining-suffix reductions (repeat), the step-2 standard
+# suffixes with the ţiune special case, the two verb-suffix groups with
+# the consonant/u condition, final-vowel removal, and the i/u-between-
+# vowels prelude markings. Both cedilla (ş ţ) and comma-below (ș ț)
+# spellings appear so the goldens pin whichever the library handles.
+BASES_RO = """
+lucr cânt merg vorb înţeleg citesc scri ascult gând uit
+cas mas fat băiat om femei copil tat mam frat sor prieten
+cap mân picior ochi inim corp sâng piel păr
+pâin lapt carn peşt fruct legum zahăr sar piper ulei
+zi noapt diminea sear săptămân lun an timp lum viaţ moart
+dragost ur bucur trist fric război pac
+naţional formal organiz real general moral social special normal
+central natural cultural structural istoric politic economic
+democratic psihologic biologic teologic ideologic tehnologic
+abil ibil iv ic at it activ creativ productiv sensibil posibil
+responsabil capabil mar mic bun rău nou vechi înalt scund tar slab
+fericit trist bogat sărac curat murdar plin gol uşor greu
+lucra lucrez lucrează lucrăm lucraţi lucrau lucrase
+cânta cântec cântăreţ scriitor cititor vorbitor muncitor
+frumuseţ bunătat răutat noutat vechim înălţim
+"""
+
+SUFFIXES_RO = [
+    "", "ul", "ului", "aua", "ea", "ele", "elor", "ii", "iua", "iei",
+    "iile", "iilor", "ilor", "ile", "atei", "aţie", "aţia", "ație",
+    "ația",
+    "abilitate", "abilitati", "abilităi", "abilităţi", "ibilitate",
+    "ivitate", "ivitati", "ivităi", "ivităţi", "icitate", "icitati",
+    "icităi", "icităţi", "icator", "icatori", "iciv", "iciva", "icive",
+    "icivi", "icivă", "ical", "icala", "icale", "icali", "icală",
+    "ativ", "ativa", "ative", "ativi", "ativă", "aţiune", "atoare",
+    "ator", "atori", "ătoare", "ător", "ători", "itiv", "itiva",
+    "itive", "itivi", "itivă", "iţiune", "itoare", "itor", "itori",
+    "at", "ata", "ată", "ati", "ate", "ut", "uta", "ută", "uti", "ute",
+    "it", "ita", "ită", "iti", "ite", "ica", "ice", "ici", "ică",
+    "abila", "abile", "abili", "abilă", "ibila", "ibile", "ibili",
+    "ibilă", "oasa", "oasă", "oase", "os", "osi", "oşi", "ant", "anta",
+    "ante", "anti", "antă", "itate", "itati", "ităi", "ităţi", "iva",
+    "ive", "ivi", "ivă", "iune", "iuni", "ţiune", "ţiuni", "ism",
+    "isme", "ist", "ista", "iste", "isti", "istă", "işti",
+    "are", "ere", "ire", "âre", "ind", "ând", "indu", "ându", "eze",
+    "ează", "esc", "ăsc", "eşte", "ăşte", "eşti", "ăşti", "am", "ai",
+    "au", "eam", "eai", "eau", "iam", "iai", "iau", "ui", "ât", "âi",
+    "ăm", "em", "im", "âm", "se", "sei", "serăm", "serăţi", "seră",
+    "sese", "sesem", "seseşi", "seserăm", "seserăţi", "seseră",
+    "aşi", "eşi", "işi", "âşi", "uşi", "ez", "ezi", "ăşti",
+    "ăm", "aţi", "eţi", "iţi", "âţi", "a", "e", "i", "ie", "ă", "â",
+    "u", " său", "eală", "eli",
+]
+
+ADVERSARIAL_RO = """
+a ă â e i î o u ş ţ ș ț al ai ale alor cel cea cei cele unui unei
+lucrul lucrului casele caselor fetele fetelor băieţii copiii copiilor
+oamenii oamenilor femeile femeilor fraţii surorile prietenii
+frumoasa frumoasă frumoase frumosul frumoşi frumoşii
+naţionalitate naţionalităţi posibilitate posibilităţi
+abilitatea abilităţile activitatea activităţile creativitatea
+lucrează lucrând lucraseră lucraserăţi munceşte munceşti muncesc
+citeşte citeşti citesc citind citiseră gândeşte gândindu
+vorbeaua steaua ziua cafeaua perdeaua măseaua
+copiii fiii vii scriitorii cititorii muncitorii
+înţelegere înţelegerea neînţelegere călătorie călătoria călătorii
+bucurie bucuria bucurii fericire fericirea nefericire
+românească românească româneşti românesc româneascã
+ţară ţări ţărilor şcoală şcoli şcolilor
+lucrați muncește citești gândește țară școală națiune acțiune
+aîotnia aîotuia aîotoia aîotnâi aîotnea aîotnui aîotnit aîotit aootit
+azotit abotit bucurăm bacurăm bucorăm azorăm curăm aburăm azonurăm
+dimineaul dimineau dimineaului murdară aîotnară aîotniră aîotnură
+aîotnâră aîotnasem aîotnâsem aîotnaserăm aîotniserăţi aîotnuseşi
+azoese azoesei azoeseră azoesese azoeuse azoease azonoit azonoia
+femeiserăm greuserăm lucrauserăm războiserăţi uleiserăm şîstâsşţsâsem
+abilităţile azonabile copiile fetile azonaua azoniua steaua azonule
+ammie anie aiâai aneai aneau aniau anitate anoase azonile
+"""
+
+
 def vocabulary(
     lang: str = "english", n_random: int = 15000, seed: int = 20240816
 ) -> list[str]:
     words: set[str] = set()
+    if lang == "romanian":
+        bases, suffixes, advers = BASES_RO, SUFFIXES_RO, ADVERSARIAL_RO
+        alphabet = "abcdefghijklmnopqrstuvwxyzăâîşţșț"
+        weighted = (
+            alphabet + "aeiouăâî" * 3 + "i" * 2 + "e" * 2 + "t" * 2
+            + "s" * 2 + "ţ" + "ş"
+        )
+        for b in bases.split():
+            for s in suffixes:
+                words.add(b + s)
+        words.update(advers.split())
+        rng = random.Random(seed)
+        for _ in range(n_random):
+            n = rng.randint(1, 14)
+            words.add("".join(rng.choice(weighted) for _ in range(n)))
+        return sorted(words)
     if lang == "finnish":
         bases, suffixes, advers = BASES_FI, SUFFIXES_FI, ADVERSARIAL_FI
         alphabet = "abcdefghijklmnopqrstuvwxyzäö"
@@ -1100,7 +1195,7 @@ def main() -> None:
         choices=[
             "english", "swedish", "german", "norwegian", "danish",
             "french", "spanish", "italian", "portuguese", "russian",
-            "dutch", "finnish",
+            "dutch", "finnish", "romanian",
         ],
     )
     args = ap.parse_args()
