@@ -150,6 +150,12 @@ _STEMMERS: dict[str, Callable[[str], str]] = {
 }
 
 
+def supported_languages() -> tuple[str, ...]:
+    """Chainable stemmer languages (every entry bit-exact to the
+    compiled libstemmer, pinned by tests/data/snowball_*_goldens)."""
+    return tuple(sorted(_STEMMERS))
+
+
 @dataclass(frozen=True)
 class AnalyzerConfig:
     """Tokenizer settings; stamped into the index manifest — an index is only
@@ -163,6 +169,18 @@ class AnalyzerConfig:
     stem_max: int = 40                   # bytes; snowball.c:28
     token_chars: str = ""                # extra token chars; config.go:64
     separators: str = ""                 # forced separators; config.go:65
+
+    def __post_init__(self):
+        # fail at CONFIG time, not per-token inside an executor (the
+        # reference refuses unknown stemmer languages up front too,
+        # snowball.c:296 sb_stemmer_new returning NULL)
+        if self.mode == "letarette":
+            unknown = [lg for lg in self.languages if lg not in _STEMMERS]
+            if unknown:
+                raise ValueError(
+                    f"unsupported stemmer language(s) {unknown}; "
+                    f"supported: {sorted(_STEMMERS)}"
+                )
 
     def key(self) -> dict:
         return {

@@ -195,3 +195,29 @@ def test_rank_identity(spark, tmp_path, lang, vocab, queries):
         assert [r for r, _ in got] == [r for r, _ in exp], (lang, q)
         for (_, sg), (_, se) in zip(got, exp):
             assert math.isclose(sg, se, rel_tol=1e-9, abs_tol=1e-12), (lang, q)
+
+
+def test_supported_languages_and_config_validation():
+    """Every chainable language is goldens-pinned; unknown languages are
+    rejected at CONFIG time (not per-token inside an executor)."""
+    import os
+
+    import pytest as _pytest
+
+    from letarette_spark.analysis.tokenizer import supported_languages
+
+    langs = supported_languages()
+    assert set(langs) >= {
+        "english", "swedish", "german", "norwegian", "danish", "french",
+        "spanish", "italian", "portuguese", "russian", "dutch",
+        "finnish", "romanian",
+    }
+    for lg in langs:
+        if lg in ("english", "porter"):
+            continue  # english is pinned by its own porter2 goldens
+        assert os.path.exists(
+            os.path.join(_DATA, f"snowball_{lg}_goldens.tsv.gz")
+        ), lg
+    with _pytest.raises(ValueError, match="unsupported stemmer"):
+        AnalyzerConfig(languages=("klingon",))
+    AnalyzerConfig(mode="porter", languages=("whatever",))  # ignored
