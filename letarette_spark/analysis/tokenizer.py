@@ -127,6 +127,12 @@ def _romanian_stem(word: str) -> str:
     return romanian.stem(word)
 
 
+def _indonesian_stem(word: str) -> str:
+    from letarette_spark.analysis import indonesian
+
+    return indonesian.stem(word)
+
+
 _STEMMERS: dict[str, Callable[[str], str]] = {
     "porter": porter.stem,
     "english": _porter2_stem,
@@ -147,6 +153,7 @@ _STEMMERS: dict[str, Callable[[str], str]] = {
     "dutch": _dutch_stem,
     "finnish": _finnish_stem,
     "romanian": _romanian_stem,
+    "indonesian": _indonesian_stem,
 }
 
 

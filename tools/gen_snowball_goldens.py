@@ -990,10 +990,72 @@ ammie anie aiâai aneai aneau aniau anitate anoase azonile
 """
 
 
+
+# Indonesian: bases x affix matrix — particles kah/lah/pun, possessives
+# ku/mu/nya, the first-order prefixes with their recodings (meny->s,
+# mem+V->p, peny->s, pen+V->t?), second-order ber/bel/per/pel, the
+# kan/an/i suffixes with prefix-based restrictions, and the >2-vowel
+# measure gate.
+BASES_ID = """
+ajar baik lari baca tulis pilih sapu ambil nyanyi hendak buah adil
+merdeka ada makan minum beri main jalan duduk tidur bangun mandi
+kerja kata lihat dengar rasa pikir tahu ingin cinta benci suka
+rumah buku meja kursi pintu jendela dinding atap kota desa negara
+ibu ayah anak kakak adik teman musuh tetangga guru murid
+kepala tangan kaki mata hati darah kulit rambut
+nasi susu daging ikan sayur gula garam air api tanah langit
+hari malam pagi sore minggu bulan tahun waktu dunia hidup mati
+perang damai senang sedih takut berani kaya miskin bersih kotor
+besar kecil bagus buruk baru lama tinggi rendah kuat lemah
+satu dua tiga empat lima enam tujuh delapan sembilan sepuluh
+"""
+
+SUFFIXES_ID = [
+    "", "kah", "lah", "pun", "ku", "mu", "nya", "kan", "an", "i",
+    "kannya", "annya", "inya", "kanlah", "anlah", "ilah", "kankah",
+    "ankah", "nyalah", "nyapun", "kupun", "mulah",
+]
+
+PREFIXES_ID = [
+    "", "di", "ke", "se", "me", "mem", "men", "meng", "meny", "pe",
+    "pem", "pen", "peng", "peny", "ter", "ber", "bel", "per", "pel",
+    "memper", "diper", "berke", "kese",
+]
+
+ADVERSARIAL_ID = """
+a i u e o ab aba abai makan makanan minuman memberikan mengambil
+menyapu menulis membaca memilih pengambilan penyanyi penulis pembaca
+pemilih diambil kehendak sebuah terbaik berlari belajar pelajaran
+perbaikan bukunya bukuku bukumu apakah adalah siapapun kemerdekaan
+keadilan berada mempelajari memperbaiki diperbaiki keadaannya
+pembangunan pembelajaran perekonomian kesejahteraan pemerintahan
+berkesinambungan menyederhanakan menyeberang menyeluruh
+mengakui mengetahui menghendaki melupakan melarikan
+besarnya kecilnya banyaknya seluruhnya seharusnya sebaiknya
+berdua bertiga kedua ketiga pertama terakhir terutama
+"""
+
+
 def vocabulary(
     lang: str = "english", n_random: int = 15000, seed: int = 20240816
 ) -> list[str]:
     words: set[str] = set()
+    if lang == "indonesian":
+        rng = random.Random(seed)
+        for b in BASES_ID.split():
+            for p in PREFIXES_ID:
+                for s in SUFFIXES_ID:
+                    if rng.random() < 0.18:  # sampled cross product
+                        words.add(p + b + s)
+            for s in SUFFIXES_ID:
+                words.add(b + s)
+        words.update(ADVERSARIAL_ID.split())
+        alphabet = "abcdefghijklmnopqrstuvwxyz"
+        weighted = alphabet + "aiueo" * 3 + "ng" + "ny" + "k" * 2
+        for _ in range(n_random):
+            n = rng.randint(1, 14)
+            words.add("".join(rng.choice(weighted) for _ in range(n)))
+        return sorted(words)
     if lang == "romanian":
         bases, suffixes, advers = BASES_RO, SUFFIXES_RO, ADVERSARIAL_RO
         alphabet = "abcdefghijklmnopqrstuvwxyzăâîşţșț"
@@ -1195,7 +1257,7 @@ def main() -> None:
         choices=[
             "english", "swedish", "german", "norwegian", "danish",
             "french", "spanish", "italian", "portuguese", "russian",
-            "dutch", "finnish", "romanian",
+            "dutch", "finnish", "romanian", "indonesian",
         ],
     )
     args = ap.parse_args()
