@@ -133,6 +133,12 @@ def _indonesian_stem(word: str) -> str:
     return indonesian.stem(word)
 
 
+def _hungarian_stem(word: str) -> str:
+    from letarette_spark.analysis import hungarian
+
+    return hungarian.stem(word)
+
+
 _STEMMERS: dict[str, Callable[[str], str]] = {
     "porter": porter.stem,
     "english": _porter2_stem,
@@ -154,6 +160,7 @@ _STEMMERS: dict[str, Callable[[str], str]] = {
     "finnish": _finnish_stem,
     "romanian": _romanian_stem,
     "indonesian": _indonesian_stem,
+    "hungarian": _hungarian_stem,
 }
 
 

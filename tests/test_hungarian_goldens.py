@@ -1,0 +1,196 @@
+"""Snowball Hungarian stemmer: full-vocabulary proof, live library
+cross-check, chain membership, and rank identity.
+
+48,199 (word, stem) golden vectors captured from the compiled
+libstemmer 'hungarian' UTF-8 stemmer (snowball 2.2.0). The vocabulary
+covers the frequent-case table (with the commit-failure discriminators
+'zat/zet/zot/zöt' vs bare 't'), the owned/sing-owner/plur-owner
+possessive ladder whose accented entries replace with unaccented
+vowels (áké->a, éé->e — the probe-derived two-step dance that keeps
+'cuáéé'->'cuá'), instrumental/factive deletions after assimilated
+double consonants, digraph-aware R1, and stacked case-on-possessive
+forms. Regenerate: python tools/gen_snowball_goldens.py
+--lang hungarian."""
+
+from __future__ import annotations
+
+import ctypes.util
+import gzip
+import math
+import os
+import random
+
+import pytest
+
+from letarette_spark.analysis import hungarian
+from letarette_spark.analysis.tokenizer import Analyzer, AnalyzerConfig
+
+GOLDENS = os.path.join(
+    os.path.dirname(__file__), "data", "snowball_hungarian_goldens.tsv.gz"
+)
+
+_HAVE_LIB = bool(
+    ctypes.util.find_library("stemmer")
+    or os.path.exists("/usr/lib/x86_64-linux-gnu/libstemmer.so.0d")
+)
+
+
+def test_hungarian_matches_compiled_snowball_goldens():
+    bad = []
+    n = 0
+    with gzip.open(GOLDENS, "rt", encoding="utf-8") as f:
+        for line in f:
+            word, want = line.rstrip("\n").split("\t")
+            n += 1
+            got = hungarian.stem(word)
+            if got != want:
+                bad.append((word, want, got))
+    assert n > 40000
+    assert not bad, f"{len(bad)}/{n} divergences, first 20: {bad[:20]}"
+
+
+@pytest.mark.skipif(not _HAVE_LIB, reason="compiled libstemmer not available")
+def test_hungarian_matches_live_library_on_fresh_randoms():
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from gen_snowball_goldens import SnowballStemmer
+
+    st = SnowballStemmer("hungarian")
+    rng = random.Random()  # intentionally unseeded: fresh vectors each run
+    alpha = (
+        "abcdefghijklmnopqrstuvwxyzáéíóöőúüű"
+        + "aáeéioöu" * 2
+        + "szgynt"
+        + "k"
+    )
+    bad = []
+    for _ in range(4000):
+        w = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 16)))
+        if hungarian.stem(w) != st.stem(w):
+            bad.append((w, st.stem(w), hungarian.stem(w)))
+    assert not bad, bad[:10]
+
+
+def test_known_hungarian_forms():
+    cases = {
+        "házakat": "ház",
+        "kertekben": "kert",
+        "városokból": "város",
+        "könyveiket": "könyv",
+        "ablakokon": "ablak",
+        "szemeinkkel": "szem",
+        "embereknek": "ember",
+        "barátaimmal": "barát",
+        # owned two-step dance: éé -> e, then sing_owner deletes it
+        "cuáéé": "cuá",
+        "cuá": "cua",
+        # commit failure: 'at' is an entry, so bare 't' never fires
+        "zat": "zat",
+        "zit": "zi",
+    }
+    for w, want in cases.items():
+        assert hungarian.stem(w) == want, (w, hungarian.stem(w), want)
+
+
+def test_chain_membership():
+    from letarette_spark.analysis import porter2
+
+    vocab = []
+    with gzip.open(GOLDENS, "rt", encoding="utf-8") as f:
+        for i, line in enumerate(f):
+            if i % 29 == 0:
+                vocab.append(line.split("\t")[0])
+
+    def chain_expected(word, langs):
+        stems = {"english": porter2.stem, "hungarian": hungarian.stem}
+        out = word
+        for lang in langs:
+            out = stems[lang](word)
+            if len(out) != len(word):
+                break
+        return out
+
+    order_matters = [
+        w
+        for w in vocab
+        if chain_expected(w, ("english", "hungarian"))
+        != chain_expected(w, ("hungarian", "english"))
+    ]
+    assert order_matters, "fixture vocabulary must exercise chain order"
+    for langs in (("english", "hungarian"), ("hungarian", "english")):
+        an = Analyzer(AnalyzerConfig(languages=langs))
+        for w in vocab[:300] + order_matters[:50]:
+            if 3 <= len(w.encode("utf-8")) <= 40:
+                assert an.term_of(w) == chain_expected(w, langs), (w, langs)
+
+
+def test_rank_identity(spark, tmp_path):
+    """Whole-pipeline identity under the hungarian chain via pre-stemming
+    (same oracle technique as test_swedish_goldens.py)."""
+    from letarette_spark.index.builder import Index, build_index
+    from letarette_spark.query.executor import Searcher
+    from letarette_spark.query.parser import (
+        Phrase,
+        compile_match_string,
+        parse_query,
+        reduce_phrases,
+    )
+    from tests.fts5_oracle import Fts5Index
+
+    cfg = AnalyzerConfig(languages=("hungarian",))
+    an = Analyzer(cfg)
+    words = (
+        "házakat kertekben emberek asztalok könyveiket városokból "
+        "ablakokon ajtókhoz kezeknek szemeinkkel barátaimmal "
+        "gyerekeiteket tanáraink szerelmünkért életükben idejére "
+        "napjainkban éveink órái percei nyelvekről szavakkal "
+        "és nem az egy ez hogy volt van"
+    ).split()
+    rng = random.Random(23)
+    docs = []
+    for i in range(40):
+        title = " ".join(rng.choices(words, k=rng.randint(1, 3)))
+        body = " ".join(rng.choices(words, k=rng.randint(8, 25)))
+        docs.append((i + 1, title, body))
+
+    root = str(tmp_path / "hu_rank_idx")
+    sdf = spark.createDataFrame(
+        [
+            {"doc_id": f"d{r}", "rowid": r, "space": "m", "title": t,
+             "body": b, "alive": True}
+            for r, t, b in docs
+        ]
+    )
+    build_index(spark, sdf, root, config=cfg, n_build_partitions=2,
+                chunk_size=2)
+    s = Searcher(Index.open(spark, root, cfg), stopwords=frozenset(),
+                 synonyms={})
+
+    def prestem(text):
+        return " ".join(an.terms(text))
+
+    oracle = Fts5Index.build(
+        [(r, prestem(t), prestem(b)) for r, t, b in docs],
+        tokenizer="unicode61 remove_diacritics 2",
+    )
+    for q in ("házakat", "kertekben emberek", "könyveiket -szavakkal"):
+        phrases = []
+        for p in reduce_phrases(parse_query(q)):
+            terms = an.terms(p.text)
+            if terms:
+                phrases.append(
+                    Phrase(" ".join(terms), wildcard=p.wildcard,
+                           exclude=p.exclude)
+                )
+        match = compile_match_string(phrases)
+        exp = oracle.search(match, limit=10) if match else []
+        df, _t, _c = s.search_df(q, limit=10)
+        got = (
+            [(r["rowid"], r["score"]) for r in df.collect()]
+            if df is not None
+            else []
+        )
+        assert [r for r, _ in got] == [r for r, _ in exp], q
+        for (_, sg), (_, se) in zip(got, exp):
+            assert math.isclose(sg, se, rel_tol=1e-9, abs_tol=1e-12), q

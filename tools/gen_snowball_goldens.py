@@ -1036,10 +1036,86 @@ berdua bertiga kedua ketiga pertama terakhir terutama
 """
 
 
+# Hungarian: agglutinative case system — the 40-odd frequent case
+# endings (with commit-failure discriminators 'at/et/ot/öt' vs bare
+# 't'), the owned/sing-owner/plur-owner possessive ladder whose accented
+# entries REPLACE with unaccented vowels, instrumental/factive
+# val/vel + á/é after assimilated double consonants, and digraph-aware
+# R1 (gy/ny/sz/dzs...).
+BASES_HU = """
+ház kert ember asztal könyv város szék ablak ajtó kéz láb szem fül
+orr száj fog haj fej nyak váll kar ujj térd talp szív tüdő máj vese
+gyomor csont bőr vér izom agy ideg érzés gondolat szó mondat nyelv
+beszéd hang zene dal vers könyvtár iskola tanár diák gyerek férfi nő
+anya apa testvér nagymama barát szerelem élet halál idő nap hét hónap
+év óra perc reggel este éjszaka tavasz nyár ősz tél eső hó szél vihar
+felhő hold csillag ég föld víz tűz levegő fa virág fű levél gyökér ág
+erdő mező hegy völgy folyó tó tenger part sziget út utca tér híd
+épület torony fal tető pince lépcső lift konyha szoba fürdő kád tükör
+lámpa polc fiók kulcs zár telefon gép autó busz vonat repülő hajó
+bicikli kerék motor bolt piac pénz ár munka dolog feladat cél terv
+siker hiba kérdés válasz dzsungel gyufa lyuk nyúl szarvas tyúk zsák
+csönd öröm tűz víz tej kenyér hús alma körte szőlő dió bor sör kávé
+"""
+
+SUFFIXES_HU = [
+    "", "ban", "ben", "ba", "be", "ra", "re", "nak", "nek", "val",
+    "vel", "tól", "től", "ról", "ről", "ból", "ből", "hoz", "hez",
+    "höz", "nál", "nél", "ig", "at", "et", "ot", "öt", "ért", "képp",
+    "képpen", "kor", "ul", "ül", "vá", "vé", "onként", "enként",
+    "anként", "ként", "en", "on", "an", "ön", "n", "t", "án", "én",
+    "ánként", "astul", "estül", "ástul", "éstül", "stul", "stül",
+    "al", "el", "á", "é", "ák", "ék", "ök", "ok", "ek", "ak", "k",
+    "ké", "oké", "öké", "aké", "eké", "áké", "éké", "éé", "éi", "áéi",
+    "ééi", "ünk", "unk", "ánk", "énk", "nk", "ájuk", "éjük", "juk",
+    "jük", "uk", "ük", "ám", "ém", "am", "em", "om", "m", "ád", "éd",
+    "ad", "ed", "od", "öd", "d", "ja", "je", "a", "e", "o", "jaim",
+    "jeim", "áim", "éim", "aim", "eim", "im", "jaid", "jeid", "áid",
+    "éid", "aid", "eid", "id", "jai", "jei", "ái", "éi", "ai", "ei",
+    "i", "jaik", "jeik", "áik", "éik", "aik", "eik", "ik", "jaitok",
+    "jeitek", "áitok", "éitek", "aitok", "eitek", "itek", "jaink",
+    "jeink", "áink", "éink", "aink", "eink", "ink", "okat", "eket",
+    "öket", "akat", "aknak", "ttal", "ttel", "szal", "szel", "bal",
+    "kal", "nal", "lal", "sal", "zal",
+]
+
+ADVERSARIAL_HU = """
+a á e é i o ö ü ű zat zet zot zöt zit zut züt zát zét zan zen zon zön
+zig zul zül zvá zvé zkor zakor zaul cuá cua cué zá zé zaá cuáé cuáéé
+cuéé cuáá dorsdá dorsdáé dorsdéé dorsdááé dorsdáéé za zaa zaaá zak
+zaak bwot het nöáöt érázöt fáidot kövekkel szívvel tollal vassal
+házzal könyvvel kézzel lábbal fűvel kővel tűzzel vízzel szóval
+esővel erdővel pénzzel bérrel őszzel gallyal mésszel rozzsal
+házakat embereket kertekben városokból ablakokon ajtókhoz kezeknek
+szemeinkkel barátaimmal gyerekeiteket tanáraink könyveiket
+szerelmünkért életükben idejére napjainkban éveink órái percei
+házaié kertjeié emberéi asztalaiéi könyveéé városoké székekéi
+dzsip dzsem gyors gyönyörű nyár nyolc szép szöveg tyúkok zsemle
+lyukak csapat dzsungelekben gyerekeknek nyelvekről szavakkal
+"""
+
+
 def vocabulary(
     lang: str = "english", n_random: int = 15000, seed: int = 20240816
 ) -> list[str]:
     words: set[str] = set()
+    if lang == "hungarian":
+        rng = random.Random(seed)
+        for b in BASES_HU.split():
+            for s in SUFFIXES_HU:
+                words.add(b + s)
+            # stacked case-on-possessive forms, sampled
+            for s1 in ("ja", "je", "unk", "ük", "im", "aim", "ei", "é"):
+                for s2 in SUFFIXES_HU:
+                    if rng.random() < 0.04:
+                        words.add(b + s1 + s2)
+        words.update(ADVERSARIAL_HU.split())
+        alphabet = "abcdefghijklmnopqrstuvwxyzáéíóöőúüű"
+        weighted = alphabet + "aáeéioöu" * 3 + "szgynt" * 2 + "k" * 2
+        for _ in range(n_random):
+            n = rng.randint(1, 14)
+            words.add("".join(rng.choice(weighted) for _ in range(n)))
+        return sorted(words)
     if lang == "indonesian":
         rng = random.Random(seed)
         for b in BASES_ID.split():
@@ -1257,7 +1333,7 @@ def main() -> None:
         choices=[
             "english", "swedish", "german", "norwegian", "danish",
             "french", "spanish", "italian", "portuguese", "russian",
-            "dutch", "finnish", "romanian", "indonesian",
+            "dutch", "finnish", "romanian", "indonesian", "hungarian",
         ],
     )
     args = ap.parse_args()
