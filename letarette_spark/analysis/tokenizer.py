@@ -139,6 +139,12 @@ def _hungarian_stem(word: str) -> str:
     return hungarian.stem(word)
 
 
+def _hindi_stem(word: str) -> str:
+    from letarette_spark.analysis import hindi
+
+    return hindi.stem(word)
+
+
 _STEMMERS: dict[str, Callable[[str], str]] = {
     "porter": porter.stem,
     "english": _porter2_stem,
@@ -161,6 +167,7 @@ _STEMMERS: dict[str, Callable[[str], str]] = {
     "romanian": _romanian_stem,
     "indonesian": _indonesian_stem,
     "hungarian": _hungarian_stem,
+    "hindi": _hindi_stem,
 }
 
 

@@ -1036,6 +1036,30 @@ berdua bertiga kedua ketiga pertama terakhir terutama
 """
 
 
+# Hindi: Devanagari longest-suffix stripper (Ramanathan & Rao) —
+# consonant-guarded vs free entry classes with fall-through, the
+# composite vowel+suffix entries, nukta consonants, and the virama.
+BASES_HI = """
+लड़क किताब बच्च आदम औरत घर पान रोट सड़क कमर दरवाज खिड़क कुरस मेज कलम
+कागज स्कूल शहर गांव देश दुनिय समय दिन रात सुबह शाम साल महीन हफ्त घंट
+मिनट पल जीवन मौत प्यार दोस्त दुश्मन परिवार मां बाप बेट बेट भाई बहन
+पति पत्न बूढ़ जवान खान पीन सोन जागन चलन दौड़न बैठन उठन गिरन हंसन रोन
+बोलन सुनन देखन समझन सोचन जानन मानन लिखन पढ़न खेलन गान नाचन काम धंध
+पैस रुपय सोन चांद लोह पत्थर मिट्ट पान आग हव आसमान धरत सूरज चांद तार
+बादल बारिश धूप छांव पेड़ पौध फूल फल पत्त जड़ डाल जंगल खेत पहाड़ नद
+समुद्र किनार रेत पंछ जानवर कुत्त बिल्ल गाय भैंस बकर घोड़ हाथ शेर
+"""
+
+ADVERSARIAL_HI = """
+क का कका ाा ् क् ा् ्् कर ता ाकर आकर अअकर कताएं खगताएं कीकर क्कर
+कंकर कँता कःकर कृकर ककृते कूता कौने कृताएं ाएं इयों आएंगी ुओं एं ीं
+ाताएं कीं ातीं कतीं खकतीं गकर ककर तकर कआकर ककआकर कनाएं कनी कना नना
+कता तता अआकर लड़का लड़के लड़कों लड़कियाँ खाता खाती खाते खाना करना
+करता करती किताबें किताबों हिंदी भारतीय समझौता समझौते आदमी औरतें
+बच्चा बच्चे बच्चों खाऊंगा जाएगी करेंगे बोलूंगी पढ़ाइयाँ
+"""
+
+
 # Hungarian: agglutinative case system — the 40-odd frequent case
 # endings (with commit-failure discriminators 'at/et/ot/öt' vs bare
 # 't'), the owned/sing-owner/plur-owner possessive ladder whose accented
@@ -1099,6 +1123,31 @@ def vocabulary(
     lang: str = "english", n_random: int = 15000, seed: int = 20240816
 ) -> list[str]:
     words: set[str] = set()
+    if lang == "hindi":
+        import os as _os
+        import sys as _sys
+
+        _sys.path.insert(
+            0, _os.path.join(_os.path.dirname(__file__), "..")
+        )
+        from letarette_spark.analysis import hindi as _hi
+
+        rng = random.Random(seed)
+        sufs = list(_hi._FREE) + list(_hi._GUARDED) + ["", "ों", "ें"]
+        for b in BASES_HI.split():
+            for s in sufs:
+                words.add(b + s)
+        words.update(ADVERSARIAL_HI.split())
+        cons = "कखगघङचछजझञटठडढणतथदधनपफबभमयरलवशषसह"
+        matras = "ािीुूृेैोौ"
+        indep = "अआइईउऊऋएऐओऔ"
+        signs = "ँंः्"
+        nukta = "क़ख़ग़ज़ड़ढ़फ़य़़ऩऱळऴ"
+        weighted = cons * 2 + matras * 2 + indep + signs + nukta
+        for _ in range(n_random):
+            n = rng.randint(1, 12)
+            words.add("".join(rng.choice(weighted) for _ in range(n)))
+        return sorted(words)
     if lang == "hungarian":
         rng = random.Random(seed)
         for b in BASES_HU.split():
@@ -1334,6 +1383,7 @@ def main() -> None:
             "english", "swedish", "german", "norwegian", "danish",
             "french", "spanish", "italian", "portuguese", "russian",
             "dutch", "finnish", "romanian", "indonesian", "hungarian",
+            "hindi",
         ],
     )
     args = ap.parse_args()
