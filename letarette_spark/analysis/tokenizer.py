@@ -145,6 +145,12 @@ def _hindi_stem(word: str) -> str:
     return hindi.stem(word)
 
 
+def _nepali_stem(word: str) -> str:
+    from letarette_spark.analysis import nepali
+
+    return nepali.stem(word)
+
+
 _STEMMERS: dict[str, Callable[[str], str]] = {
     "porter": porter.stem,
     "english": _porter2_stem,
@@ -168,6 +174,7 @@ _STEMMERS: dict[str, Callable[[str], str]] = {
     "indonesian": _indonesian_stem,
     "hungarian": _hungarian_stem,
     "hindi": _hindi_stem,
+    "nepali": _nepali_stem,
 }
 
 

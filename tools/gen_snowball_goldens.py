@@ -1036,6 +1036,35 @@ berdua bertiga kedua ketiga pertama terakhir terutama
 """
 
 
+# Nepali: three-category stripper — postpositions once (क-forms
+# guarded against preceding ए/े), then a loop of category-2 nasal
+# removal (context-gated ँ/ं/ै) + category-3 verbal suffixes that can
+# consume the whole word.
+BASES_NE = """
+राम घर किताब केटा केटी मान्छे मानिस नेपाल काठमाडौं पहाड हिमाल नदी
+खोला गाउँ शहर बाटो घाम पानी हावा आगो माटो ढुंगा रूख फूल फल पात जरा
+हाँगा वन जंगल खेत बारी डाँडा समुद्र किनारा बालुवा चरा जनावर कुकुर
+बिरालो गाई भैंसी बाख्रा घोडा हात्ती बाघ भालु बाँदर माछा सर्प किरा
+भात दाल तरकारी रोटी दूध दही घिउ नुन चिनी चिया खाना पिउन सुत जाग
+हिँड दौड बस उठ गिर हाँस रो बोल सुन हेर बुझ सोच जान मान लेख पढ खेल
+गा नाच काम पैसा रुपैयाँ सुन चाँदी फलाम समय दिन रात बिहान बेलुका
+वर्ष महिना हप्ता घण्टा मिनेट जीवन मृत्यु माया साथी शत्रु परिवार
+आमा बुबा छोरा छोरी दाजु भाइ दिदी बहिनी श्रीमान् श्रीमती बूढा जवान
+गर भ हु खा जा आ दे लि ल्या पठा बना सिक सिका भन
+"""
+
+ADVERSARIAL_NE = """
+क का कि की को कै हरू हरु लाई ले मा मै रत भारत सँग संग सँगै मार्फत
+द्वारा पछि लाइ कखको कएको कखेको कआको कोको ककिको कएकी कखकी कएकै कआकै
+रामं रामँ रामै कयौं कछौं कनौं कथें कयौँ कछौँ कनौँ कथेँ कत्रै खत्रै
+कखै कएं कें कत्रं कयौै हरूलाई हरूको हरूमा हरूहरू छछछ कछछछ कनेछनेछ
+हुनेछ कहुनेछ हुन्छ कहुन्छ थिए कथिए थियो थियौ थिइस् होस् पर् लान्
+गइन् भनेर गर्छन् गर्छु भएको भएका गरेका जान्छु खान्छ आउँछ सक्छ
+गर्दै गर्नुहुन्छ ढुंगाहरूलाई त्रै ंं ँँ ैै यौं छौं नौं थें देखि
+देखी माथि कमाथि कपर् कहोस् थ्यो थ्यौ छ्यौ भयो कभयो दियो कदियो
+"""
+
+
 # Hindi: Devanagari longest-suffix stripper (Ramanathan & Rao) —
 # consonant-guarded vs free entry classes with fall-through, the
 # composite vowel+suffix entries, nukta consonants, and the virama.
@@ -1123,6 +1152,41 @@ def vocabulary(
     lang: str = "english", n_random: int = 15000, seed: int = 20240816
 ) -> list[str]:
     words: set[str] = set()
+    if lang == "nepali":
+        import os as _os
+        import sys as _sys
+
+        _sys.path.insert(
+            0, _os.path.join(_os.path.dirname(__file__), "..")
+        )
+        from letarette_spark.analysis import nepali as _ne
+
+        rng = random.Random(seed)
+        cat1 = [s for s, _ in _ne._CAT1_ENTRIES]
+        cat3 = list(_ne._CAT3_ENTRIES)
+        sufs = [""] + cat1 + cat3 + ["ँ", "ं", "ै"]
+        for b in BASES_NE.split():
+            for s in sufs:
+                words.add(b + s)
+            # stacked loop forms: cat3 chains + cat1 outermost +
+            # category-2 nasals riding on their contexts
+            for _ in range(6):
+                w = b + rng.choice(cat3) + rng.choice(cat3)
+                if rng.random() < 0.5:
+                    w += rng.choice(cat1)
+                words.add(w)
+            for ctx in ("यौ", "छौ", "नौ", "थे", "त्र"):
+                words.add(b + ctx + ("ै" if ctx == "त्र" else "ं"))
+                words.add(b + ctx + ("ै" if ctx == "त्र" else "ँ"))
+        words.update(ADVERSARIAL_NE.split())
+        cons = "कखगघङचछजझटठडढणतथदधनपफबभमयरलवशषसह"
+        weighted = (
+            cons * 2 + "ािीुूृेैोौ" * 2 + "अआइईउऊएऐओऔ" + "ँंः्"
+        )
+        for _ in range(n_random):
+            n = rng.randint(1, 12)
+            words.add("".join(rng.choice(weighted) for _ in range(n)))
+        return sorted(words)
     if lang == "hindi":
         import os as _os
         import sys as _sys
@@ -1383,7 +1447,7 @@ def main() -> None:
             "english", "swedish", "german", "norwegian", "danish",
             "french", "spanish", "italian", "portuguese", "russian",
             "dutch", "finnish", "romanian", "indonesian", "hungarian",
-            "hindi",
+            "hindi", "nepali",
         ],
     )
     args = ap.parse_args()
