@@ -145,6 +145,12 @@ def _hindi_stem(word: str) -> str:
     return hindi.stem(word)
 
 
+def _catalan_stem(word: str) -> str:
+    from letarette_spark.analysis import catalan
+
+    return catalan.stem(word)
+
+
 def _nepali_stem(word: str) -> str:
     from letarette_spark.analysis import nepali
 
@@ -175,6 +181,7 @@ _STEMMERS: dict[str, Callable[[str], str]] = {
     "hungarian": _hungarian_stem,
     "hindi": _hindi_stem,
     "nepali": _nepali_stem,
+    "catalan": _catalan_stem,
 }
 
 

@@ -1036,6 +1036,33 @@ berdua bertiga kedua ketiga pertama terakhir terutama
 """
 
 
+# Catalan: Romance family with R1/R2 (vowel grouping EXCLUDES ì/ù —
+# they are not Catalan letters), attached pronouns (also apostrophe/
+# hyphen forms), standard-vs-verb or-fallthrough, the 'quíssim' -> 'c'
+# rewrite, 'log'/'ic' rewrites, and the forward cleaning pass
+# ('·' -> '.', accents folded, ù untouched).
+BASES_CA = """
+pass cas barcelon catal form gust industri natur port taul cadir
+finestr llibr escol cam carrer ciut pobl mar muntany riu feli
+trist gran petit nou vell bon mal amic germ par fill av famili
+penj trenc obr tanc compr vend don pren dorm viu mor neix
+cant ball corr salt pens cre sab conei vol pod hav ser est
+an ven torn arrib sort entr puj baix herm bell clar fosc fred
+calent sec moll dol amarg salat nacional person gener esper
+treball estudi juga menj beu dorm parl escolt mir busc trob
+"""
+
+ADVERSARIAL_CA = """
+· e·j h·biny bó paxtì paxatì wìdüì waxaì paxtaé paxtà paxataà
+wìdüà waxaá paxtüì paxtïì paxguì paxquì wùdaé wadaé wìdaé
+passquíssima casquíssim folquíssimes bonsquíssims lògic lògica
+lògiques filologia filologies psicologíes cantaria cantaríem
+vendríeu dormiríeu passés passàssem passéssem arribaren vinguérem
+l'amic d'aigua s'ha -la -nos 'hi 'ho qualsevol cap·icua
+col·legi il·lusió paral·lel instal·lar novel·la cel·la
+"""
+
+
 # Nepali: three-category stripper — postpositions once (क-forms
 # guarded against preceding ए/े), then a loop of category-2 nasal
 # removal (context-gated ँ/ं/ै) + category-3 verbal suffixes that can
@@ -1152,6 +1179,31 @@ def vocabulary(
     lang: str = "english", n_random: int = 15000, seed: int = 20240816
 ) -> list[str]:
     words: set[str] = set()
+    if lang == "catalan":
+        import os as _os
+        import sys as _sys
+
+        _sys.path.insert(
+            0, _os.path.join(_os.path.dirname(__file__), "..")
+        )
+        from letarette_spark.analysis import catalan as _ca
+
+        rng = random.Random(seed)
+        sufs = (
+            [s for s, _ in _ca._STANDARD] + [s for s, _ in _ca._VERB]
+            + [s for s, _ in _ca._RESIDUAL] + list(_ca._PRONOUNS) + [""]
+        )
+        for b in BASES_CA.split():
+            for s in sufs:
+                words.add(b + s)
+            for _ in range(8):
+                words.add(b + rng.choice(sufs) + rng.choice(sufs))
+        words.update(ADVERSARIAL_CA.split())
+        alpha = "abcdefghijklmnopqrstuvwxyz" * 2 + "àáèéìíòóúüï·'-ç"
+        for _ in range(n_random):
+            n = rng.randint(1, 14)
+            words.add("".join(rng.choice(alpha) for _ in range(n)))
+        return sorted(words)
     if lang == "nepali":
         import os as _os
         import sys as _sys
@@ -1447,7 +1499,7 @@ def main() -> None:
             "english", "swedish", "german", "norwegian", "danish",
             "french", "spanish", "italian", "portuguese", "russian",
             "dutch", "finnish", "romanian", "indonesian", "hungarian",
-            "hindi", "nepali",
+            "hindi", "nepali", "catalan",
         ],
     )
     args = ap.parse_args()
