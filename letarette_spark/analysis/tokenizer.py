@@ -145,6 +145,12 @@ def _hindi_stem(word: str) -> str:
     return hindi.stem(word)
 
 
+def _armenian_stem(word: str) -> str:
+    from letarette_spark.analysis import armenian
+
+    return armenian.stem(word)
+
+
 def _catalan_stem(word: str) -> str:
     from letarette_spark.analysis import catalan
 
@@ -182,6 +188,7 @@ _STEMMERS: dict[str, Callable[[str], str]] = {
     "hindi": _hindi_stem,
     "nepali": _nepali_stem,
     "catalan": _catalan_stem,
+    "armenian": _armenian_stem,
 }
 
 

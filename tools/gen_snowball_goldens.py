@@ -1063,6 +1063,30 @@ col·legi il·lusió paral·lel instal·lar novel·la cel·la
 """
 
 
+# Armenian: four delete-only amongs (ending/verb/adjective/noun) all
+# matched inside a setlimit-to-pV window — the window makes fail-link
+# navigation observable ('բությանն' falls back to 'ն', 'մեծությանն'
+# matches 'ությանն' fully but fails the p2 check and keeps everything).
+BASES_HY = """
+գր մեծ տ սիր կարդ բար տն քաղաք գյուղ ծառ ջր հաց լեռ
+աշխատ խոս մտած գն վազ նստ կանգն ընկ հասկ ուս սովոր
+երգ պար խաղ գործ դրամ ժամ օր գիշեր առավոտ կյանք մահ
+ընկեր թշնամ ընտանիք մայր հայր որդ դուստր եղբայր քույր
+երեխ ծնող ուսուցիչ աշակերտ բժիշկ հիվանդ տուն դպրոց
+եկեղեց փողոց ճանապարհ սար ձոր դաշտ անտառ ծաղիկ խոտ
+"""
+
+ADVERSARIAL_HY = """
+բությանն մեծությանն ծությանն բաբությանն մեությանն եծությանն
+գրությանն գրության մեծութանն մեծութան մեծությանի բաբանն տանն
+անն բանն ն պանն ջանն կանանն բերան բերանն իչք գծիք խգրճպըալ
+մեծակել գրերենակ սիրերեն մեծելակ գրականել մեծերենի սիրըալ
+բէբալ բըբալ բւբալ բօբալ բևբալ տաալ տալ տաակ տաեղ բաբաբար
+գրականների գրքերի մեծություն մեծությանը տներում տնական
+սիրելի սիրված կարդալով կարդացինք բարեկամներիս աաաներ
+"""
+
+
 # Nepali: three-category stripper — postpositions once (क-forms
 # guarded against preceding ए/े), then a loop of category-2 nasal
 # removal (context-gated ँ/ं/ै) + category-3 verbal suffixes that can
@@ -1202,6 +1226,32 @@ def vocabulary(
         alpha = "abcdefghijklmnopqrstuvwxyz" * 2 + "àáèéìíòóúüï·'-ç"
         for _ in range(n_random):
             n = rng.randint(1, 14)
+            words.add("".join(rng.choice(alpha) for _ in range(n)))
+        return sorted(words)
+    if lang == "armenian":
+        import os as _os
+        import sys as _sys
+
+        _sys.path.insert(
+            0, _os.path.join(_os.path.dirname(__file__), "..")
+        )
+        from letarette_spark.analysis import armenian as _hy
+
+        rng = random.Random(seed)
+        sufs = [""] + [
+            a.s.decode("utf-8")
+            for t in (_hy._ENDING, _hy._NOUN, _hy._VERB, _hy._ADJECTIVE)
+            for a in t
+        ]
+        for b in BASES_HY.split():
+            for s in sufs:
+                words.add(b + s)
+            for _ in range(6):
+                words.add(b + rng.choice(sufs) + rng.choice(sufs))
+        words.update(ADVERSARIAL_HY.split())
+        alpha = "աբգդեզէըթժիլխծկհձղճմյնշոչպջռսվտրցւփքօֆև"
+        for _ in range(n_random):
+            n = rng.randint(1, 12)
             words.add("".join(rng.choice(alpha) for _ in range(n)))
         return sorted(words)
     if lang == "nepali":
@@ -1499,7 +1549,7 @@ def main() -> None:
             "english", "swedish", "german", "norwegian", "danish",
             "french", "spanish", "italian", "portuguese", "russian",
             "dutch", "finnish", "romanian", "indonesian", "hungarian",
-            "hindi", "nepali", "catalan",
+            "hindi", "nepali", "catalan", "armenian",
         ],
     )
     args = ap.parse_args()
