@@ -89,3 +89,53 @@ def find_among_b(
         i = w.substring_i
         if i < 0:
             return 0, c
+
+
+def find_among(
+    word: bytes, c: int, l: int, v: Sequence[Among]
+) -> tuple[int, int]:
+    """Forward (prefix) variant: match an entry at word[c:l].
+
+    Returns (result, new_c) with new_c = c + matched length, or
+    (0, c).  Mirrors utilities.c find_among — used by stemmers with
+    initial morphology (e.g. Irish eclipsis/lenition prefixes).
+    """
+    i = 0
+    j = len(v)
+    common_i = 0
+    common_j = 0
+    first_key_inspected = False
+    while True:
+        k = i + ((j - i) >> 1)
+        diff = 0
+        common = min(common_i, common_j)
+        w = v[k]
+        for i2 in range(common, len(w.s)):
+            if c + common == l:
+                diff = -1
+                break
+            diff = word[c + common] - w.s[i2]
+            if diff != 0:
+                break
+            common += 1
+        if diff < 0:
+            j = k
+            common_j = common
+        else:
+            i = k
+            common_i = common
+        if j - i <= 1:
+            if i > 0:
+                break
+            if j == i:
+                break
+            if first_key_inspected:
+                break
+            first_key_inspected = True
+    while True:
+        w = v[i]
+        if common_i >= len(w.s):
+            return w.result, c + len(w.s)
+        i = w.substring_i
+        if i < 0:
+            return 0, c

@@ -145,6 +145,12 @@ def _hindi_stem(word: str) -> str:
     return hindi.stem(word)
 
 
+def _irish_stem(word: str) -> str:
+    from letarette_spark.analysis import irish
+
+    return irish.stem(word)
+
+
 def _armenian_stem(word: str) -> str:
     from letarette_spark.analysis import armenian
 
@@ -189,6 +195,7 @@ _STEMMERS: dict[str, Callable[[str], str]] = {
     "nepali": _nepali_stem,
     "catalan": _catalan_stem,
     "armenian": _armenian_stem,
+    "irish": _irish_stem,
 }
 
 

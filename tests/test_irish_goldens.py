@@ -1,0 +1,190 @@
+"""Snowball Irish stemmer: full-vocabulary proof, live library
+cross-check, chain membership, and rank identity.
+
+19,653 (word, stem) golden vectors captured from the compiled
+libstemmer 'irish' UTF-8 stemmer (snowball 2.2.0).  The vocabulary
+covers the forward eclipsis/lenition prefix among (bhfuinneog ->
+fuinneog, gcathair -> cathair, d'fhear -> fear), the deriv rewrites
+(grafaíochta -> graf, óideacha -> óid, patacha -> paite), and the
+match-then-check region gates on noun/deriv/verb suffixes.
+Regenerate: python tools/gen_snowball_goldens.py --lang irish."""
+
+from __future__ import annotations
+
+import ctypes.util
+import gzip
+import math
+import os
+import random
+
+import pytest
+
+from letarette_spark.analysis import irish
+from letarette_spark.analysis.tokenizer import Analyzer, AnalyzerConfig
+
+GOLDENS = os.path.join(
+    os.path.dirname(__file__), "data", "snowball_irish_goldens.tsv.gz"
+)
+
+_HAVE_LIB = bool(
+    ctypes.util.find_library("stemmer")
+    or os.path.exists("/usr/lib/x86_64-linux-gnu/libstemmer.so.0d")
+)
+
+
+def test_irish_matches_compiled_snowball_goldens():
+    bad = []
+    n = 0
+    with gzip.open(GOLDENS, "rt", encoding="utf-8") as f:
+        for line in f:
+            word, want = line.rstrip("\n").split("\t")
+            n += 1
+            got = irish.stem(word)
+            if got != want:
+                bad.append((word, want, got))
+    assert n > 15000
+    assert not bad, f"{len(bad)}/{n} divergences, first 20: {bad[:20]}"
+
+
+@pytest.mark.skipif(not _HAVE_LIB, reason="compiled libstemmer not available")
+def test_irish_matches_live_library_on_fresh_randoms():
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from gen_snowball_goldens import SnowballStemmer
+
+    st = SnowballStemmer("irish")
+    rng = random.Random()  # intentionally unseeded: fresh vectors each run
+    alpha = "abcdefghilmnoprstu" * 2 + "áéíóú'-"
+    bad = []
+    for _ in range(4000):
+        w = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 14)))
+        if irish.stem(w) != st.stem(w):
+            bad.append((w, st.stem(w), irish.stem(w)))
+    assert not bad, bad[:10]
+
+
+def test_known_irish_forms():
+    cases = {
+        # eclipsis: rewrite to the radical
+        "bhfuinneog": "fuinneog",
+        "gcathair": "cathair",
+        "mbord": "bord",
+        "dteach": "teach",
+        # lenition / prefix deletion
+        "n-athair": "athair",
+        "d'fhear": "fear",
+        "fhear": "fear",
+        "tsúil": "súil",
+        # deriv rewrites
+        "grafaíochta": "graf",
+        "óideacha": "óid",
+        "patacha": "paite",
+        "gineas": "gin",
+        "arcachtaí": "arc",
+    }
+    for w, want in cases.items():
+        assert irish.stem(w) == want, (w, irish.stem(w), want)
+
+
+def test_chain_membership():
+    from letarette_spark.analysis import porter2
+
+    vocab = []
+    with gzip.open(GOLDENS, "rt", encoding="utf-8") as f:
+        for i, line in enumerate(f):
+            if i % 13 == 0:
+                vocab.append(line.split("\t")[0])
+
+    def chain_expected(word, langs):
+        stems = {"english": porter2.stem, "irish": irish.stem}
+        out = word
+        for lang in langs:
+            out = stems[lang](word)
+            if len(out) != len(word):
+                break
+        return out
+
+    order_matters = [
+        w
+        for w in vocab
+        if chain_expected(w, ("english", "irish"))
+        != chain_expected(w, ("irish", "english"))
+    ]
+    assert order_matters, "fixture vocabulary must exercise chain order"
+    for langs in (("english", "irish"), ("irish", "english")):
+        an = Analyzer(AnalyzerConfig(languages=langs))
+        for w in vocab[:300] + order_matters[:50]:
+            if 3 <= len(w.encode("utf-8")) <= 40:
+                assert an.term_of(w) == chain_expected(w, langs), (w, langs)
+
+
+def test_rank_identity(spark, tmp_path):
+    """Whole-pipeline identity under the irish chain via pre-stemming
+    (same oracle technique as test_swedish_goldens.py)."""
+    from letarette_spark.index.builder import Index, build_index
+    from letarette_spark.query.executor import Searcher
+    from letarette_spark.query.parser import (
+        Phrase,
+        compile_match_string,
+        parse_query,
+        reduce_phrases,
+    )
+    from tests.fts5_oracle import Fts5Index
+
+    cfg = AnalyzerConfig(languages=("irish",))
+    an = Analyzer(cfg)
+    words = (
+        "bhfuinneog gcathair scoileanna leabhair múinteoirí daltaí "
+        "cathracha bailte bóithre tithe fuinneoga doirse boird "
+        "amhráin ceolta oibre airgid uaire laethanta oícheanta "
+        "blianta saolta cairde teaghlaigh máithreacha aithreacha "
+        "grafaíochta óideacha agus an na is ag ar"
+    ).split()
+    rng = random.Random(47)
+    docs = []
+    for i in range(40):
+        title = " ".join(rng.choices(words, k=rng.randint(1, 3)))
+        body = " ".join(rng.choices(words, k=rng.randint(8, 25)))
+        docs.append((i + 1, title, body))
+
+    root = str(tmp_path / "ga_rank_idx")
+    sdf = spark.createDataFrame(
+        [
+            {"doc_id": f"d{r}", "rowid": r, "space": "m", "title": t,
+             "body": b, "alive": True}
+            for r, t, b in docs
+        ]
+    )
+    build_index(spark, sdf, root, config=cfg, n_build_partitions=2,
+                chunk_size=2)
+    s = Searcher(Index.open(spark, root, cfg), stopwords=frozenset(),
+                 synonyms={})
+
+    def prestem(text):
+        return " ".join(an.terms(text))
+
+    oracle = Fts5Index.build(
+        [(r, prestem(t), prestem(b)) for r, t, b in docs],
+        tokenizer="unicode61 remove_diacritics 2",
+    )
+    for q in ("bhfuinneog", "scoileanna leabhair", "cathracha -tithe"):
+        phrases = []
+        for p in reduce_phrases(parse_query(q)):
+            terms = an.terms(p.text)
+            if terms:
+                phrases.append(
+                    Phrase(" ".join(terms), wildcard=p.wildcard,
+                           exclude=p.exclude)
+                )
+        match = compile_match_string(phrases)
+        exp = oracle.search(match, limit=10) if match else []
+        df, _t, _c = s.search_df(q, limit=10)
+        got = (
+            [(r["rowid"], r["score"]) for r in df.collect()]
+            if df is not None
+            else []
+        )
+        assert [r for r, _ in got] == [r for r, _ in exp], q
+        for (_, sg), (_, se) in zip(got, exp):
+            assert math.isclose(sg, se, rel_tol=1e-9, abs_tol=1e-12), q

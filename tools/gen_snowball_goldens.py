@@ -1087,6 +1087,30 @@ ADVERSARIAL_HY = """
 """
 
 
+# Irish: forward eclipsis/lenition prefix among (bhf->f, mb->b, ...)
+# then backwards noun/deriv/verb suffix amongs, all match-then-check
+# (noun: R1/R2, deriv: R2 + arc/gin/graf/paite/óid rewrites, verb:
+# pV/R1).
+BASES_GA = """
+scoil leabhar múinteoir dalta cathair baile bóthar teach
+fuinneog doras bord cathaoir peann páipéar amhrán ceol
+damhsa obair airgead uair lá oíche maidin tráthnóna bliain
+saol bás grá cara namhaid teaghlach máthair athair mac
+iníon deartháir deirfiúr fear bean páiste sean óg talamh
+farraige spéir grian gealach réalta aimsir báisteach sneachta
+gaoth tine uisce aer croí lámh cos súil cluas béal fiacail
+"""
+
+ADVERSARIAL_GA = """
+bhfuinneog gcathair ndoras mbord bpeann dteach n-athair t-úll
+h-éan d'fhear d'ól b'fhéidir m'athair fhear shean tsúil
+grafaíochta grafaíochtaí arcachta arcachtaí gineach gineas ginis
+patach patacha paite pataigh óideach óideacha óidigh achtúil
+eachtúil imid aimid ímid aímid faidh fidh tear tar eadh adh áil
+ain íochta aíochta ire aire irí airí amh eamh imh aimh
+"""
+
+
 # Nepali: three-category stripper — postpositions once (क-forms
 # guarded against preceding ए/े), then a loop of category-2 nasal
 # removal (context-gated ँ/ं/ै) + category-3 verbal suffixes that can
@@ -1252,6 +1276,32 @@ def vocabulary(
         alpha = "աբգդեզէըթժիլխծկհձղճմյնշոչպջռսվտրցւփքօֆև"
         for _ in range(n_random):
             n = rng.randint(1, 12)
+            words.add("".join(rng.choice(alpha) for _ in range(n)))
+        return sorted(words)
+    if lang == "irish":
+        import os as _os
+        import sys as _sys
+
+        _sys.path.insert(
+            0, _os.path.join(_os.path.dirname(__file__), "..")
+        )
+        from letarette_spark.analysis import irish as _ga
+
+        rng = random.Random(seed)
+        prefixes = [""] * 3 + [a.s.decode("utf-8") for a in _ga._INITIAL]
+        sufs = [""] + [
+            a.s.decode("utf-8")
+            for t in (_ga._VERB_SFX, _ga._DERIV, _ga._NOUN_SFX)
+            for a in t
+        ]
+        for b in BASES_GA.split():
+            for s in sufs:
+                words.add(rng.choice(prefixes) + b + s)
+                words.add(b + s)
+        words.update(ADVERSARIAL_GA.split())
+        alpha = "abcdefghilmnoprstu" * 2 + "áéíóú'-"
+        for _ in range(n_random):
+            n = rng.randint(1, 14)
             words.add("".join(rng.choice(alpha) for _ in range(n)))
         return sorted(words)
     if lang == "nepali":
@@ -1549,7 +1599,7 @@ def main() -> None:
             "english", "swedish", "german", "norwegian", "danish",
             "french", "spanish", "italian", "portuguese", "russian",
             "dutch", "finnish", "romanian", "indonesian", "hungarian",
-            "hindi", "nepali", "catalan", "armenian",
+            "hindi", "nepali", "catalan", "armenian", "irish",
         ],
     )
     args = ap.parse_args()
