@@ -145,6 +145,12 @@ def _hindi_stem(word: str) -> str:
     return hindi.stem(word)
 
 
+def _basque_stem(word: str) -> str:
+    from letarette_spark.analysis import basque
+
+    return basque.stem(word)
+
+
 def _irish_stem(word: str) -> str:
     from letarette_spark.analysis import irish
 
@@ -196,6 +202,7 @@ _STEMMERS: dict[str, Callable[[str], str]] = {
     "catalan": _catalan_stem,
     "armenian": _armenian_stem,
     "irish": _irish_stem,
+    "basque": _basque_stem,
 }
 
 

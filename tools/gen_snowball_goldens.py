@@ -1111,6 +1111,27 @@ ain íochta aíochta ire aire irí airí amh eamh imh aimh
 """
 
 
+# Basque: Spanish-style RV + R1/R2 over aeiou; cursor-carrying repeat
+# of aditzak then izenak (RV/R1/R2-gated deletes, jok/tra/minutu
+# rewrites, identity protections) then one adjetiboak pass.
+BASES_EU = """
+etxe mendi itsaso ibai zuhaitz lore baso har gizon emakume
+haur ume lagun etsai famili ama aita seme alaba anaia arreba
+eskola liburu irakasle ikasle hiri herri bide kale leiho ate
+mahai aulki lan diru ordu egun gau goiz arrats urte bizi
+heriotz maitasun euskal txakur katu behi ardi zaldi hegazti
+arrain suge euri elur haize eguzki ilargi izar hodei ur su
+"""
+
+ADVERSARIAL_EU = """
+pajoka paaurka patrako paminutuko pazlea pageldi paigaro pazehar
+paatseden paarabera pabaditu basobasogarria basobasoora basobasotza
+basobasoen basobasoren basobasoten basobasotzen basobasoki
+basobasoko basobasotatu atsedenka araberaka baditugarria
+joka aurka trako minutuko zlea garria garri tza en ren ten tzen
+"""
+
+
 # Nepali: three-category stripper — postpositions once (क-forms
 # guarded against preceding ए/े), then a loop of category-2 nasal
 # removal (context-gated ँ/ं/ै) + category-3 verbal suffixes that can
@@ -1300,6 +1321,32 @@ def vocabulary(
                 words.add(b + s)
         words.update(ADVERSARIAL_GA.split())
         alpha = "abcdefghilmnoprstu" * 2 + "áéíóú'-"
+        for _ in range(n_random):
+            n = rng.randint(1, 14)
+            words.add("".join(rng.choice(alpha) for _ in range(n)))
+        return sorted(words)
+    if lang == "basque":
+        import os as _os
+        import sys as _sys
+
+        _sys.path.insert(
+            0, _os.path.join(_os.path.dirname(__file__), "..")
+        )
+        from letarette_spark.analysis import basque as _eu
+
+        rng = random.Random(seed)
+        sufs = [""] + [
+            a.s.decode("utf-8")
+            for t in (_eu._ADITZAK, _eu._IZENAK, _eu._ADJETIBOAK)
+            for a in t
+        ]
+        for b in BASES_EU.split():
+            for s in sufs:
+                words.add(b + s)
+            for _ in range(6):
+                words.add(b + rng.choice(sufs) + rng.choice(sufs))
+        words.update(ADVERSARIAL_EU.split())
+        alpha = "abdefghijklmnoprstuxz" * 2 + "cñüáéíóú"
         for _ in range(n_random):
             n = rng.randint(1, 14)
             words.add("".join(rng.choice(alpha) for _ in range(n)))
@@ -1599,7 +1646,7 @@ def main() -> None:
             "english", "swedish", "german", "norwegian", "danish",
             "french", "spanish", "italian", "portuguese", "russian",
             "dutch", "finnish", "romanian", "indonesian", "hungarian",
-            "hindi", "nepali", "catalan", "armenian", "irish",
+            "hindi", "nepali", "catalan", "armenian", "irish", "basque",
         ],
     )
     args = ap.parse_args()
