@@ -145,6 +145,12 @@ def _hindi_stem(word: str) -> str:
     return hindi.stem(word)
 
 
+def _lithuanian_stem(word: str) -> str:
+    from letarette_spark.analysis import lithuanian
+
+    return lithuanian.stem(word)
+
+
 def _basque_stem(word: str) -> str:
     from letarette_spark.analysis import basque
 
@@ -203,6 +209,7 @@ _STEMMERS: dict[str, Callable[[str], str]] = {
     "armenian": _armenian_stem,
     "irish": _irish_stem,
     "basque": _basque_stem,
+    "lithuanian": _lithuanian_stem,
 }
 
 

@@ -1132,6 +1132,27 @@ joka aurka trako minutuko zlea garria garri tza en ren ten tzen
 """
 
 
+# Lithuanian: R1 windows on both ending amongs (scan starts one char
+# in for a-initial words over 6 codepoints), fix_conflicts rewrites,
+# č/dž/gd fixups.
+BASES_LT = """
+vaik knyg mokykl nam didž graž miest kaim up mišk kaln
+jūr saul mėnul žvaigžd dang žem vand ugn or dien nakt
+ryt vakar met mėnes savait valand minut gyven mirt meil
+draug prieš šeim mam tėv sūn dukt brol sesuo sen jaun
+darb piet duon pien mės vais darž gėl paukšt žuv gyvūn
+arkl karv avis ožk šun kat laukas up akmen smėl
+"""
+
+ADVERSARIAL_LT = """
+vaikaite vaikaitės vaikuote vaikuotės vaikėjime vaikesiu vaikasius
+vaikavime vaikojime vaikokate vaikokatės knygagd knygač knygadž
+apokatė vaikas vaikai vaikams vaikuose knygose mokyklose namuose
+didžiausias gražiausia augalas augalai abejoja aparatas amžius
+ačiū ąžuolas aukštas autobusas akiniai advokatas agurkas aikštė
+"""
+
+
 # Nepali: three-category stripper — postpositions once (क-forms
 # guarded against preceding ए/े), then a loop of category-2 nasal
 # removal (context-gated ँ/ं/ै) + category-3 verbal suffixes that can
@@ -1347,6 +1368,32 @@ def vocabulary(
                 words.add(b + rng.choice(sufs) + rng.choice(sufs))
         words.update(ADVERSARIAL_EU.split())
         alpha = "abdefghijklmnoprstuxz" * 2 + "cñüáéíóú"
+        for _ in range(n_random):
+            n = rng.randint(1, 14)
+            words.add("".join(rng.choice(alpha) for _ in range(n)))
+        return sorted(words)
+    if lang == "lithuanian":
+        import os as _os
+        import sys as _sys
+
+        _sys.path.insert(
+            0, _os.path.join(_os.path.dirname(__file__), "..")
+        )
+        from letarette_spark.analysis import lithuanian as _lt
+
+        rng = random.Random(seed)
+        sufs = [""] + [
+            a.s.decode("utf-8")
+            for t in (_lt._STEP1, _lt._STEP2, _lt._CONFLICTS)
+            for a in t
+        ] + ["gd", "č", "dž"]
+        for b in BASES_LT.split():
+            for s in sufs:
+                words.add(b + s)
+            for _ in range(6):
+                words.add(b + rng.choice(sufs) + rng.choice(sufs))
+        words.update(ADVERSARIAL_LT.split())
+        alpha = "abcdegijklmnoprstuvyz" * 2 + "ąčėęįšūųž"
         for _ in range(n_random):
             n = rng.randint(1, 14)
             words.add("".join(rng.choice(alpha) for _ in range(n)))
@@ -1646,7 +1693,7 @@ def main() -> None:
             "english", "swedish", "german", "norwegian", "danish",
             "french", "spanish", "italian", "portuguese", "russian",
             "dutch", "finnish", "romanian", "indonesian", "hungarian",
-            "hindi", "nepali", "catalan", "armenian", "irish", "basque",
+            "hindi", "nepali", "catalan", "armenian", "irish", "basque", "lithuanian",
         ],
     )
     args = ap.parse_args()
