@@ -145,6 +145,12 @@ def _hindi_stem(word: str) -> str:
     return hindi.stem(word)
 
 
+def _turkish_stem(word: str) -> str:
+    from letarette_spark.analysis import turkish
+
+    return turkish.stem(word)
+
+
 def _lithuanian_stem(word: str) -> str:
     from letarette_spark.analysis import lithuanian
 
@@ -210,6 +216,7 @@ _STEMMERS: dict[str, Callable[[str], str]] = {
     "irish": _irish_stem,
     "basque": _basque_stem,
     "lithuanian": _lithuanian_stem,
+    "turkish": _turkish_stem,
 }
 
 

@@ -1153,6 +1153,38 @@ ačiū ąžuolas aukštas autobusas akiniai advokatas agurkas aikštė
 """
 
 
+# Turkish: vowel-harmony-gated suffix chains with optional y/n/s
+# buffer consonants (buffer needs a vowel before it; bufferless needs
+# a vowel one char further), the recursive ki-chain whose failed
+# or-branches KEEP their deletions, the continue flag that skips noun
+# suffixes AND the postlude after a nominal lAr, append-U to d/g
+# stems, final devoicing, and the ad/soyad reserved words.
+BASES_TR = """
+kitap ev oda okul göz kuş gün an yol su iş dil el baş
+çocuk anne baba kardeş arkadaş öğretmen öğrenci şehir köy
+deniz dağ ağaç çiçek hayvan kedi köpek at balık yemek ekmek
+çay kahve gece sabah akşam yıl ay hafta saat dakika hayat
+ölüm sevgi dost düşman aile insan adam kadın kız oğul gel git
+yap et ol al ver bul gör bil iste sev koş otur kalk düş gül
+yurd kitab reng dolab kanad ağac uçak bilgisayar telefon
+"""
+
+ADVERSARIAL_TR = """
+ad soyad adum soyadum benad bensoyad osoyad adsoyad kad yad
+yadum badum odum odud adud udud idid üdüd kadud dağlar dağda
+dağdan dağı dağlardan dağmış dağsa dağken kitablar yurdlar
+yurddan günlerin günün anümlerle babanuzcayken arkadaşsunken
+odaymış odamış evdeymiş gelmiş çocukken evdeyken gelseydik
+katı aklı ismi cismi vakti kamı kanı kanmı kamız kanmız evmiz
+odamiz kalem kalemi kardeşim telm teln karn karm evsi evysi
+odaysa odasa kası babası arabası kapıları dolapları evindeki
+seninki onunki benimki babamınki çocuklarınki kitaplardaki
+sokaktaki gelmişsiniz geliyorsunuz gelirsiniz geldiniz
+tçüana cimne çmhüne öüsa ubse mmsyıfyina vcğeeyzona
+kitapüm kitapim odaım odaum öıüeöm zrumülpm yyğhpşoem foçfiom
+"""
+
+
 # Nepali: three-category stripper — postpositions once (क-forms
 # guarded against preceding ए/े), then a loop of category-2 nasal
 # removal (context-gated ँ/ं/ै) + category-3 verbal suffixes that can
@@ -1394,6 +1426,41 @@ def vocabulary(
                 words.add(b + rng.choice(sufs) + rng.choice(sufs))
         words.update(ADVERSARIAL_LT.split())
         alpha = "abcdegijklmnoprstuvyz" * 2 + "ąčėęįšūųž"
+        for _ in range(n_random):
+            n = rng.randint(1, 14)
+            words.add("".join(rng.choice(alpha) for _ in range(n)))
+        return sorted(words)
+    if lang == "turkish":
+        import os as _os
+        import sys as _sys
+
+        _sys.path.insert(
+            0, _os.path.join(_os.path.dirname(__file__), "..")
+        )
+        from letarette_spark.analysis import turkish as _tr
+
+        rng = random.Random(seed)
+        sufs = [""] + [
+            a.s.decode("utf-8")
+            for t in (_tr._YMUS, _tr._YSA, _tr._YDU, _tr._CASINA,
+                      _tr._DUR, _tr._NUZ, _tr._LAR, _tr._SUNUZ,
+                      _tr._YUZ, _tr._SUN, _tr._YUM, _tr._NCA,
+                      _tr._YLA, _tr._NDAN, _tr._DAN, _tr._NDA,
+                      _tr._DA, _tr._NA, _tr._YA, _tr._NUN, _tr._NU,
+                      _tr._LARI, _tr._POSS)
+            for a in t
+        ] + ["ı", "i", "u", "ü", "sı", "si", "yı", "ki", "deki",
+             "ndaki", "ken", "yken"]
+        for b in BASES_TR.split():
+            for s in sufs:
+                words.add(b + s)
+            for _ in range(8):
+                words.add(b + rng.choice(sufs) + rng.choice(sufs))
+            for _ in range(4):
+                words.add(b + rng.choice(sufs) + rng.choice(sufs)
+                          + rng.choice(sufs))
+        words.update(ADVERSARIAL_TR.split())
+        alpha = "abcçdefgğhıijklmnoöprsştuüvyz" * 2 + "xqw"
         for _ in range(n_random):
             n = rng.randint(1, 14)
             words.add("".join(rng.choice(alpha) for _ in range(n)))
@@ -1693,7 +1760,7 @@ def main() -> None:
             "english", "swedish", "german", "norwegian", "danish",
             "french", "spanish", "italian", "portuguese", "russian",
             "dutch", "finnish", "romanian", "indonesian", "hungarian",
-            "hindi", "nepali", "catalan", "armenian", "irish", "basque", "lithuanian",
+            "hindi", "nepali", "catalan", "armenian", "irish", "basque", "lithuanian", "turkish",
         ],
     )
     args = ap.parse_args()
