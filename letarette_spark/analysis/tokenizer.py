@@ -145,6 +145,12 @@ def _hindi_stem(word: str) -> str:
     return hindi.stem(word)
 
 
+def _tamil_stem(word: str) -> str:
+    from letarette_spark.analysis import tamil
+
+    return tamil.stem(word)
+
+
 def _turkish_stem(word: str) -> str:
     from letarette_spark.analysis import turkish
 
@@ -217,6 +223,7 @@ _STEMMERS: dict[str, Callable[[str], str]] = {
     "basque": _basque_stem,
     "lithuanian": _lithuanian_stem,
     "turkish": _turkish_stem,
+    "tamil": _tamil_stem,
 }
 
 

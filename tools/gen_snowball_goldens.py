@@ -1185,6 +1185,29 @@ kitapüm kitapim odaım odaum öıüeöm zrumülpm yyğhpşoem foçfiom
 """
 
 
+# Tamil: iterative affix stripping — prefix removal (எ/அ/இ/உ + C +
+# ்), question/um/common/vetrumai/plural/command/tense sections each
+# followed by fix_ending loops whose sandhi rewrites (ட்ப்->ள்,
+# ன்ற்->ல், ங்->ம், ்C்C deletion) interact with section order.
+BASES_TA = """
+மரம் வீடு பள்ளி புத்தகம் குழந்தை அம்மா அப்பா நண்பன் ஆசிரியர்
+மாணவன் ஊர் கடல் மலை ஆறு வானம் நிலம் நீர் நெருப்பு காற்று
+பழம் பூ இலை வேர் காடு வயல் பறவை மீன் பாம்பு நாய் பூனை
+மாடு குதிரை யானை புலி சோறு பால் தண்ணீர் உணவு இரவு பகல்
+காலை மாலை ஆண்டு மாதம் வாரம் நேரம் வாழ்க்கை அன்பு போ வா
+செய் பார் கேள் சொல் படி எழுது ஓடு நட உட்கார் எழுந்திரு
+"""
+
+ADVERSARIAL_TA = """
+மரங்கள் பாடங்கள் வீடுங்கள் உணவுங்கள் இரவுங்கள் அம்மாங்கள்
+கைங்கள் அகைங்கள் அமரங்கள் ஆகிங்கள் றழங் மரங் கிங் ஊத்தோ
+வீடும் வீடுகும் வீடுடும் கததடும் கததகும் அஆஅமார்கள் அஆஅகள்மார்
+அஆஅமார்ோ அஆஅமார்ும் அஆஅமார்ுடன் அஆஅமார்னை அஆிடம் அஆஅிடம்
+கசடிடம் வீடுங் உணவுங் எதுகொள் எப்படி அவன்கள் ஊர்கள் கால்கள்
+தலமை்் வ்ய்ே ைபிைஆமயந்ோ உஞகிற லரடழறஆஈகண் ௌஒளஊழஓ்ா
+"""
+
+
 # Nepali: three-category stripper — postpositions once (क-forms
 # guarded against preceding ए/े), then a loop of category-2 nasal
 # removal (context-gated ँ/ं/ै) + category-3 verbal suffixes that can
@@ -1463,6 +1486,28 @@ def vocabulary(
         alpha = "abcçdefgğhıijklmnoöprsştuüvyz" * 2 + "xqw"
         for _ in range(n_random):
             n = rng.randint(1, 14)
+            words.add("".join(rng.choice(alpha) for _ in range(n)))
+        return sorted(words)
+    if lang == "tamil":
+        rng = random.Random(seed)
+        sufs = ["கள்", "ங்கள்", "உங்கள்", "ற்கள்", "ட்கள்", "ை",
+                "னை", "ினை", "ோ", "ே", "ா", "ும்", "ுடன்", "ில்",
+                "ிலிருந்து", "ிடம்", "ால்", "ுக்கு", "ின்", "ுடைய",
+                "ோடு", "ொடு", "ாமல்", "கின்ற", "கிற", "கின்றன",
+                "த்த", "ந்த", "வன்", "வள்", "வர்", "னன்", "னள்",
+                "னர்", "ேன்", "ோம்", "ீர்", "ான்", "ாள்", "ார்",
+                "து", "ன", "படு", "பட்ட", "விட்டு", "ெல்லாம்",
+                "தான", "படி", "பற்றி", "மார்", "ீயர்", "ாய்",
+                "ிற்று", ""]
+        for b in BASES_TA.split():
+            for s in sufs:
+                words.add(b + s)
+            for _ in range(8):
+                words.add(b + rng.choice(sufs) + rng.choice(sufs))
+        words.update(ADVERSARIAL_TA.split())
+        alpha = "கஙசஞடணதநபமயரலவழளறன" * 2 + "அஆஇஈஉஊஎஏஐஒஓஔ" + "ாிீுூெேைொோௌ்" * 2
+        for _ in range(n_random):
+            n = rng.randint(1, 12)
             words.add("".join(rng.choice(alpha) for _ in range(n)))
         return sorted(words)
     if lang == "nepali":
@@ -1760,7 +1805,7 @@ def main() -> None:
             "english", "swedish", "german", "norwegian", "danish",
             "french", "spanish", "italian", "portuguese", "russian",
             "dutch", "finnish", "romanian", "indonesian", "hungarian",
-            "hindi", "nepali", "catalan", "armenian", "irish", "basque", "lithuanian", "turkish",
+            "hindi", "nepali", "catalan", "armenian", "irish", "basque", "lithuanian", "turkish", "tamil",
         ],
     )
     args = ap.parse_args()
