@@ -145,6 +145,12 @@ def _hindi_stem(word: str) -> str:
     return hindi.stem(word)
 
 
+def _yiddish_stem(word: str) -> str:
+    from letarette_spark.analysis import yiddish
+
+    return yiddish.stem(word)
+
+
 def _tamil_stem(word: str) -> str:
     from letarette_spark.analysis import tamil
 
@@ -224,6 +230,7 @@ _STEMMERS: dict[str, Callable[[str], str]] = {
     "lithuanian": _lithuanian_stem,
     "turkish": _turkish_stem,
     "tamil": _tamil_stem,
+    "yiddish": _yiddish_stem,
 }
 
 

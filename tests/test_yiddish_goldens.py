@@ -1,0 +1,198 @@
+"""Snowball Yiddish stemmer: full-vocabulary proof, live library
+cross-check, chain membership, and rank identity.
+
+17,046 (word, stem) golden vectors captured from the compiled
+libstemmer 'yiddish' UTF-8 stemmer (snowball 2.2.0).  The vocabulary
+covers the prelude (digraph ligatures, final letters, niqqud), the
+GE/TSU markers word-initially and after separable prefixes, the
+hop-3/consonant-cluster/vowel-run R1 whose probing required the
+'דקעט'-vs-'בבאט' and 'יחנס' discriminations, the 31 irregular verb
+rewrites (געגאנגען -> גײ), the ט-family fallback ('טן' -> ט), and
+the יסט ג/ש split.  Regenerate:
+python tools/gen_snowball_goldens.py --lang yiddish."""
+
+from __future__ import annotations
+
+import ctypes.util
+import gzip
+import math
+import os
+import random
+
+import pytest
+
+from letarette_spark.analysis import yiddish
+from letarette_spark.analysis.tokenizer import Analyzer, AnalyzerConfig
+
+GOLDENS = os.path.join(
+    os.path.dirname(__file__), "data", "snowball_yiddish_goldens.tsv.gz"
+)
+
+_HAVE_LIB = bool(
+    ctypes.util.find_library("stemmer")
+    or os.path.exists("/usr/lib/x86_64-linux-gnu/libstemmer.so.0d")
+)
+
+
+def test_yiddish_matches_compiled_snowball_goldens():
+    bad = []
+    n = 0
+    with gzip.open(GOLDENS, "rt", encoding="utf-8") as f:
+        for line in f:
+            word, want = line.rstrip("\n").split("\t")
+            n += 1
+            got = yiddish.stem(word)
+            if got != want:
+                bad.append((word, want, got))
+    assert n > 14000
+    assert not bad, f"{len(bad)}/{n} divergences, first 20: {bad[:20]}"
+
+
+@pytest.mark.skipif(not _HAVE_LIB, reason="compiled libstemmer not available")
+def test_yiddish_matches_live_library_on_fresh_randoms():
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from gen_snowball_goldens import SnowballStemmer
+
+    st = SnowballStemmer("yiddish")
+    rng = random.Random()  # intentionally unseeded: fresh vectors each run
+    alpha = "אבגדהוזחטיכךלמםנןסעפףצץקרשתװױײ" * 2 + "\u05b0\u05b4\u05bc"
+    bad = []
+    for _ in range(4000):
+        w = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 12)))
+        if yiddish.stem(w) != st.stem(w):
+            bad.append((w, st.stem(w), yiddish.stem(w)))
+    assert not bad, bad[:10]
+
+
+def test_known_yiddish_forms():
+    cases = {
+        # irregular participles
+        "געגאנגען": "גײ",
+        "געשריבן": "שרײב",
+        "גענומען": "נעמ",
+        # GE marker + regular suffixes
+        "געזאגט": "זאג",
+        "געהערט": "הער",
+        # prelude
+        "שרייבן": "שרײב",
+        "ווערטער": "װער",
+        "בוך": "בוכ",
+        # separable prefix + participle
+        "אפגעזאגט": "אפזאג",
+        # ט-family fallback below R1
+        "טן": "ט",
+        # R1 protections
+        "דקעט": "דקעט",
+        "ושות": "ושות",
+        # plurals
+        "קינדער": "קינד",
+        "ביכער": "ביכ",
+    }
+    for w, want in cases.items():
+        assert yiddish.stem(w) == want, (w, yiddish.stem(w), want)
+
+
+def test_chain_membership():
+    from letarette_spark.analysis import porter2
+
+    vocab = []
+    with gzip.open(GOLDENS, "rt", encoding="utf-8") as f:
+        for i, line in enumerate(f):
+            if i % 13 == 0:
+                vocab.append(line.split("\t")[0])
+
+    def chain_expected(word, langs):
+        stems = {"english": porter2.stem, "yiddish": yiddish.stem}
+        out = word
+        for lang in langs:
+            out = stems[lang](word)
+            if len(out) != len(word):
+                break
+        return out
+
+    for langs in (("english", "yiddish"), ("yiddish", "english")):
+        an = Analyzer(AnalyzerConfig(languages=langs))
+        for w in vocab[:400]:
+            if 3 <= len(w.encode("utf-8")) <= 40:
+                assert an.term_of(w) == chain_expected(w, langs), (w, langs)
+
+
+def test_rank_identity(spark, tmp_path):
+    """Whole-pipeline identity under the yiddish chain via the
+    term-remapping oracle (Hebrew-script stems survive unicode61 as
+    whole tokens, but remapping keeps the oracle safe against any
+    folding surprises and stem collisions)."""
+    from letarette_spark.index.builder import Index, build_index
+    from letarette_spark.query.executor import Searcher
+    from letarette_spark.query.parser import (
+        Phrase,
+        compile_match_string,
+        parse_query,
+        reduce_phrases,
+    )
+    from tests.fts5_oracle import Fts5Index
+
+    cfg = AnalyzerConfig(languages=("yiddish",))
+    an = Analyzer(cfg)
+    words = (
+        "געגאנגען געשריבן געזאגט גענומען געקומען געהערט קינדער "
+        "ווערטער ביכער הײזער טישן שטולן מענטשן פרויען יארן טעג "
+        "נעכט וואכן חברים לערערס שטעט דערפער בערג בוימער בלומען "
+        "פויגלען פישן שרײבן זאגן קומען הערן שפילן און דער די דאס"
+    ).split()
+    rng = random.Random(71)
+    docs = []
+    for i in range(40):
+        title = " ".join(rng.choices(words, k=rng.randint(1, 3)))
+        body = " ".join(rng.choices(words, k=rng.randint(8, 25)))
+        docs.append((i + 1, title, body))
+
+    root = str(tmp_path / "yi_rank_idx")
+    sdf = spark.createDataFrame(
+        [
+            {"doc_id": f"d{r}", "rowid": r, "space": "m", "title": t,
+             "body": b, "alive": True}
+            for r, t, b in docs
+        ]
+    )
+    build_index(spark, sdf, root, config=cfg, n_build_partitions=2,
+                chunk_size=2)
+    s = Searcher(Index.open(spark, root, cfg), stopwords=frozenset(),
+                 synonyms={})
+
+    ids: dict[str, str] = {}
+
+    def remap(term: str) -> str:
+        if term not in ids:
+            ids[term] = f"tt{len(ids)}"
+        return ids[term]
+
+    def prestem(text):
+        return " ".join(remap(t) for t in an.terms(text))
+
+    oracle = Fts5Index.build(
+        [(r, prestem(t), prestem(b)) for r, t, b in docs],
+        tokenizer="unicode61 remove_diacritics 2",
+    )
+    for q in ("געגאנגען", "קינדער ביכער", "שרײבן -הערן"):
+        phrases = []
+        for p in reduce_phrases(parse_query(q)):
+            terms = an.terms(p.text)
+            if terms:
+                phrases.append(
+                    Phrase(" ".join(remap(t) for t in terms),
+                           wildcard=p.wildcard, exclude=p.exclude)
+                )
+        match = compile_match_string(phrases)
+        exp = oracle.search(match, limit=10) if match else []
+        df, _t, _c = s.search_df(q, limit=10)
+        got = (
+            [(r["rowid"], r["score"]) for r in df.collect()]
+            if df is not None
+            else []
+        )
+        assert [r for r, _ in got] == [r for r, _ in exp], q
+        for (_, sg), (_, se) in zip(got, exp):
+            assert math.isclose(sg, se, rel_tol=1e-9, abs_tol=1e-12), q

@@ -1208,6 +1208,29 @@ ADVERSARIAL_TA = """
 """
 
 
+# Yiddish: prelude ligature folding + final letters + niqqud
+# removal, GE/TSU prefix markers (also after separable prefixes),
+# the hop-3/cluster/vowel-run R1, and the verb among's 31 irregular
+# stem rewrites plus the ט-family fallback.
+BASES_YI = """
+שרײב זאג קום נעם גײ שטײ זינג טרינק בינד הײב קלײב רײס שנײד
+הער שפיל לויף זוך זע גיב ברענג פיר טראג בליק גליק
+קינד הויז בוך טיש שטול פענצטער מענטש פרוי מאן יאר טאג נאכט
+וואך חבר לערער תלמיד שטאט דארף ים בארג בוים בלום פויגל פיש
+"""
+
+ADVERSARIAL_YI = """
+געגאנגען געשריבן געזאגט גענומען געקומען געהערט געשפילט
+קינדער ווערטער ביכער בוך שרייבן שרײבן זאגן זאגט קומען הערן
+געזט געזאט געט צוזט צוזאגט טן טס אנ סך בםוסס אאאס בן גן אן
+ון ין בס אס וס בבן באן אבן בבס באס אבס בבבס בבאס באבס אבבס
+בבבט בבאט באבט אבבט בבבבט בבאבט אאאט בבאאט דקעט דקעעט ושות
+ױרס בםוס פשײיט ששען ײכנ ינט צו ות רחעע לגאיש יחנס סון
+צוגעיהס לכםגץױװיסט געלט געבנ אפגעזאגט אנגעקומען צוגעזאגט
+מיטגעגאנגען קעפעתהיעס עפכתיעס
+"""
+
+
 # Nepali: three-category stripper — postpositions once (क-forms
 # guarded against preceding ए/े), then a loop of category-2 nasal
 # removal (context-gated ँ/ं/ै) + category-3 verbal suffixes that can
@@ -1510,6 +1533,27 @@ def vocabulary(
             n = rng.randint(1, 12)
             words.add("".join(rng.choice(alpha) for _ in range(n)))
         return sorted(words)
+    if lang == "yiddish":
+        rng = random.Random(seed)
+        prefixes = ["", "", "גע", "אפ", "אנ", "אויס", "צו", "פאר",
+                    "דער", "אומ", "איבער", "מיט", "אפגע", "אנגע",
+                    "צוגע", "אפצו"]
+        sufs = ["", "ן", "ען", "ט", "סט", "ער", "סטער", "טער", "ע",
+                "טע", "סטע", "ס", "עס", "יק", "דיק", "ענדיק", "ניק",
+                "יש", "ונג", "שאפט", "הײט", "קײט", "יקײט", "ל",
+                "עלע", "ים", "עם", "ענעם", "טענעם", "נ", "ענ", "טנ",
+                "סטנ", "יסט", "ות", "בראכט", "גאנגען", "שריבן",
+                "נומען", "לעך", "יזם"]
+        for b in BASES_YI.split():
+            for s in sufs:
+                words.add(b + s)
+                words.add(rng.choice(prefixes) + b + s)
+        words.update(ADVERSARIAL_YI.split())
+        alpha = "אבגדהוזחטיכךלמםנןסעפףצץקרשתװױײ" * 2 + "\u05b0\u05b4\u05bc"
+        for _ in range(n_random):
+            n = rng.randint(1, 12)
+            words.add("".join(rng.choice(alpha) for _ in range(n)))
+        return sorted(words)
     if lang == "nepali":
         import os as _os
         import sys as _sys
@@ -1805,7 +1849,7 @@ def main() -> None:
             "english", "swedish", "german", "norwegian", "danish",
             "french", "spanish", "italian", "portuguese", "russian",
             "dutch", "finnish", "romanian", "indonesian", "hungarian",
-            "hindi", "nepali", "catalan", "armenian", "irish", "basque", "lithuanian", "turkish", "tamil",
+            "hindi", "nepali", "catalan", "armenian", "irish", "basque", "lithuanian", "turkish", "tamil", "yiddish",
         ],
     )
     args = ap.parse_args()
