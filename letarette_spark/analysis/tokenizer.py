@@ -163,6 +163,12 @@ def _turkish_stem(word: str) -> str:
     return turkish.stem(word)
 
 
+def _greek_stem(word: str) -> str:
+    from letarette_spark.analysis import greek
+
+    return greek.stem(word)
+
+
 def _lithuanian_stem(word: str) -> str:
     from letarette_spark.analysis import lithuanian
 
@@ -231,6 +237,7 @@ _STEMMERS: dict[str, Callable[[str], str]] = {
     "turkish": _turkish_stem,
     "tamil": _tamil_stem,
     "yiddish": _yiddish_stem,
+    "greek": _greek_stem,
 }
 
 

@@ -219,9 +219,20 @@ class SnowballStemmer:
         if not self._st:
             raise SystemExit(f"sb_stemmer_new({lang!r}) failed")
 
-    def stem(self, word: str) -> str:
+    def stem(self, word: str) -> str | None:
+        """Stem via the compiled library; None when it signals an error.
+
+        sb_stemmer_stem returns NULL on an internal failure — reachable
+        in the generated greek stemmer, whose `('ισα' atlimit <- 'ισ')`
+        branch slices with the stale ket of the preceding delete and
+        fails slice_check (e.g. 'ισαισα').  Golden capture and
+        differential probing skip such words; the pure-Python ports
+        document their deterministic fallback instead.
+        """
         b = word.encode("utf-8")
         r = self._lib.sb_stemmer_stem(self._st, b, len(b))
+        if not r:
+            return None
         n = self._lib.sb_stemmer_length(self._st)
         return bytes(r[:n]).decode("utf-8")
 
@@ -1189,6 +1200,41 @@ kitapüm kitapim odaım odaum öıüeöm zrumülpm yyğhpşoem foçfiom
 # ்), question/um/common/vetrumai/plural/command/tense sections each
 # followed by fix_ending loops whose sandhi rewrites (ட்ப்->ள்,
 # ன்ற்->ல், ங்->ம், ்C்C deletion) interact with section order.
+BASES_EL = """
+ανθρωπ υπολογιστ παιδ γραφ διαβαζ τρεχ μιλ αγαπ κοιτ σκεφτ δουλευ
+πηγαιν ερχ φερν παιρν δινουμ βλεπ ακου ξερ θελ μπορ πρεπ νομιζ
+πιστευ ελπιζ αρχιζ τελειων συνεχιζ σταματ αλλαζ μεν ζουμ περν χαν
+βρισκ ψαχν κρατ αφην στελν γυρν ανοιγ κλειν χτυπ τραβ σπρωχν σηκων
+κατεβαζ ανεβαζ φτι χαλ καθαριζ πλεν μαγειρευ τρω πιν κοιμ ξυπν
+ντυν βαφ κοβ ραβ χτιζ γκρεμιζ φυτευ ποτιζ κλαδευ θεριζ σπερν οργων
+αναμπα εμπα επα ξαναπα πα περιπα αθρο συναθρο δανε μαρκ κορν αμπαρ
+αρρ βαθυρι βαρκ β βολβορ γκρ γλυκορ γλυκυρ ιμπ λ λου μαρ μ πρ μπρ
+πολυρ π ρ πιπερορ αλ βι εν υψ λι ζω σ χ εξαρχα χαρτοπα μετεπε εσε
+γε γκε κλε εσωκλε εκλε απεκλε αποκλε γκ πουκαμ κομ αν ολο δημοκρατ
+λαρ αφ γιγαντοαφ πε επε μετασε μικροσε εγκλε αντιδανε αγνωστικ
+ατομικ γνωστικ εθνικ εκλεκτικ σκεπτικ τοπικ αλεξανδριν βυζαντιν
+θεατριν κολλ ψοφ ναυλοχ κορ αρχ ον κρε τρ τσ κυρ πατερ πεθερ μπαμπ
+νταντ γιαγι θει οκ μαμ μαν κρασπ υπ δαπ γηπ ιπ εμπ οπ μιλ σπ φρ
+λιχ τραγ φε αρκ σκ καλιακ πεταλ λουλ φλ βελ χν πλεξ θ προσθ
+παρακαταθ διαθ συνθ παρ δ ιδ γαλ ελ ν ποδαρ βλεπ πανταχ φρυδ
+μαντιλ μαλλ κυματ λαχ ληγ φαγ ομ πρωτ φαρμακ χαδ αγκ αναρρ βρομ
+εκλιπ λαμπιδ λεχ μεδ μεσαζ υποτειν αμ αιθ ανηκ δεσποζ ενδιαφερ δε
+δευτερευ καθαρευ πλε τσα ψυχοπλ λαοπλ διπλ μουσουλμ αμερικαν
+"""
+
+ADVERSARIAL_EL = """
+αγαμε ισα ισαμε περπατισα κλεισε δανεισμος σεισμος αγνωστικισμος
+δανειζω μαρκιζα αναμπαιζω τσαγανε τραγανε αρακια ουδακια κοριτσακια
+παιδια αλυικα ηθιικου μπαγεσησου ισησααγε αγαμεισα ξαγαμε ισαγαμε
+βαγαμε κρεωντασ αρχοντασ ονομαστε ανθρωπος τελος φως καθεστωτος
+γεγονοτα κρεατα περατων τερας φαγιου σκαγιων ολογιου σογιων
+τατογια ιζαμε ωθηκανε ισουνε ιστες ισμων αρακι ιτσες ιδιων ισκε
+αδες εδων ουδες εως ικων ησαμε ουσαμε ηθηκαμε αγαμε αμες ανε ετε
+οντας ομαστε ιεστε εστε ηθηκα ηκες ουσα αγες ησου ηστε ουνε ουμε
+ματων κυματα εστερ οτατ υτερ ωτατ ΆΝΘΡΩΠΟΣ ΠΑΙΔΊ ϊδιο ΐδιο ϋγρο
+ΰγρο ςςς άέήίόύώ
+"""
+
 BASES_TA = """
 மரம் வீடு பள்ளி புத்தகம் குழந்தை அம்மா அப்பா நண்பன் ஆசிரியர்
 மாணவன் ஊர் கடல் மலை ஆறு வானம் நிலம் நீர் நெருப்பு காற்று
@@ -1368,6 +1414,48 @@ def vocabulary(
                 words.add(b + rng.choice(sufs) + rng.choice(sufs))
         words.update(ADVERSARIAL_CA.split())
         alpha = "abcdefghijklmnopqrstuvwxyz" * 2 + "àáèéìíòóúüï·'-ç"
+        for _ in range(n_random):
+            n = rng.randint(1, 14)
+            words.add("".join(rng.choice(alpha) for _ in range(n)))
+        return sorted(words)
+    if lang == "greek":
+        rng = random.Random(seed)
+        sufs = ["ος", "ες", "η", "ας", "ων", "ου", "α", "ε", "ο",
+                "οι", "ιζω", "ιζεις", "ιζει", "ιζουμε", "ιζετε",
+                "ιζουν", "ιζα", "ιζες", "ιζαμε", "ιζατε", "ιζαν",
+                "ιζανε", "ιζουνε", "ωθηκα", "ωθηκες", "ωθηκε",
+                "ωθηκαμε", "ωθηκατε", "ωθηκαν", "ωθηκανε", "ισα",
+                "ισες", "ισε", "ισαμε", "ισατε", "ισαν", "ισανε",
+                "ισω", "ισεις", "ισει", "ισουμε", "ισετε", "ισουν",
+                "ισουνε", "ιστος", "ιστου", "ιστη", "ιστης", "ιστα",
+                "ιστες", "ιστοι", "ιστων", "ιστους", "ιστε", "ιστο",
+                "ισμος", "ισμου", "ισμο", "ισμοι", "ισμων",
+                "ισμους", "αρακι", "αρακια", "ουδακι", "ουδακια",
+                "ακι", "ακια", "ιτσα", "ιτσας", "ιτσες", "ιτσων",
+                "ιδιο", "ιδια", "ιδιων", "ισκος", "ισκου", "ισκε",
+                "ισκο", "αδες", "αδων", "εδες", "εδων", "ουδες",
+                "ουδων", "εως", "εων", "ια", "ιου", "ιων", "ικος",
+                "ικα", "ικο", "ικου", "ικων", "ικους", "αγαμε",
+                "ησαμε", "ουσαμε", "ηκαμε", "ηθηκαμε", "αμε",
+                "αγανε", "ησανε", "ουσανε", "ιοντανε", "οντανε",
+                "ιουντανε", "ουντανε", "οτανε", "ιοτανε", "ηκανε",
+                "ηθηκανε", "ανε", "ησετε", "ετε", "οντας", "ωντας",
+                "ομαστε", "ιομαστε", "ιεστε", "εστε", "ηθηκα",
+                "ηθηκες", "ηθηκε", "ηκα", "ηκες", "ηκε", "ουσα",
+                "ουσες", "ουσε", "αγα", "αγες", "αγε", "ησα", "ησε",
+                "ησου", "ηστε", "ουνε", "ησουνε", "ηθουνε", "ουμε",
+                "ησουμε", "ηθουμε", "ματα", "ματων", "ματος",
+                "υς", "ους", "εις", "ης", "υ", "ω", "ι", "αι",
+                "ει", "ουν", "αν", "ον", "εστερα", "οτερος",
+                "υτερη", "ωτατο", "εστατη", ""]
+        for b in BASES_EL.split():
+            for suf in sufs:
+                words.add(b + suf)
+            for _ in range(6):
+                words.add(b + rng.choice(sufs) + rng.choice(sufs))
+        words.update(ADVERSARIAL_EL.split())
+        alpha = "αβγδεζηθικλμνξοπρστυφχψω" * 3 + "άέήίόύώϊϋΐΰς" \
+            + "ΑΒΓΔΕΖΗΘΙΚΛΜΝΞΟΠΡΣΤΥΦΧΨΩΆΈΉΊΌΎΏΪΫ"
         for _ in range(n_random):
             n = rng.randint(1, 14)
             words.add("".join(rng.choice(alpha) for _ in range(n)))
@@ -1849,7 +1937,7 @@ def main() -> None:
             "english", "swedish", "german", "norwegian", "danish",
             "french", "spanish", "italian", "portuguese", "russian",
             "dutch", "finnish", "romanian", "indonesian", "hungarian",
-            "hindi", "nepali", "catalan", "armenian", "irish", "basque", "lithuanian", "turkish", "tamil", "yiddish",
+            "hindi", "nepali", "catalan", "armenian", "irish", "basque", "lithuanian", "turkish", "tamil", "yiddish", "greek",
         ],
     )
     args = ap.parse_args()
@@ -1862,7 +1950,10 @@ def main() -> None:
     vocab = vocabulary(args.lang)
     with gzip.open(out, "wt", encoding="utf-8") as f:
         for w in vocab:
-            f.write(f"{w}\t{st.stem(w)}\n")
+            stm = st.stem(w)
+            if stm is None:  # library-internal error; cannot pin
+                continue
+            f.write(f"{w}\t{stm}\n")
     print(f"wrote {len(vocab)} vectors to {os.path.normpath(out)}")
 
 
