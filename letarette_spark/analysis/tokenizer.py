@@ -169,6 +169,12 @@ def _greek_stem(word: str) -> str:
     return greek.stem(word)
 
 
+def _serbian_stem(word: str) -> str:
+    from letarette_spark.analysis import serbian
+
+    return serbian.stem(word)
+
+
 def _lithuanian_stem(word: str) -> str:
     from letarette_spark.analysis import lithuanian
 
@@ -238,6 +244,7 @@ _STEMMERS: dict[str, Callable[[str], str]] = {
     "tamil": _tamil_stem,
     "yiddish": _yiddish_stem,
     "greek": _greek_stem,
+    "serbian": _serbian_stem,
 }
 
 
@@ -368,6 +375,9 @@ class Analyzer:
             return folded
         for lang in self.config.languages:
             stemmed = _STEMMERS[lang](folded)
-            if len(stemmed) != len(folded):
+            # the reference compares BYTE lengths (snowball.c:216
+            # stemmedLength != nToken); chars and bytes diverge for
+            # transliterating stemmers (serbian 'књиге' -> 'knjig')
+            if len(stemmed.encode("utf-8")) != nbytes:
                 return stemmed
         return stemmed if self.config.languages else folded

@@ -1,10 +1,11 @@
 """Chain semantics across the full 24-language stemmer matrix.
 
 The reference tokenizer applies a stemmer CHAIN: stemmers run in
-configured order and the first one that changes the token's LENGTH
-wins (reference internal/snowball/snowball.c:210-220 — note the test
-is on length, not content, so a same-length rewrite does NOT stop the
-chain).  The per-language goldens suites pin each stemmer and a few
+configured order and the first one that changes the token's BYTE
+length wins (reference internal/snowball/snowball.c:210-220 —
+stemmedLength != nToken compares byte counts, so a same-byte-length
+rewrite does NOT stop the chain; bytes and characters diverge for
+transliterating stemmers like serbian).  The per-language goldens suites pin each stemmer and a few
 two-language chains; this suite pins the chain GLUE uniformly: for
 random chains drawn from every supported language and words drawn
 from every language's golden vocabulary, the analyzer's term_of must
@@ -63,9 +64,10 @@ def test_chain_first_length_change_wins_across_all_languages():
 
     def chain_expected(word: str, chain: tuple[str, ...]) -> str:
         out = word
+        nbytes = len(word.encode("utf-8"))
         for lg in chain:
             out = stems[lg](word)
-            if len(out) != len(word):
+            if len(out.encode("utf-8")) != nbytes:
                 break
         return out
 

@@ -133,9 +133,11 @@ def test_chain_membership():
     def chain_expected(word, langs):
         stems = {"english": porter2.stem, "greek": greek.stem}
         out = word
+        nbytes = len(word.encode("utf-8"))
         for lang in langs:
             out = stems[lang](word)
-            if len(out) != len(word):
+            # byte-length chain rule (snowball.c:216)
+            if len(out.encode("utf-8")) != nbytes:
                 break
         return out
 

@@ -1200,6 +1200,25 @@ kitapüm kitapim odaım odaum öıüeöm zrumülpm yyğhpşoem foçfiom
 # ்), question/um/common/vetrumai/plural/command/tense sections each
 # followed by fix_ending loops whose sandhi rewrites (ட்ப்->ள்,
 # ன்ற்->ல், ங்->ம், ்C்C deletion) interact with section order.
+BASES_SR = """
+rad vod kuć uč knjig škol grad sel ruk glav oc majk brat sestr
+dete žen muškarac prijatelj sused učitelj učenik lekar radnik
+pisac pesnik glumac pevač igrač vozač kupac prodavac direktor
+zemlj nebo sunc mesec zvezd rek planin šum polj cvet drvo trav
+ptic rib pas mačk konj krav ovc svinj kokošk jaj mlek hleb mes
+povrć voć jabuk krušk šljiv grožđ vino pivo voda kaf čaj šećer
+so biber uljе sirć brašn pirinač krompir luk paradajz paprik
+najjač prelj đur mlije lije poslije prijedlog djak
+"""
+
+ADVERSARIAL_SR = """
+devojka девојка nestašluk nestasluk prst trg rt vrt smrt brka krava
+ruka rfsu žrcfvis zrcfvis zrčfvis čbrka zrna vrana prsta trgovina
+rata rrfa raa arka karka kra rka jugoslavija озлоглашени kuće
+kucama najjači djak poslije prijedlog zrcfta žrcfta čzrta
+ozloglašeni ljubljana njegoš džem џем љубав његош ђаче
+"""
+
 BASES_EL = """
 ανθρωπ υπολογιστ παιδ γραφ διαβαζ τρεχ μιλ αγαπ κοιτ σκεφτ δουλευ
 πηγαιν ερχ φερν παιρν δινουμ βλεπ ακου ξερ θελ μπορ πρεπ νομιζ
@@ -1416,6 +1435,42 @@ def vocabulary(
         alpha = "abcdefghijklmnopqrstuvwxyz" * 2 + "àáèéìíòóúüï·'-ç"
         for _ in range(n_random):
             n = rng.randint(1, 14)
+            words.add("".join(rng.choice(alpha) for _ in range(n)))
+        return sorted(words)
+    if lang == "serbian":
+        rng = random.Random(seed)
+        lat = "abcdefghijklmnoprstuvz"
+        full = lat + "ćčđšž"
+        cyr = "абвгдежзиклмнопрстуфхцчшђјљњћџ"
+        sufs = ["a", "e", "i", "o", "u", "om", "ima", "ama", "oga",
+                "ena", "og", "anog", "enog", "anih", "enih", "ani",
+                "eni", "anoj", "enoj", "anim", "enim", "enom", "ano",
+                "eno", "ost", "enu", "as", "jas", "tas", "gas",
+                "nas", "kas", "vas", "bas", "is", "os", "ava", "eva",
+                "iva", "uva", "ova", "asta", "ista", "osta", "astaj",
+                "istaj", "ostaj", "ajući", "avši", "ivši", "ući",
+                "ati", "iti", "eti", "ovati", "ivati", "irati",
+                "ijemo", "ijete", "ijem", "iješ", "iju", "ije",
+                "ila", "ilo", "ili", "ile", "ismo", "iste", "iše",
+                "imo", "ite", "ao", "la", "lo", "li", "le", "nja",
+                "nje", "nji", "ka", "ko", "ki", "ke", "ku", "ica",
+                "ice", "ici", "icu", "icom", "čić", "ćić", "cima",
+                "nicima", "ovima", "evima", "ski", "ška", "stvo",
+                "štvo", "anje", "enje", "ovanje", "evanje", "ivanje",
+                "cajni", "čajni", "dusni", "dušni", "savi", "šavi",
+                "acka", "ačka", "uska", "uška", "ticni", "tični",
+                "osti", "ošću", "asni", "ašni", "luc", "luč", "snj",
+                "šnj", "ac", "ec", "uc", "rosi", "roši", "aca",
+                "cin", "čin", "inj", "ucima", ""]
+        for b in BASES_SR.split():
+            for suf in sufs:
+                words.add(b + suf)
+            for _ in range(4):
+                words.add(b + rng.choice(sufs) + rng.choice(sufs))
+        words.update(ADVERSARIAL_SR.split())
+        for _ in range(n_random):
+            n = rng.randint(1, 12)
+            alpha = full if rng.random() < 0.6 else (full + cyr)
             words.add("".join(rng.choice(alpha) for _ in range(n)))
         return sorted(words)
     if lang == "greek":
@@ -1937,7 +1992,7 @@ def main() -> None:
             "english", "swedish", "german", "norwegian", "danish",
             "french", "spanish", "italian", "portuguese", "russian",
             "dutch", "finnish", "romanian", "indonesian", "hungarian",
-            "hindi", "nepali", "catalan", "armenian", "irish", "basque", "lithuanian", "turkish", "tamil", "yiddish", "greek",
+            "hindi", "nepali", "catalan", "armenian", "irish", "basque", "lithuanian", "turkish", "tamil", "yiddish", "greek", "serbian",
         ],
     )
     args = ap.parse_args()
