@@ -175,6 +175,12 @@ def _serbian_stem(word: str) -> str:
     return serbian.stem(word)
 
 
+def _arabic_stem(word: str) -> str:
+    from letarette_spark.analysis import arabic
+
+    return arabic.stem(word)
+
+
 def _lithuanian_stem(word: str) -> str:
     from letarette_spark.analysis import lithuanian
 
@@ -245,6 +251,7 @@ _STEMMERS: dict[str, Callable[[str], str]] = {
     "yiddish": _yiddish_stem,
     "greek": _greek_stem,
     "serbian": _serbian_stem,
+    "arabic": _arabic_stem,
 }
 
 

@@ -6,15 +6,19 @@ wraps (/root/reference/internal/snowball/snowball.c:68-74 wraps unicode61 with
 ``remove_diacritics`` — snowball.go:78-85):
 
 - token characters are codepoints in Unicode general categories L* and N*;
-  everything else separates tokens (Python's ``str.isalnum`` matches exactly
-  L* + N*, which lets us use the regex ``[^\\W_]+`` for run detection);
-- tokens are case-folded (simple lowercase);
-- diacritics are removed ("remove_diacritics 2"): NFD-decompose, drop
-  combining marks (category Mn), plus a small table of Latin characters whose
-  diacritic is not a combining mark (stroked/crossed letters) matching the
-  "complex" mode-2 behavior.
+  everything else separates tokens — with SQLite's own quirks on top (its
+  tables predate current Unicode: unassigned and private-use codepoints are
+  token chars, most combining marks are SEPARATORS, and only the marks in
+  its remove-diacritics table continue a token);
+- tokens are case-folded (simple per-character lowercase, SQLite's table);
+- diacritics are removed ("remove_diacritics 2") for characters in SQLite's
+  diacritic table.
 
-Parity with the real FTS5 unicode61 is asserted by
+The heuristic below (isalnum + NFD-strip-lower) matches FTS5 for the
+overwhelming majority of codepoints; every divergence — probed exhaustively
+over all 1.1M codepoints against the live FTS5 by
+tools/gen_unicode61_table.py — is overlaid from the generated exception
+table (u61data.py: class ranges + fold overrides).  Parity is asserted by
 tests/test_tokenizer_parity.py against Python's sqlite3 (live FTS5 oracle).
 """
 
@@ -22,14 +26,44 @@ from __future__ import annotations
 
 import re
 import unicodedata
+from bisect import bisect_right
 from functools import lru_cache
+
+from letarette_spark.analysis import u61data
 
 # Runs of Unicode alphanumerics (L* and N* categories). \w == alnum + '_',
 # so [^\W_] == alnum exactly.
 _TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
 
+_CLS_STARTS = tuple(r[0] for r in u61data.CLS_RANGES)
+_FI_STARTS = tuple(r[0] for r in u61data.FOLD_IDENT_RANGES)
+
+
+@lru_cache(maxsize=65536)
+def _classify(c: str) -> str:
+    """FTS5 unicode61 class of one codepoint: 't' = token char,
+    's' = separator, 'd' = diacritic mark (continues a token, folds
+    to ''). Exception ranges first (probed from the live FTS5), then
+    the category heuristic."""
+    cp = ord(c)
+    i = bisect_right(_CLS_STARTS, cp) - 1
+    if i >= 0:
+        a, b, k = u61data.CLS_RANGES[i]
+        if cp <= b:
+            return k
+    if unicodedata.category(c) in ("Mn", "Me"):
+        return "d"
+    return "t" if c.isalnum() else "s"
+
+
 @lru_cache(maxsize=65536)
 def _fold_char(c: str) -> str:
+    cp = ord(c)
+    if cp in u61data.FOLD_EXC:  # e.g. ς -> σ, µ -> μ (SQLite's fold table)
+        return u61data.FOLD_EXC[cp]
+    i = bisect_right(_FI_STARTS, cp) - 1
+    if i >= 0 and cp <= u61data.FOLD_IDENT_RANGES[i][1]:
+        return c
     d = unicodedata.normalize("NFD", c)
     if ord(d[0]) < 128:
         # Latin/ASCII base: strip the combining marks (remove_diacritics 2).
@@ -68,10 +102,13 @@ def raw_tokens(
     the reference exposes them as config, internal/letarette/config.go:64-65;
     separators win over tokenchars, matching FTS5).
 
-    Empirical FTS5 behavior (verified in tests/test_tokenizer_parity.py):
-    combining marks (categories Mn/Me) *continue* a token but never start
-    one, and are stripped from the token text; Mc marks are separators.
-    ASCII text can't contain marks, so it takes the fast regex path.
+    Empirical FTS5 behavior (probed exhaustively by
+    tools/gen_unicode61_table.py, verified in
+    tests/test_tokenizer_parity.py): only the marks in SQLite's
+    remove-diacritics table *continue* a token (and are stripped from
+    its text); all other combining marks — Arabic harakat included —
+    and Mc marks are separators. ASCII text can't contain marks, so it
+    takes the fast regex path.
     """
     if text.isascii() and not token_chars and not separators:
         return [
@@ -82,16 +119,16 @@ def raw_tokens(
     chars: list[str] = []
     for i, c in enumerate(text):
         if c in separators:
-            is_tok = False
+            cls = "s"
         elif c in token_chars:
-            is_tok = True
+            cls = "t"
         else:
-            is_tok = c.isalnum()
-        if is_tok:
+            cls = _classify(c)
+        if cls == "t":
             if start < 0:
                 start = i
             chars.append(c)
-        elif start >= 0 and unicodedata.category(c) in ("Mn", "Me"):
+        elif cls == "d" and start >= 0:
             continue  # mark continues the token; dropped from its text
         else:
             if start >= 0:

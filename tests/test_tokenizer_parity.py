@@ -15,11 +15,14 @@ from letarette_spark.analysis.tokenizer import Analyzer, AnalyzerConfig
 from tests.fts5_oracle import fts5_tokenize
 
 # Alphabet exercising: case folding, digits, separators, diacritics (both
-# precomposed and combining), complex-fold latin letters, CJK, punctuation.
+# precomposed and combining), complex-fold latin letters, CJK, punctuation,
+# and an RTL script (Arabic letters, harakat combining marks, tatweel,
+# Arabic-Indic digits, presentation-form ligatures).
 ALPHABET = (
     "abcxyzABCXYZ0123456789 \t\n.,;:-_'\"()[]*/\\+=!?@#"
     "éÉüÜåÅñçøØłŁðÐßẞİıάλΣσВгдё"
     "中文界"
+    "ابتكلمنهويىةءأإآؤئًَُّْـ٠٣٩ﻻﷲ"
 )
 
 WORDS = st.text(alphabet=ALPHABET, min_size=0, max_size=60)
@@ -44,6 +47,12 @@ class TestUnicode61Parity:
             "",
             "   ",
             "don't stop",
+            "0ً0 كِتَابٌ",           # Arabic harakat are SEPARATORS to FTS5
+            "مـــدرســـة",           # tatweel is a token char (Lm)
+            "ΟΔΥΣΣΕΥΣ οδυσσευς",     # final sigma folds to σ (SQLite table)
+            "µ µm ſ",                # micro sign µ -> μ, long s ſ -> ſ
+            "a͸b cd",     # unassigned/private-use are token chars
+            "x̀y x̕y",     # U+0300 continues+strips, U+0315 separates
         ],
     )
     def test_pinned(self, text):
@@ -52,6 +61,11 @@ class TestUnicode61Parity:
     @settings(max_examples=300, deadline=None)
     @given(WORDS)
     def test_property(self, text):
+        assert u61_terms(text) == fts5_tokenize(text, "unicode61 remove_diacritics 2")
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(min_size=0, max_size=40))  # unrestricted: ALL of Unicode
+    def test_property_full_unicode(self, text):
         assert u61_terms(text) == fts5_tokenize(text, "unicode61 remove_diacritics 2")
 
 

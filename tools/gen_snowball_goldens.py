@@ -1219,6 +1219,28 @@ kucama najjači djak poslije prijedlog zrcfta žrcfta čzrta
 ozloglašeni ljubljana njegoš džem џем љубав његош ђаче
 """
 
+BASES_AR = """
+كتب درس علم عمل قرأ شرب أكل ذهب قال كان رأى سمع فهم حفظ جلس وقف
+مدرس معلم كتاب مدرس جامع طالب مهندس طبيب مريض بيت باب شمس قمر نجم
+بحر نهر جبل شجر زهر ورد طير سمك خبز لحم ماء لبن سكر ملح زيت عسل
+صديق جار أخ أخت أم أب جد ولد بنت رجل امرأ مدين قري شارع سوق مسجد
+سلام حرب حب فرح حزن خوف أمل علم جهل صدق كذب خير شر نور ظلام صبح
+سفر وصل رجع دخل خرج فتح غلق كسر جمع فرق زاد نقص بدأ ختم حمل وضع
+مكتوب مقروء مفهوم مستخدم مستقبل استعمال انتظار اجتماع اقتصاد
+يكتب تكتب نكتب أكتب يستخدم تستخدم نستخدم سيكتب سوف وسوف
+"""
+
+ADVERSARIAL_AR = """
+الكتاب بالكتاب كالكتاب للكتاب والكتاب فالكتاب وال بال كال لل ال
+كتابهما كتابكما كتابهن كتابكن كتبت كتبتما كتبتم كتبتن كتبنا كتبوا
+يكتبون تكتبين يكتبان تكتبان اكتبي يكتبن تكتبن ىى ىا اى مدرسة مدرستي
+مدرسته مدرستها مدرستهم قرأ قرؤوا قرئت سأل سئل سؤال مسؤول رئيس
+رءوس شيء شيئا بناء بناؤه بناءه أأكل أآ أإ آأ ٱلكتاب ﷲ ﻻزم ﻷن ﻹن ﻵن
+مـــدرســـة مُدَرِّسَة كِتَابٌ ٠١٢٣ عام٢٠٢٠ والمستخدمون فسيكتبونها
+است استخدم استعمل يستغفر تستغفر نستغفر ويستغفرونها أوأكل وأ فأ
+ب ك و ف س ي ت ن ا لا لأ لإ لآ ة ه ي
+"""
+
 BASES_EL = """
 ανθρωπ υπολογιστ παιδ γραφ διαβαζ τρεχ μιλ αγαπ κοιτ σκεφτ δουλευ
 πηγαιν ερχ φερν παιρν δινουμ βλεπ ακου ξερ θελ μπορ πρεπ νομιζ
@@ -1471,6 +1493,59 @@ def vocabulary(
         for _ in range(n_random):
             n = rng.randint(1, 12)
             alpha = full if rng.random() < 0.6 else (full + cyr)
+            words.add("".join(rng.choice(alpha) for _ in range(n)))
+        return sorted(words)
+    if lang == "arabic":
+        import os as _os
+        import sys as _sys
+
+        _sys.path.insert(
+            0, _os.path.join(_os.path.dirname(__file__), "..")
+        )
+        from letarette_spark.analysis import arabic as _ar
+
+        rng = random.Random(seed)
+        # Every among-table entry from the ported module itself:
+        # prefixes composed in front, suffixes behind, so each branch
+        # (and its length gate) is exercised against the library.
+        pfx = sorted(
+            {a.s.decode("utf-8") for t in (
+                _ar._CHECKS1, _ar._PFX1, _ar._PFX2, _ar._PFX3A,
+                _ar._PFX3B, _ar._PFX3V, _ar._PFX4V) for a in t}
+        ) + [""]
+        sfx = sorted(
+            {a.s.decode("utf-8") for t in (
+                _ar._SFX_N1A, _ar._SFX_N1B, _ar._SFX_N2A,
+                _ar._SFX_N2B, _ar._SFX_N2C1, _ar._SFX_N2C2,
+                _ar._SFX_N3, _ar._SFX_V1, _ar._SFX_V2A,
+                _ar._SFX_V2B, _ar._SFX_V2C, _ar._ALEF_MAQSURA) for a in t}
+        ) + [""]
+        norm = sorted(
+            {a.s.decode("utf-8") for t in (
+                _ar._NORM_PRE, _ar._NORM_POST_B, _ar._NORM_POST_F)
+             for a in t}
+        )
+        for b in BASES_AR.split():
+            for s in sfx:
+                words.add(b + s)
+            for p in pfx:
+                words.add(p + b)
+            for _ in range(10):
+                words.add(rng.choice(pfx) + b + rng.choice(sfx))
+            for _ in range(4):
+                words.add(
+                    rng.choice(pfx) + b + rng.choice(sfx) + rng.choice(sfx)
+                )
+            for _ in range(3):
+                words.add(b + rng.choice(norm) + rng.choice(sfx))
+        words.update(ADVERSARIAL_AR.split())
+        alpha = (
+            "ابتثجحخدذرزسشصضطظعغفقكلمنهوي" * 3
+            + "ىةءأإآؤئ" * 2 + "ًٌٍَُِّْـ" + "٠١٢٣٤٥٦٧٨٩"
+            + "ﻻﻷﻹﻵﷲﺀﺁﺄﺐﺘﻌ"
+        )
+        for _ in range(n_random):
+            n = rng.randint(1, 12)
             words.add("".join(rng.choice(alpha) for _ in range(n)))
         return sorted(words)
     if lang == "greek":
@@ -1992,7 +2067,7 @@ def main() -> None:
             "english", "swedish", "german", "norwegian", "danish",
             "french", "spanish", "italian", "portuguese", "russian",
             "dutch", "finnish", "romanian", "indonesian", "hungarian",
-            "hindi", "nepali", "catalan", "armenian", "irish", "basque", "lithuanian", "turkish", "tamil", "yiddish", "greek", "serbian",
+            "hindi", "nepali", "catalan", "armenian", "irish", "basque", "lithuanian", "turkish", "tamil", "yiddish", "greek", "serbian", "arabic",
         ],
     )
     args = ap.parse_args()
