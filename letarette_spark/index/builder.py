@@ -112,7 +112,7 @@ DEFAULT_PREFIX_LENGTHS = (2, 3, 4)
 PREFIX_BUCKETS = 64  # partition dirs keyed by hash of the FIRST character
 # bumped whenever the on-disk layout changes shape (readers rebuild stale
 # cached indexes instead of misreading them)
-LAYOUT_VERSION = 3
+LAYOUT_VERSION = 4
 
 PREFIX_SCHEMA = T.StructType(
     [
@@ -178,8 +178,18 @@ def build_prefix_aggregates(
     Layout: dest/plen=L/pb=<first-char bucket>/..., rows sorted by
     (prefix, rowid) within files — exact dir pruning for a prefix lookup
     plus parquet row-group min/max pruning on the prefix column. One
-    postings scan + one shuffle for all lengths (explode by length)."""
-    lens = F.array(*[F.lit(int(x)) for x in prefix_lengths])
+    postings scan + one shuffle for all lengths (explode by length).
+
+    plen=-1 is the TERM-RANGE TAIL: the full postings laid out by
+    (first-char bucket, term-sorted) with prefix = the whole term. It
+    serves wildcard queries LONGER than the largest configured length
+    (FTS5's equivalent is a term-range scan of its term-ordered main
+    B-tree; our main postings are hash-bucketed for exact-term pruning,
+    so prefix range scans get their own ordered copy): one partition
+    dir + a startswith row-group-pruned scan, O(matching postings) at
+    any vocabulary size — the dictionary-expansion/full-scan fallback
+    is unreachable for tail-enabled indexes."""
+    lens = F.array(*([F.lit(-1)] + [F.lit(int(x)) for x in prefix_lengths]))
     rows = (
         postings.select(
             F.explode(lens).alias("plen"),
@@ -188,7 +198,10 @@ def build_prefix_aggregates(
         .filter(F.length("term") >= F.col("plen"))
         .select(
             "plen",
-            F.expr("substring(term, 1, plen)").alias("prefix"),
+            F.expr(
+                "case when plen = -1 then term"
+                " else substring(term, 1, plen) end"
+            ).alias("prefix"),
             "rowid", "space", "dl", "pos0", "pos1",
         )
         .groupBy("plen", "prefix", "rowid")
@@ -201,7 +214,9 @@ def build_prefix_aggregates(
         .withColumn("pb", prefix_bucket_expr("prefix", n_buckets))
     )
     (
-        rows.repartition(max(2, files_per_len * len(prefix_lengths)), "plen", "pb")
+        rows.repartition(
+            max(2, files_per_len * (len(prefix_lengths) + 1)), "plen", "pb"
+        )
         .sortWithinPartitions("plen", "pb", "prefix", "rowid")
         .write.partitionBy("plen", "pb")
         .mode("overwrite")
@@ -480,6 +495,7 @@ def build_index(
             "docs_buckets": docs_buckets,
             "prefix_lengths": sorted(int(x) for x in prefix_lengths),
             "prefix_buckets": PREFIX_BUCKETS if prefix_lengths else None,
+            "prefix_tail": bool(prefix_lengths),
             "plan": plan,
         }
     )
@@ -739,6 +755,17 @@ class Index:
                     .filter(self._terms_cond(short_terms))
                     .select(*cols)
                 )
+            base_is_merged = False
+        elif self.meta.get("prefix_tail"):
+            # longer than every aggregate: the plen=-1 term-range tail
+            # (prefix = whole term, first-char dir, term-sorted files) —
+            # one partition dir + startswith row-group pruning,
+            # O(matching postings) at any vocabulary size
+            base = (
+                self._prefix_base(-1, prefix)
+                .filter(F.col("prefix").startswith(prefix))
+                .select(*cols)
+            )
             base_is_merged = False
         else:
             return None

@@ -429,6 +429,7 @@ def compact_index(spark: SparkSession, root: str) -> Index:
     )
     if pf_rel:
         meta["prefix_dir"] = pf_rel
+        meta["prefix_tail"] = True  # rebuilt aggregates include the tail
     meta.pop("snapshot_id", None)
     man.commit_snapshot(meta)  # ← the atomic commit point
     index.meta = man.state

@@ -167,29 +167,34 @@ class Searcher:
                 pre = self.index.prefix_hits(terms_i[0])
                 if pre is not None:
                     return pre
-                # no aggregate covers this length (longer than the largest
-                # configured, or a pre-prefix-layout index): resolve terms
-                # from the range-partitioned dictionary, then hit only
-                # their buckets. The full-scan fallback for >4096-term
-                # expansions is startswith-pushed (term-sorted files give
-                # row-group pruning) and in practice unreachable — a
-                # 5+-char prefix with thousands of completions.
+                # legacy pre-tail index (current builds always cover this
+                # via the plen=-1 term-range tail): resolve the FULL
+                # expansion from the range-partitioned dictionary
+                # (startswith-pruned scan), then read postings in
+                # exact-pruned batches — bucket-dir + term row-group
+                # pruning per batch, never an unpruned postings scan.
                 expansion = [
                     r["term"]
                     for r in self.index.term_stats()
                     .filter(F.col("term").startswith(terms_i[0]))
                     .select("term")
-                    .limit(MAX_PREFIX_EXPANSION + 1)
                     .collect()
                 ]
                 if not expansion:
                     df = self.index.postings().filter(F.lit(False))
-                elif len(expansion) <= MAX_PREFIX_EXPANSION:
-                    df = self.index.postings_for_terms(expansion)
                 else:
-                    df = self.index.postings().filter(
-                        F.col("term").startswith(terms_i[0])
+                    df = self.index.postings_for_terms(
+                        expansion[:MAX_PREFIX_EXPANSION]
                     )
+                    for j in range(
+                        MAX_PREFIX_EXPANSION, len(expansion),
+                        MAX_PREFIX_EXPANSION,
+                    ):
+                        df = df.unionByName(
+                            self.index.postings_for_terms(
+                                expansion[j : j + MAX_PREFIX_EXPANSION]
+                            )
+                        )
                 return _merge_posting_rows(df)
             # exact terms: bucket partition-dir pruning + term pushdown
             df = self.index.postings_for_terms(terms_i)

@@ -108,10 +108,68 @@ def test_below_minimum_length_prunes_to_one_bucket_dir(built):
     assert len(dirs) == 1
 
 
-def test_longer_than_max_falls_back_to_expansion(built):
-    index, _plain, _oracle, _docs, _cfg = built
-    assert index.prefix_hits("parse") is None  # 5 > max configured 4
+def test_longer_than_max_serves_from_term_range_tail(built):
+    """5+-char prefixes read ONLY the plen=-1 term-range tail of the one
+    first-char bucket dir — never the postings table, never the
+    dictionary, at ANY number of completions."""
+    index, plain, _oracle, _docs, _cfg = built
+    for p in ("parse", "tokeniz"):
+        df = index.prefix_hits(p)
+        assert df is not None, p
+        files = df.inputFiles()
+        assert files, p
+        assert all("/prefix/plen=-1/" in f for f in files), (p, files)
+        dirs = {f.rsplit("/", 1)[0] for f in files}
+        assert len(dirs) == 1, (p, dirs)
     assert index.prefix_hits("") is None
+    # a pre-tail index (prefix_lengths=()) still reports no coverage
+    assert plain.prefix_hits("parse") is None
+
+
+def test_huge_expansion_stays_on_tail(spark, tmp_path_factory):
+    """The round-4 corner: a 5-char prefix with >4096 completions. The
+    tail serves it from one partition dir (no dictionary collect, no
+    full postings scan) and the result matches a direct computation."""
+    import pyspark.sql.functions as F
+
+    n_terms, n_docs = 4200, 64
+    docs = spark.createDataFrame(
+        [
+            {
+                "doc_id": f"d{d}", "rowid": d, "space": "m",
+                "title": "filler",
+                "body": " ".join(
+                    f"zqxwv{t:04d}" for t in range(d, n_terms, n_docs)
+                ),
+                "alive": True,
+            }
+            for d in range(1, n_docs + 1)
+        ]
+    )
+    cfg = AnalyzerConfig(mode="porter")
+    root = str(tmp_path_factory.mktemp("pfx_huge"))
+    build_index(spark, docs, root, config=cfg, n_build_partitions=2,
+                chunk_size=32)
+    index = Index.open(spark, root, cfg)
+    assert index.term_stats().filter(
+        F.col("term").startswith("zqxwv")).count() > 4096
+
+    hits = index.prefix_hits("zqxwv")
+    files = hits.inputFiles()
+    assert files and all("/prefix/plen=-1/" in f for f in files), files
+    assert len({f.rsplit("/", 1)[0] for f in files}) == 1
+    # every doc contains zqxwv* terms; tf == its share of the terms
+    got = {r["rowid"]: len(r["pos1"]) for r in hits.collect()}
+    want = {
+        d: len(range(d, n_terms, n_docs)) for d in range(1, n_docs + 1)
+    }
+    assert got == want
+    # end-to-end through the Searcher (rank path) for a narrower prefix:
+    # terms zqxwv0000..zqxwv0099 live in docs d where some t<100 hits
+    # d's arithmetic progression — every doc 1..64 (t=d qualifies)
+    s = Searcher(index)
+    df, total, _c = s.search_df("zqxwv00*", limit=5)
+    assert df is not None and total == n_docs
 
 
 def test_wildcards_through_upsert_and_compaction(spark, tmp_path_factory, built):
