@@ -74,11 +74,20 @@ def export_shard(index: Index, dest: str, shard_group: str) -> int:
 
 
 def import_shard(
-    spark: SparkSession, src: str, root: str, **build_kwargs
+    spark: SparkSession, src: str, root: str, housekeep: bool = True,
+    **build_kwargs
 ) -> BuildResult:
     """Build a fresh index at *root* from an export_shard() directory.
     The analyzer configuration travels with the clone (the reference
-    refuses mismatched stemmer state on load — stemmer.go:32-59)."""
+    refuses mismatched stemmer state on load — stemmer.go:32-59).
+
+    The auxiliary tables (spelling dictionary, auto-stopwords, WAND
+    blocks) are derived state the clone transport does NOT carry; by
+    default a housekeeping pass provisions them so the imported shard
+    serves respelled and block-max queries immediately — the reference
+    reaches the same state via its first idle-cycle doHousekeeping
+    (indexer.go:476-487). Pass housekeep=False to defer to your own
+    maintenance cadence."""
     from letarette_spark.analysis.tokenizer import AnalyzerConfig
 
     with open(os.path.join(src, "clone.json")) as f:
@@ -96,4 +105,11 @@ def import_shard(
         separators=a.get("separators", ""),
     )
     docs = spark.read.parquet(os.path.join(src, "docs"))
-    return build_index(spark, docs, root, config=cfg, **build_kwargs)
+    result = build_index(spark, docs, root, config=cfg, **build_kwargs)
+    if housekeep:
+        from letarette_spark.streaming.indexer import run_housekeeping
+
+        # a fresh index is missing the whole spelling table, so any
+        # eligible term counts as lag — max_lag=1 forces the first build
+        run_housekeeping(spark, root, spelling_max_lag=1)
+    return result

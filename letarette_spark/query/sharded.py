@@ -74,3 +74,72 @@ def sharded_search(
             )
         )
     return merge_results(results)
+
+
+class ShardedSearcher:
+    """Scatter-gather deployment with a MERGE-LAYER result cache.
+
+    A bare sharded_search() re-queries every shard even when each shard
+    Searcher caches: the per-shard caches save the Spark scans but the
+    deployment still pays N cache probes + a merge per repeat query.
+    Caching the merged response at this layer serves repeats in one probe
+    — the reference reaches the same state because its cache sits in each
+    worker's Searcher and the agent's merge is driver-cheap; here the
+    merge layer IS the client-facing searcher, so the cache belongs here.
+
+    Per-document invalidation fans out: dropping a doc drops the merged
+    entries containing it AND forwards to every shard Searcher's own
+    cache (cache.go:183-185 semantics at both layers). The object
+    implements invalidate_doc/clear, so it can ride directly in
+    upsert_documents(caches=[...]).
+    """
+
+    def __init__(self, searchers: list, cache=None):
+        from letarette_spark.query.cache import ResultCache
+
+        self.searchers = list(searchers)
+        self.cache = cache or ResultCache()
+
+    def search(
+        self,
+        query: str,
+        spaces: list[str] | None = None,
+        page_limit: int = 10,
+        page_offset: int = 0,
+        **search_kwargs,
+    ) -> SearchResult:
+        from dataclasses import replace as _dc_replace
+
+        from letarette_spark.query.cache import cache_key
+
+        key = cache_key(
+            query, spaces, page_limit, page_offset, **search_kwargs
+        )
+        hit = self.cache.get(key)
+        if hit is not None:
+            return _dc_replace(hit, status="cache_hit")
+        res = sharded_search(
+            self.searchers, query, spaces, page_limit, page_offset,
+            **search_kwargs,
+        )
+        if res.status != "timeout":
+            # only successful responses are cached (searcher.go:98-103)
+            self.cache.put(key, res, {h.doc_id for h in res.hits})
+        return res
+
+    def invalidate_doc(self, doc_id) -> int:
+        """Drop *doc_id* from the merge-layer cache and every shard
+        Searcher's cache. Returns total entries dropped."""
+        n = self.cache.invalidate_doc(doc_id)
+        for s in self.searchers:
+            c = getattr(s, "cache", None)
+            if c is not None:
+                n += c.invalidate_doc(doc_id)
+        return n
+
+    def clear(self) -> None:
+        self.cache.clear()
+        for s in self.searchers:
+            c = getattr(s, "cache", None)
+            if c is not None:
+                c.clear()

