@@ -77,6 +77,59 @@ def run_housekeeping(
     return did
 
 
+def maintain(
+    spark: SparkSession,
+    index_root: str,
+    idle_seconds: float = 300.0,
+    max_cycles: int | None = None,
+    is_idle=None,
+    clock=None,
+    sleep=None,
+    caches: "tuple | list" = (),
+    **housekeeping_kwargs,
+) -> list[dict]:
+    """Scheduler glue: run the idle-cycle housekeeping policy in a loop —
+    the analog of the reference indexer's 5-minute idle cadence
+    (indexer.go:479-487: housekeeping fires when a cycle finds no work),
+    so deployments don't hand-sequence spelling/stopword/compaction/WAND
+    rebuilds.
+
+    Every *idle_seconds* the loop runs one run_housekeeping() pass,
+    unless *is_idle* (optional callable) reports the deployment busy —
+    then the tick is skipped and re-checked next cadence, exactly like
+    the reference deferring housekeeping while updates flow. A
+    compaction pass invalidates per-doc result caches passed in
+    *caches* (they hold pre-compaction snapshots' rowids only
+    transitively — the conservative clear matches cache.go on reload).
+
+    *max_cycles* bounds the loop (None = run forever); *clock* / *sleep*
+    are injectable for deterministic tests. Returns one report dict per
+    tick: run_housekeeping()'s report, or {"skipped": "busy"}.
+    """
+    import time as _time
+
+    clock = clock or _time.monotonic
+    sleep = sleep or _time.sleep
+    reports: list[dict] = []
+    last = clock()
+    while max_cycles is None or len(reports) < max_cycles:
+        now = clock()
+        wait = idle_seconds - (now - last)
+        if wait > 0:
+            sleep(wait)
+            continue
+        last = now
+        if is_idle is not None and not is_idle():
+            reports.append({"skipped": "busy"})
+            continue
+        did = run_housekeeping(spark, index_root, **housekeeping_kwargs)
+        if did.get("compacted") and caches:
+            for c in caches:
+                c.clear()
+        reports.append(did)
+    return reports
+
+
 def stream_document_updates(
     spark: SparkSession,
     index_root: str,

@@ -208,6 +208,51 @@ def test_housekeeping_rebuilds_wand_blocks(spark, tmp_path, monkeypatch):
         assert math.isclose(sg, se, rel_tol=1e-9, abs_tol=1e-12)
 
 
+def test_maintain_runs_idle_cadence(spark, tmp_path):
+    """maintain() is the scheduler glue for the reference's 5-min idle
+    housekeeping cadence (indexer.go:479-487): ticks fire every
+    idle_seconds on the injected clock, busy ticks are skipped, idle
+    ticks run run_housekeeping, and a compacting tick clears registered
+    result caches."""
+    from letarette_spark.query.cache import ResultCache
+    from letarette_spark.streaming.indexer import maintain
+
+    root = str(tmp_path / "maintain_idx")
+    build_index(spark, _docs_df(spark, BASE), root, config=CFG,
+                n_build_partitions=2, chunk_size=2)
+    upsert_documents(spark, root, _docs_df(spark, UPDATES_1), batch_id=1)
+
+    now = [0.0]
+    slept = []
+
+    def clock():
+        return now[0]
+
+    def sleep(s):
+        slept.append(s)
+        now[0] += s
+
+    busy = [True, False, False]  # first tick busy, then idle
+
+    cache = ResultCache()
+    cache.put(("sentinel",), "value", {"d1"})
+    reports = maintain(
+        spark, root, idle_seconds=300.0, max_cycles=3,
+        is_idle=lambda: not (busy.pop(0) if busy else False),
+        clock=clock, sleep=sleep, caches=[cache],
+        compact_segments_over=0,
+    )
+    assert reports[0] == {"skipped": "busy"}
+    assert reports[1]["compacted"] and reports[1]["stopwords"]
+    assert not reports[2]["compacted"]  # already compacted
+    # the cadence actually waited between ticks
+    assert slept and all(s <= 300.0 for s in slept)
+    # compaction cleared the registered cache
+    assert cache.get(("sentinel",)) is None
+    idx = Index.open(spark, root, CFG)
+    assert not idx.segments
+
+
 def test_streaming_batch_latest_version_wins(spark, tmp_path):
     """A micro-batch carrying v1 and v2 of a document must index the row
     with the max updated_at (the reference serializes writes in order);
