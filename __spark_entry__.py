@@ -507,17 +507,24 @@ def oracle_sql() -> dict[str, str]:
     from letarette_spark.functions.similarity import _hyperplanes
     from letarette_spark.functions.textstats import LANG_PROFILES
 
-    from letarette_spark.functions.textstats import LANG_TRIGRAMS
+    from letarette_spark.functions.textstats import LANG_TRIGRAM_TIERS
 
     terms_in = ", ".join(f"'{t}'" for t in QUERY_TERMS)
     phrase = " ".join(QUERY_TERMS)
     sw = {k: ", ".join(f"'{w}'" for w in v) for k, v in LANG_PROFILES.items()}
-    # trigram profiles injected from the SAME tables the Spark operator
-    # uses (single source of truth — the twin stays in lockstep)
-    tg = {k: ", ".join(f"'{t}'" for t in v) for k, v in LANG_TRIGRAMS.items()}
-    langs = sorted(LANG_TRIGRAMS)  # ties resolve to the first in this order
+    # weighted trigram tiers injected from the SAME tables the Spark
+    # operator uses (single source of truth — the twin stays in
+    # lockstep): score = sum over tiers of count-hits-in-tier
+    langs = sorted(LANG_TRIGRAM_TIERS)  # ties resolve to the first in order
     lang_hits = ",\n                     ".join(
-        f"len(list_filter(tris, t -> list_contains([{tg[lg]}], t)))::BIGINT AS h_{lg}"
+        "("
+        + " + ".join(
+            "len(list_filter(tris, t -> list_contains(["
+            + ", ".join(f"'{t}'" for t in tier)
+            + "], t)))"
+            for tier in LANG_TRIGRAM_TIERS[lg]
+        )
+        + f")::BIGINT AS h_{lg}"
         for lg in langs
     )
     gmax = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"

@@ -36,6 +36,21 @@ LANG_PROFILES: dict[str, list[str]] = {
     "sv": ["och", "att", "det", "som", "en", "av", "den", "till",
            "inte", "om", "har", "de", "ett", "han", "var", "jag", "med",
            "man", "efter", "vid"],
+    # da/no are close cousins of sv and each other; their profiles lean
+    # on the divergent function words (da efter/mellem/uden/hvad/blev vs
+    # no etter/mellom/uten/hva/ble) so the trigram tables separate them
+    "da": ["og", "at", "det", "som", "en", "af", "den", "til", "ikke",
+           "om", "har", "de", "et", "han", "var", "jeg", "med", "man",
+           "efter", "ved"],
+    "no": ["og", "at", "det", "som", "en", "av", "den", "til", "ikke",
+           "om", "har", "de", "et", "han", "var", "jeg", "med", "man",
+           "etter", "ved"],
+    "fi": ["ja", "on", "ei", "se", "etta", "oli", "joka", "mutta", "kun",
+           "niin", "ovat", "mukaan", "myos", "jos", "vain", "voi", "kuin",
+           "seka", "tai", "sita"],
+    "pl": ["nie", "jest", "sie", "na", "do", "ze", "jak", "ale", "czy",
+           "tak", "juz", "tylko", "byl", "sa", "ma", "przez", "dla",
+           "oraz", "tego", "tym"],
 }
 
 STOPWORDS_EN = LANG_PROFILES["en"]
@@ -91,11 +106,39 @@ LANG_WORDS: dict[str, list[str]] = {
         "denna", "detta", "hon", "honom", "hennes", "hans", "sig", "sin",
         "sitt", "blev", "blir", "vara", "varit", "mellan", "genom", "utan",
         "mot",
+        # distinctly-Swedish vs the no/da cousins ("ar" = folded "är" vs
+        # their "er"; sedan/bara/mycket/manga have no no/da twins)
+        "ar", "nu", "sedan", "bara", "mycket", "alla", "andra", "hela",
+        "manga", "sjalv", "sitter", "finns",
+    ],
+    "da": LANG_PROFILES["da"] + [
+        "hvor", "hvad", "hvem", "kan", "skal", "skulle", "ville", "hun",
+        "hende", "hendes", "hans", "sig", "sin", "sit", "blev", "bliver",
+        "mellem", "gennem", "uden", "mod", "eller", "denne", "dette",
+        "noget", "meget",
+    ],
+    "no": LANG_PROFILES["no"] + [
+        "hvor", "hva", "hvem", "kan", "skal", "skulle", "ville", "hun",
+        "henne", "hennes", "hans", "seg", "sin", "sitt", "ble", "blir",
+        "mellom", "gjennom", "uten", "mot", "eller", "denne", "dette",
+        "noe", "mye",
+    ],
+    "fi": LANG_PROFILES["fi"] + [
+        "talla", "ennen", "jalkeen", "kanssa", "ilman", "koska", "siella",
+        "paljon", "kaikki", "jotka", "olivat", "hanen", "heidan", "itse",
+        "sitten", "nyt", "viela", "ollut", "olla", "taman", "niista",
+        "jossa", "mitaan", "mika", "hyvin",
+    ],
+    "pl": LANG_PROFILES["pl"] + [
+        "byla", "bylo", "byly", "mial", "przy", "jego", "jej", "ich",
+        "ktory", "ktora", "ktore", "bardzo", "moze", "takze", "wszystko",
+        "jeszcze", "kiedy", "gdzie", "pod", "nad", "bez", "przed", "tych",
+        "innych", "roku",
     ],
 }
 
 
-def _trigram_profile(words: list[str], n: int = 110) -> list[str]:
+def _trigram_profile(words: list[str], n: int = 200) -> list[str]:
     """Deterministic char-trigram table: padded-word trigrams ranked by
     (frequency desc, trigram asc), truncated to n — every profile the
     same size so cross-language hit counts compare fairly."""
@@ -112,6 +155,37 @@ def _trigram_profile(words: list[str], n: int = 110) -> list[str]:
 LANG_TRIGRAMS: dict[str, list[str]] = {
     lang: _trigram_profile(ws) for lang, ws in LANG_WORDS.items()
 }
+
+
+def _trigram_tiers(
+    profiles: dict[str, list[str]]
+) -> dict[str, list[list[str]]]:
+    """Share-weighted profiles as WEIGHT TIERS. A trigram in only one
+    language's profile weighs len(langs); one in every profile weighs 1
+    (weight = n_langs + 1 - share). Expressing the weight as nested
+    tiers — tiers[k] = trigrams with weight > k — keeps the scoring a
+    plain sum of count-hits-in-list passes, the exact shape both the
+    Spark JVM expression and the DuckDB oracle twin already use:
+    score = Σ_k |doc trigrams ∩ tiers[k]| (with multiplicity).
+
+    The down-weighting separates close cousins (sv/no/da, es/pt): the
+    pan-Scandinavian trigrams every profile shares stop outvoting the
+    few genuinely distinctive ones."""
+    from collections import Counter
+
+    share = Counter(t for tris in profiles.values() for t in set(tris))
+    n_langs = len(profiles)
+    tiers = {}
+    for lang, tris in profiles.items():
+        per = [
+            [t for t in tris if n_langs + 1 - share[t] >= k]
+            for k in range(1, n_langs + 1)
+        ]
+        tiers[lang] = [tt for tt in per if tt]
+    return tiers
+
+
+LANG_TRIGRAM_TIERS: dict[str, list[list[str]]] = _trigram_tiers(LANG_TRIGRAMS)
 
 
 def token_count_expr(text_col: str = "text") -> Column:
@@ -179,25 +253,31 @@ def doc_trigrams_expr(text_col: str = "text") -> Column:
 
 
 def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Char-trigram language guess: the language whose trigram profile
-    (LANG_TRIGRAMS — 120 padded-word trigrams derived from ~45 common
-    words per language) matches the most document trigrams, counted with
-    multiplicity. Ties -> lexicographically first; no hits -> 'und'.
+    """Char-trigram language guess over 12 languages: the language whose
+    SHARE-WEIGHTED trigram profile (LANG_TRIGRAM_TIERS — 200 padded-word
+    trigrams per language from ~45 high-frequency words, each trigram
+    weighted by how few profiles share it) scores the most document
+    trigrams, counted with multiplicity. Ties -> lexicographically
+    first; score 0 -> 'und'.
 
     Heuristic-grade fidelity by design (documented in COVERAGE.md): the
     gate pins determinism via a value-exact DuckDB twin, and a labeled
-    mini-set smoke-tests accuracy. Trigram profiles beat the previous
-    20-stopword profiles on short texts because inflected forms hit
-    partial trigrams ('hav' from 'have') without an exact word match.
-    One scan, pure JVM expressions — the 100-TB plan is unchanged."""
+    mini-set pins >=90% accuracy including the es/pt and no/da confusion
+    pairs. One scan, pure JVM expressions (a handful of
+    count-hits-in-tier array passes per language) — the 100-TB plan is
+    unchanged."""
     tris = doc_trigrams_expr(text_col)
-    langs = sorted(LANG_TRIGRAMS)
+    langs = sorted(LANG_TRIGRAM_TIERS)
     hits = []
     for i, lang in enumerate(langs):
-        tl = F.array(*[F.lit(t) for t in LANG_TRIGRAMS[lang]])
+        score = None
+        for tier in LANG_TRIGRAM_TIERS[lang]:
+            tl = F.array(*[F.lit(t) for t in tier])
+            c = F.size(F.filter(tris, lambda t: F.array_contains(tl, t)))
+            score = c if score is None else score + c
         hits.append(
             F.struct(
-                F.size(F.filter(tris, lambda t: F.array_contains(tl, t))).alias("hits"),
+                score.alias("hits"),
                 # ties resolve to the lexicographically-first language:
                 # higher priority = earlier lang, so max() picks it.
                 F.lit(len(langs) - 1 - i).alias("prio"),

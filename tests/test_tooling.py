@@ -229,9 +229,40 @@ class TestLangIdTrigram:
             "mellan de tva husen star ett annat hus",
             "hon har varit dar manga ganger genom aren",
         ],
+        # round-4 verdict task #7: four more languages + the hard
+        # confusion pairs (es/pt above, no/da below). ASCII-folded like
+        # the rest (the simple analyzer splits on [^a-z0-9]+).
+        "da": [
+            "der var ikke noget nyt at sige om det hele",
+            "hvad kan man vide om alt dette uden hjelp",
+            "det er noget som de fleste ikke ville tro",
+            "mellem husene var der en lille have med blomster",
+            "hun har ikke sagt noget om hvad der skal ske",
+        ],
+        "no": [
+            "han ble ikke sett etter den lange dagen",
+            "hva kan man vite om alt dette uten hjelp",
+            "det er noe som de fleste ikke ville tro",
+            "mellom husene var det en liten hage med blomster",
+            "hun har ikke sagt noe om hva som skal skje",
+        ],
+        "fi": [
+            "kissa on talossa pienten lasten kanssa",
+            "han tuli myohemmin kotiin koska oli paljon toita",
+            "emme voi tietaa kuka voittaa ennen loppua",
+            "monien vuosien jalkeen he palasivat kaupunkiin",
+            "tama kirja on parempi kuin se jonka luin aiemmin",
+        ],
+        "pl": [
+            "kot jest w domu z malymi dziecmi",
+            "po wielu latach wrocil do swojego miasta",
+            "nie mozna wiedziec kto wygra przed koncem",
+            "to takze mozna zrobic bez pomocy innych",
+            "jeszcze nie wiadomo kiedy przyjda wszyscy inni",
+        ],
     }
 
-    def test_accuracy_on_labeled_miniset(self, spark):
+    def _guesses(self, spark):
         from letarette_spark.functions.textstats import lang_id
 
         rows = [
@@ -239,21 +270,46 @@ class TestLangIdTrigram:
             for lang, texts in self.SAMPLES.items()
             for i, text in enumerate(texts)
         ]
-        got = {
+        return {
             r["doc_id"]: r["lang_guess"]
             for r in lang_id(spark.createDataFrame(rows)).collect()
         }
+
+    def test_accuracy_on_labeled_miniset(self, spark):
+        got = self._guesses(spark)
         correct = sum(1 for d, g in got.items() if g == d.split("-")[0])
-        total = len(rows)
-        assert correct / total >= 0.85, {
+        total = len(got)
+        assert correct / total >= 0.90, {
             d: g for d, g in got.items() if g != d.split("-")[0]
         }
 
+    def test_confusion_pairs(self, spark):
+        """The close-cousin pairs must not bleed into each other: every
+        es sample must NOT be classified pt and vice versa; same for
+        no/da (the share-weighted tiers exist exactly for this)."""
+        got = self._guesses(spark)
+        for a, b in (("es", "pt"), ("pt", "es"), ("no", "da"), ("da", "no")):
+            for d, g in got.items():
+                if d.startswith(f"{a}-"):
+                    assert g != b, (d, g)
+
     def test_trigram_tables_deterministic(self):
         from letarette_spark.functions.textstats import (
-            LANG_TRIGRAMS, _trigram_profile, LANG_WORDS,
+            LANG_TRIGRAM_TIERS, LANG_TRIGRAMS, LANG_WORDS, _trigram_profile,
+            _trigram_tiers,
         )
 
+        assert len(LANG_TRIGRAMS) == 12
         for lang, tris in LANG_TRIGRAMS.items():
-            assert len(tris) == 110 and len(set(tris)) == 110
+            # the 200 cap is non-binding for ~45-word lists — profiles
+            # carry every distinct trigram; fairness across languages
+            # comes from the share weighting, not equal sizes
+            assert 100 <= len(tris) <= 200 and len(set(tris)) == len(tris)
             assert tris == _trigram_profile(LANG_WORDS[lang])
+        assert LANG_TRIGRAM_TIERS == _trigram_tiers(LANG_TRIGRAMS)
+        for lang, tiers in LANG_TRIGRAM_TIERS.items():
+            # tiers are nested: tier k+1 is a subset of tier k
+            for hi, lo in zip(tiers[1:], tiers):
+                assert set(hi) <= set(lo), lang
+            # weighted score of a profile-only trigram >= 1
+            assert tiers[0] == LANG_TRIGRAMS[lang]
