@@ -110,7 +110,7 @@ def test_chain_membership():
         out = word
         for lang in langs:
             out = stems[lang](word)
-            if len(out) != len(word):
+            if len(out.encode("utf-8")) != len(word.encode("utf-8")):  # byte rule, snowball.c:216
                 break
         return out
 
