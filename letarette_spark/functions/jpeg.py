@@ -225,17 +225,36 @@ def decode_jpeg(data: bytes) -> np.ndarray | None:
         return None
     try:
         return _decode_jpeg_inner(data)
-    except (ValueError, EOFError, IndexError, KeyError, struct.error):
+    except (ValueError, EOFError, IndexError, KeyError, struct.error,
+            ZeroDivisionError):
         return None
 
 
-def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
+def decode_jpeg_coefficients(data: bytes):
+    """Entropy-layer test hook: decode a progressive/arithmetic JPEG to
+    its per-component zigzag coefficient buffers WITHOUT dequant/IDCT —
+    the exact integers an independent decoder (the golden-generating
+    libjpeg) must agree on. Returns (frame, {cid: (by, bx, 64) int32})
+    or None."""
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        return None
+    try:
+        return _decode_jpeg_inner(data, return_coeffs=True)
+    except (ValueError, EOFError, IndexError, KeyError, struct.error,
+            ZeroDivisionError):
+        return None
+
+
+def _decode_jpeg_inner(data: bytes, return_coeffs: bool = False):
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None  # (h, w, comps) comps = [(cid, hs, vs, tq)]
     progressive = False
-    coeffs = None  # progressive: cid -> (blocks_y, blocks_x, 64) zigzag
+    arithmetic = False
+    dc_cond: dict[int, tuple] = {}  # DAC: table -> (L, U)
+    ac_cond: dict[int, int] = {}    # DAC: table -> Kx
+    coeffs = None  # progressive/arith: cid -> (blocks_y, blocks_x, 64) zigzag
     restart_interval = 0
     pos = 2
     while pos + 4 <= len(data):
@@ -263,17 +282,23 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
                 tbl[ZIGZAG] = vals
                 qt[tq] = tbl.reshape(8, 8)
                 i += 65
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC2, 0xC9, 0xCA):
+            # SOF0 baseline / SOF2 progressive huffman /
+            # SOF9 sequential arithmetic / SOF10 progressive arithmetic
             prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
             if prec != 8 or nc not in (1, 3):
                 return None
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
-                comps.append((cid, hv >> 4, hv & 0xF, tq))
+                hs, vs = hv >> 4, hv & 0xF
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):  # A.1.1
+                    return None
+                comps.append((cid, hs, vs, tq))
             frame = (h, w, comps)
-            if marker == 0xC2:
-                progressive = True
+            progressive = marker in (0xC2, 0xCA)
+            arithmetic = marker in (0xC9, 0xCA)
+            if progressive or arithmetic:
                 hmax = max(c[1] for c in comps)
                 vmax = max(c[2] for c in comps)
                 mcux = -(-w // (8 * hmax))
@@ -282,9 +307,19 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
                     cid: np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int32)
                     for cid, hs, vs, _tq in comps
                 }
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # other frame types (arithmetic, lossless, ...)
+            return None  # other frame types (lossless, hierarchical, ...)
+        elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
+            i = 0
+            while i + 1 < len(body):
+                tc, tb = body[i] >> 4, body[i] & 0xF
+                cs = body[i + 1]
+                if tc == 0:
+                    dc_cond[tb] = (cs & 0xF, cs >> 4)  # (L, U)
+                else:
+                    ac_cond[tb] = cs  # Kx
+                i += 2
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
@@ -305,16 +340,31 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
             for c in range(ns):
                 cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
                 scan.append((cs, tdta >> 4, tdta & 0xF))
-            if not progressive:
+            if not progressive and not arithmetic:
                 return _decode_scan(
                     data, pos + 2 + seglen, frame, scan, qt, huff_dc,
                     huff_ac, restart_interval,
                 )
             ss, se, a = body[1 + 2 * ns : 4 + 2 * ns]
-            end = _progressive_scan(
-                data, pos + 2 + seglen, frame, scan, coeffs,
-                huff_dc, huff_ac, restart_interval, ss, se, a >> 4, a & 0xF,
-            )
+            if arithmetic:
+                from letarette_spark.functions import jpeg_arith
+
+                if not progressive:
+                    end = jpeg_arith.decode_sequential_scan(
+                        data, pos + 2 + seglen, frame, scan, coeffs,
+                        dc_cond, ac_cond, restart_interval,
+                    )
+                else:
+                    end = jpeg_arith.decode_progressive_scan(
+                        data, pos + 2 + seglen, frame, scan, coeffs,
+                        dc_cond, ac_cond, restart_interval,
+                        ss, se, a >> 4, a & 0xF,
+                    )
+            else:
+                end = _progressive_scan(
+                    data, pos + 2 + seglen, frame, scan, coeffs,
+                    huff_dc, huff_ac, restart_interval, ss, se, a >> 4, a & 0xF,
+                )
             # resume header parsing at the next real marker
             pos = end
             while pos + 1 < len(data):
@@ -327,7 +377,9 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
                 pos += 1
             continue
         pos += 2 + seglen
-    if progressive and frame is not None:
+    if (progressive or arithmetic) and frame is not None:
+        if return_coeffs:
+            return frame, coeffs
         return _reconstruct_progressive(frame, coeffs, qt)
     return None
 

@@ -94,11 +94,12 @@ def set_decoder(fn: Callable[[bytes], dict]) -> None:
 
 def require_real_decoder() -> None:
     """The explicit stub boundary for CODEC-level decode still missing
-    here (H.264/H.265 frame pixels, arithmetic-coded JPEG). BMP, PNG,
-    baseline AND progressive JPEG, and PCM WAV decode for real
-    (codecs.py, jpeg.py) and MP4 CONTAINER structure parses for real
-    (mp4.py: duration, tracks, codec fourcc, dimensions, frame count) —
-    only the compressed-video-frame pixel decode is faked."""
+    here: H.264/H.265 frame pixels. BMP, PNG, baseline, progressive AND
+    arithmetic-coded JPEG (huffman + QM-coded SOF9/SOF10), and PCM WAV
+    decode for real (codecs.py, jpeg.py, jpeg_arith.py) and MP4
+    CONTAINER structure parses for real (mp4.py: duration, tracks,
+    codec fourcc, dimensions, frame count) — only the
+    compressed-video-frame pixel decode is faked."""
     raise NotImplementedError(
         "real video frame decoding requires ffmpeg, not present here; "
         "install one and call set_decoder()"
