@@ -117,6 +117,119 @@ def _bench_sharded(spark, idx, single_searcher, n_shards: int = 4) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _bench_sf1(spark, cpus: int) -> dict:
+    """One-shot large-corpus section (`extra.sf1`): a 10x-sf0.1 corpus
+    (50k docs / 20k embeddings / deterministic near-dup structure) derived
+    in-process by tools/gen_big_sf.ensure (cached under .bigsf/, gitignored).
+    Catches plan behaviors that only appear past toy sizes — broadcast-
+    threshold flips, partition-count effects, stage-constant vs data-bound
+    costs. One trial (the round-over-round statistic stays the interleaved
+    sf0.1 suite above); the by-design-exhaustive O(n^2) oracles are
+    excluded — their linear scale paths (minhash-LSH, banded embedding
+    LSH) are what runs here."""
+    from pyspark.sql import functions as F
+
+    from letarette_spark.analysis.tokenizer import AnalyzerConfig
+    from letarette_spark.functions.dedup import minhash_lsh_pairs, simhash64
+    from letarette_spark.functions.similarity import (
+        cosine_topk,
+        ivf_centroids,
+        ivf_index_topk,
+        ivf_index_write,
+    )
+    from letarette_spark.functions.simple_text import bm25_scores
+    from letarette_spark.index.builder import Index, build_index
+    from letarette_spark.query.executor import Searcher
+    from tools.gen_big_sf import ensure
+
+    sf1_dir = ensure(spark)
+    documents = (
+        spark.read.parquet(os.path.join(sf1_dir, "documents.parquet"))
+        .repartition(cpus).cache()
+    )
+    embeddings = spark.read.parquet(
+        os.path.join(sf1_dir, "embeddings.parquet"))
+    ndocs = documents.count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        return out
+
+    engine_docs = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("lang").alias("space"),
+        F.col("source").alias("title"),
+        F.col("text").alias("body"),
+        F.lit(True).alias("alive"),
+    )
+    root = tempfile.mkdtemp(prefix="letarette_bench_sf1_idx_")
+    ivf_dir = tempfile.mkdtemp(prefix="letarette_bench_sf1_ivf_")
+    try:
+        timed(
+            "index_build",
+            lambda: build_index(
+                spark, engine_docs, root,
+                config=AnalyzerConfig(mode="porter"),
+                n_build_partitions=cpus, chunk_size=cpus,
+            ),
+        )
+        searcher = Searcher(Index.open(spark, root))
+        for name, q in [
+            ("engine_single", "value"),
+            ("engine_near", "key value"),
+            ("engine_wildcard", "val*"),
+        ]:
+            # warm once (file listings), then time
+            searcher.search_df(q, limit=10)[0].collect()
+            timed(name, lambda q=q: searcher.search_df(q, limit=10)[0].collect())
+        timed(
+            "bm25_topk_simple",
+            lambda: bm25_scores(documents, ["key", "value"])
+            .orderBy(F.desc("score")).limit(10).collect(),
+        )
+        timed(
+            "minhash_lsh_pairs",
+            lambda: minhash_lsh_pairs(
+                documents, bands=4, rows_per_band=2, n=3, threshold=0.05
+            ).count(),
+        )
+        timed("simhash", lambda: simhash64(documents).count())
+        timed(
+            "knn_cosine",
+            lambda: cosine_topk(embeddings, query_id=0, k=5).collect(),
+        )
+        cents = timed(
+            "ivf_build",
+            lambda: (
+                lambda c: (ivf_index_write(embeddings, ivf_dir, c), c)[1]
+            )(ivf_centroids(embeddings, n_cells=16, n_iter=1)),
+        )
+        qvec = [
+            float(x)
+            for x in embeddings.filter(F.col("vec_id") == 0).first()["embedding"]
+        ]
+        timed(
+            "ann_ivf_indexed",
+            lambda: ivf_index_topk(
+                spark, ivf_dir, qvec, cents, k=5, nprobe=4
+            ).collect(),
+        )
+    finally:
+        documents.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(ivf_dir, ignore_errors=True)
+    return {
+        "ndocs": ndocs,
+        "sf1_dir": sf1_dir,
+        "build_docs_per_sec": round(ndocs / timings["index_build"], 2),
+        "queries": timings,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
@@ -286,6 +399,14 @@ def main() -> None:
         # shard clones of the last trial's index; latency must track the
         # slowest shard (concurrent scatter), not the sum ----
         sharded = _bench_sharded(spark, idx, searcher, n_shards=4)
+
+        # ---- 10x-corpus sanity section (one-shot; skippable via env for
+        # quick local iteration) ----
+        sf1 = (
+            _bench_sf1(spark, cpus)
+            if os.environ.get("SPARK_GRAFT_SF1", "1") != "0"
+            else None
+        )
     finally:
         for r in roots:
             shutil.rmtree(r, ignore_errors=True)
@@ -334,6 +455,7 @@ def main() -> None:
             "query_latency": latency,
             "suite_r01_total": round(sum(best[k] for k in r01_set), 4),
             "sharded": sharded,
+            "sf1": sf1,
         },
     }
     print(json.dumps(result))

@@ -33,6 +33,7 @@ import shutil
 import subprocess
 import sys
 import tempfile
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -111,18 +112,247 @@ def run_one(cpus: int, corpus_dir: str) -> dict:
     }
 
 
+# Engine query suite for --mode query. Every routing family in
+# Searcher.search_df: WAND fast path (rare single term, df <= cap), the
+# narrow single-phrase path (common term, df > cap), NEAR conjunction,
+# NOT exclusion, exact phrase, and prefix-aggregate wildcard.
+QUERY_SUITE = [
+    ("single_rare_wand", "zephyr"),
+    ("single_common", "value"),
+    ("near", "key value"),
+    ("not", "table -key"),
+    ("phrase", '"error handler"'),
+    ("wildcard", "val*"),
+]
+
+
+def run_one_query(cpus: int, index_dir: str) -> dict:
+    """One process at local[cpus]: per-query warm latency (2 interleaved
+    reps, min) + suite throughput, sequential and concurrent. Concurrent
+    throughput is the realistic cluster statistic: a search deployment
+    serves many queries at once, so 4x executors should serve ~4x QPS even
+    where one query's latency is bounded by its critical path."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from letarette_spark.index.builder import Index
+    from letarette_spark.query.executor import Searcher
+    from letarette_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"qscaling_{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    idx = Index.open(spark, index_dir)
+
+    # One Searcher PER CLIENT THREAD (sharing the one Index): a Searcher's
+    # per-query persisted-frame ledger assumes one query in flight at a
+    # time (_evict_cache releases the previous query's frames) — exactly
+    # like the reference, where each worker services one query per
+    # goroutine-owned DB handle. Sharing a single Searcher across client
+    # threads would make concurrent queries unpersist each other's
+    # in-flight frames (correct, but recompute-thrash — not the deployment
+    # shape being measured).
+    tl = threading.local()
+
+    def run(q: str) -> None:
+        s = getattr(tl, "searcher", None)
+        if s is None:
+            s = tl.searcher = Searcher(idx)
+        df, _total, _capped = s.search_df(q, limit=10)
+        if df is not None:
+            df.collect()
+
+    # warm: Python workers, file listings, per-query plans
+    for _name, q in QUERY_SUITE:
+        run(q)
+
+    lat: dict[str, list[float]] = {name: [] for name, _q in QUERY_SUITE}
+    for _rep in range(2):
+        for name, q in QUERY_SUITE:
+            t0 = time.perf_counter()
+            run(q)
+            lat[name].append(time.perf_counter() - t0)
+
+    # sequential throughput: the whole suite back-to-back, 3 passes
+    seq_times = []
+    for _rep in range(2):
+        t0 = time.perf_counter()
+        for _pass in range(3):
+            for _name, q in QUERY_SUITE:
+                run(q)
+        seq_times.append(time.perf_counter() - t0)
+    n_seq = 3 * len(QUERY_SUITE)
+
+    # concurrent throughput: 8 client threads x 6 suite passes (local
+    # FIFO scheduler interleaves the jobs across the executor threads,
+    # the same way a cluster interleaves concurrent searches)
+    jobs = [q for _ in range(6) for _name, q in QUERY_SUITE]
+    conc_times = []
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            list(pool.map(run, jobs))
+            conc_times.append(time.perf_counter() - t0)
+
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "latency_sec": {n: round(min(v), 4) for n, v in lat.items()},
+        "seq_qps": round(n_seq / min(seq_times), 3),
+        "conc_qps": round(len(jobs) / min(conc_times), 3),
+        "seq_sec_trials": [round(t, 2) for t in seq_times],
+        "conc_sec_trials": [round(t, 2) for t in conc_times],
+    }
+
+
+def query_mode(args) -> None:
+    """North-rule evidence for the QUERY side: the identical query suite
+    over the identical on-disk index at two parallelism levels, in separate
+    processes, interleaved A/B across rounds (CLAUDE.md noise protocol).
+    Primary statistic: concurrent-suite throughput (QPS) efficiency —
+    that is what 'N vs 4N executors' means for a search service. Per-query
+    warm latency speedups ride along (latency has a fixed driver-side
+    floor of plan + job scheduling, so it is NOT expected to hit 0.8;
+    reported honestly next to the throughput numbers)."""
+    from letarette_spark.analysis.tokenizer import AnalyzerConfig
+    from letarette_spark.index.builder import build_index
+    from letarette_spark.session import get_spark
+    from letarette_spark.sources.corpus import docs_from_corpus, generate_corpus
+
+    index_dir = tempfile.mkdtemp(prefix="qscaling_idx_")
+    spark = get_spark(app_name="qscaling_gen", master="local[32]",
+                      shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = generate_corpus(spark, args.ndocs, seed=42, partitions=128)
+    build_index(
+        spark, docs_from_corpus(corpus), index_dir,
+        config=AnalyzerConfig(mode="porter"),
+        n_build_partitions=32, chunk_size=32, files_per_chunk=32,
+    )
+    spark.stop()
+
+    cpus_list = [int(c) for c in args.cpus_list.split(",")]
+    acc: dict[int, list[dict]] = {c: [] for c in cpus_list}
+    try:
+        for _round in range(args.rounds):
+            for cpus in cpus_list:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--run-one-query", "--cpus", str(cpus),
+                     "--index", index_dir],
+                    capture_output=True, text=True, timeout=3600,
+                    env=dict(os.environ, SPARK_DRIVER_MEM="48g"),
+                )
+                line = [l for l in out.stdout.splitlines()
+                        if l.startswith("RESULT ")]
+                if not line:
+                    print(out.stdout[-2000:], out.stderr[-2000:],
+                          file=sys.stderr)
+                    raise RuntimeError(f"query run at local[{cpus}] failed")
+                acc[cpus].append(json.loads(line[-1][len("RESULT "):]))
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+    results = []
+    for cpus in cpus_list:
+        runs = acc[cpus]
+        results.append({
+            "cpus": cpus,
+            "ndocs": args.ndocs,
+            "latency_sec": {
+                n: round(min(r["latency_sec"][n] for r in runs), 4)
+                for n, _q in QUERY_SUITE
+            },
+            "seq_qps": round(max(r["seq_qps"] for r in runs), 3),
+            "conc_qps": round(max(r["conc_qps"] for r in runs), 3),
+            "seq_qps_trials": [r["seq_qps"] for r in runs],
+            "conc_qps_trials": [r["conc_qps"] for r in runs],
+        })
+
+    lo, hi = results[0], results[-1]
+    par_ratio = hi["cpus"] / lo["cpus"]
+    ceiling = cpu_ceiling(lo["cpus"], hi["cpus"])
+    conc_ratio = hi["conc_qps"] / lo["conc_qps"]
+    seq_ratio = hi["seq_qps"] / lo["seq_qps"]
+    lat_speedup = {
+        n: round(lo["latency_sec"][n] / hi["latency_sec"][n], 2)
+        for n, _q in QUERY_SUITE
+    }
+    summary = {
+        "metric": "query_suite_scaling",
+        "runs": results,
+        "concurrent_qps_speedup": round(conc_ratio, 3),
+        "concurrent_qps_efficiency": round(conc_ratio / par_ratio, 3),
+        "concurrent_qps_efficiency_vs_ceiling": round(conc_ratio / ceiling, 3),
+        "sequential_qps_speedup": round(seq_ratio, 3),
+        "sequential_qps_efficiency": round(seq_ratio / par_ratio, 3),
+        "per_query_latency_speedup": lat_speedup,
+        "parallelism_ratio": par_ratio,
+        "hardware_ceiling_speedup": round(ceiling, 3),
+        "target": 0.8,
+    }
+    print(json.dumps(summary))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "SCALING_RUN.md"), "w") as f:
+        f.write(
+            "# Query-suite scaling evidence (north_rule, query side)\n\n"
+            f"Identical on-disk index ({args.ndocs} docs, porter), identical\n"
+            "query suite, two parallelism levels in separate processes,\n"
+            f"{args.rounds} interleaved rounds. Throughput = whole-suite QPS;\n"
+            "concurrent = 8 client threads (the cluster-realistic statistic).\n\n"
+            "| cpus | conc QPS (best) | conc trials | seq QPS (best) | seq trials |\n"
+            "|---|---|---|---|---|\n"
+        )
+        for r in results:
+            f.write(
+                f"| {r['cpus']} | {r['conc_qps']} | {r['conc_qps_trials']} | "
+                f"{r['seq_qps']} | {r['seq_qps_trials']} |\n"
+            )
+        f.write(
+            f"\nConcurrent-QPS speedup {lo['cpus']}->{hi['cpus']}: "
+            f"**{conc_ratio:.2f}x** over {par_ratio:.0f}x parallelism -> "
+            f"efficiency **{conc_ratio/par_ratio:.3f}** "
+            f"(vs single-box CPU ceiling {ceiling:.2f}x: "
+            f"**{conc_ratio/ceiling:.3f}**).\n\n"
+            "Per-query warm latency (min over rounds):\n\n"
+            "| query | local[%d] s | local[%d] s | speedup |\n|---|---|---|---|\n"
+            % (lo["cpus"], hi["cpus"])
+        )
+        for n, _q in QUERY_SUITE:
+            f.write(
+                f"| {n} | {lo['latency_sec'][n]} | {hi['latency_sec'][n]} | "
+                f"{lat_speedup[n]}x |\n"
+            )
+        f.write(
+            "\nLatency has a fixed per-query driver floor (parse, plan, job\n"
+            "scheduling ~0.1-0.3 s) that does not shrink with executors —\n"
+            "the throughput rows above are the north-rule statistic.\n"
+        )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ndocs", type=int, default=120000)
     ap.add_argument("--cpus-list", default="4,16")
     ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--mode", choices=["build", "query"], default="build")
     ap.add_argument("--run-one", action="store_true")
+    ap.add_argument("--run-one-query", action="store_true")
     ap.add_argument("--cpus", type=int)
     ap.add_argument("--corpus")
+    ap.add_argument("--index")
     args = ap.parse_args()
 
     if args.run_one:
         print("RESULT " + json.dumps(run_one(args.cpus, args.corpus)))
+        return
+    if args.run_one_query:
+        print("RESULT " + json.dumps(run_one_query(args.cpus, args.index)))
+        return
+    if args.mode == "query":
+        query_mode(args)
         return
 
     from letarette_spark.session import get_spark

@@ -2,7 +2,13 @@
 __spark_entry__ query on Spark AND its DuckDB oracle at the given sf dir,
 compare row count, column names, and order-insensitive values.
 
-Usage: python tools/check_oracles.py [sf_dir]
+Usage: python tools/check_oracles.py [sf_dir] [--skip name1,name2]
+
+sf_dir tables may be single parquet FILES (the driver's testdata) or
+Spark parquet DIRECTORIES named <table>.parquet (tools/gen_big_sf.py
+output) — DuckDB views glob <dir>/*.parquet in the latter case.
+--skip excludes named entries (the by-design-exhaustive O(n^2) oracles
+like jaccard_pairs when gating a large derived corpus).
 """
 
 from __future__ import annotations
@@ -39,18 +45,25 @@ def norm_rows(cols, rows):
     return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, skip: frozenset[str] = frozenset()) -> int:
     spark = get_spark(app_name="oracle_check")
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+            )
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if name in skip:
+            print(f"  {name:24s} SKIP (--skip)")
+            continue
         sdf = fn(spark, sf_dir)
         srows = sdf.collect()
         scols = sdf.columns
@@ -85,4 +98,12 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("--skip", default="",
+                    help="comma-separated query names to exclude")
+    args = ap.parse_args()
+    skip = frozenset(s for s in args.skip.split(",") if s)
+    sys.exit(main(args.sf_dir, skip))
