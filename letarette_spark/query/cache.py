@@ -40,8 +40,22 @@ class ResultCache:
     max_entries: int = 1024
     ttl_seconds: float = 600.0  # reference default 10 min (config.go:72)
     _data: OrderedDict = field(default_factory=OrderedDict)
+    # doc_id -> {keys of entries whose hit list contains it}: makes a
+    # batch upsert's invalidation fan-out O(affected entries) instead of
+    # O(batch docs x cached entries) (the reference scans the whole map
+    # per doc, cache.go:183-185 — fine at its scale, but a streaming
+    # micro-batch here can carry 10^5 doc ids)
+    _by_doc: dict = field(default_factory=dict)
     hits: int = 0
     misses: int = 0
+
+    def _forget(self, key: Hashable, doc_ids) -> None:
+        for d in doc_ids:
+            s = self._by_doc.get(d)
+            if s is not None:
+                s.discard(key)
+                if not s:
+                    del self._by_doc[d]
 
     def get(self, key: Hashable):
         now = time.monotonic()
@@ -52,6 +66,7 @@ class ResultCache:
         ts, doc_ids, value = item
         if now - ts > self.ttl_seconds:
             del self._data[key]
+            self._forget(key, doc_ids)
             self.misses += 1
             return None
         self._data.move_to_end(key)
@@ -66,21 +81,35 @@ class ResultCache:
         }
 
     def put(self, key: Hashable, value, doc_ids: set) -> None:
-        self._data[key] = (time.monotonic(), frozenset(doc_ids), value)
+        old = self._data.get(key)
+        if old is not None:
+            self._forget(key, old[1])
+        ids = frozenset(doc_ids)
+        self._data[key] = (time.monotonic(), ids, value)
         self._data.move_to_end(key)
+        for d in ids:
+            self._by_doc.setdefault(d, set()).add(key)
         while len(self._data) > self.max_entries:
-            self._data.popitem(last=False)
+            k, (_t, evicted_ids, _v) = self._data.popitem(last=False)
+            self._forget(k, evicted_ids)
 
     def invalidate_doc(self, doc_id) -> int:
         """Drop every cached result containing *doc_id* (cache.go:183-185:
         updates invalidate per docID). Returns entries dropped."""
-        stale = [k for k, (_t, ids, _v) in self._data.items() if doc_id in ids]
-        for k in stale:
-            del self._data[k]
-        return len(stale)
+        keys = self._by_doc.pop(doc_id, None)
+        if not keys:
+            return 0
+        n = 0
+        for k in tuple(keys):
+            item = self._data.pop(k, None)
+            if item is not None:
+                self._forget(k, item[1])
+                n += 1
+        return n
 
     def clear(self) -> None:
         self._data.clear()
+        self._by_doc.clear()
 
 
 class CachingSearcher:

@@ -106,6 +106,35 @@ class TestResultCache:
         time.sleep(0.01)
         assert c.get("k") is None
 
+    def test_doc_index_tracks_eviction_overwrite_and_expiry(self):
+        """The doc_id -> keys reverse index must stay consistent through
+        every path that removes or replaces an entry, or invalidation
+        would miss (stale results served after an upsert) or over-count."""
+        c = ResultCache(max_entries=2, ttl_seconds=60)
+        c.put("k1", "v1", {"a", "b"})
+        c.put("k2", "v2", {"b"})
+        c.put("k3", "v3", {"a"})  # evicts k1 (LRU)
+        assert c.invalidate_doc("b") == 1  # only k2 — k1 is gone
+        assert c.get("k2") is None and c.get("k3") == "v3"
+        # overwrite replaces the doc set
+        c.put("k3", "v3b", {"c"})
+        assert c.invalidate_doc("a") == 0
+        assert c.get("k3") == "v3b"
+        assert c.invalidate_doc("c") == 1
+        # TTL expiry inside get() also unindexes
+        c2 = ResultCache(ttl_seconds=0.0)
+        c2.put("k", "v", {"d"})
+        import time
+
+        time.sleep(0.01)
+        assert c2.get("k") is None
+        assert c2.invalidate_doc("d") == 0
+        # clear() resets both maps
+        c3 = ResultCache()
+        c3.put("k", "v", {"e"})
+        c3.clear()
+        assert c3.invalidate_doc("e") == 0
+
 
 class TestDegenerateCorpora:
     """Empty and pathological inputs must not crash any public operator
