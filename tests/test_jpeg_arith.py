@@ -237,3 +237,19 @@ def test_live_library_decodes_our_files():
             assert np.array_equal(
                 to_natural(bufs[cid][:hb, :wb]), refbuf
             ), (kw, cid)
+
+
+def test_arithmetic_jpeg_flows_through_image_pipeline():
+    """codecs.decode_image dispatches on the JPEG magic, so arithmetic
+    files get REAL pixels (not the sha-derived fake) through the same
+    path image_features() uses."""
+    from letarette_spark.functions.codecs import decode_image
+    from letarette_spark.functions.multimodal import default_decode_image
+
+    img = _grad(24, 32)
+    data = encode_arith_jpeg(img, quality=90)
+    px = decode_image(data)
+    assert px is not None and px.shape == (24, 32, 3)
+    feats = default_decode_image(data)
+    assert feats["width"] == 32 and feats["height"] == 24
+    assert 0.0 < feats["mean_luma"] < 1.0
