@@ -332,17 +332,207 @@ def query_mode(args) -> None:
         )
 
 
+def run_one_shardq(cpus: int, index_dir: str, passes: int) -> dict:
+    """One worker process owning one index (the full corpus, or one
+    shard of it): run the query suite `passes` times sequentially after
+    a warm pass and report the timed wall. shardq_mode builds the
+    shard-group statistic from these walls."""
+    from letarette_spark.index.builder import Index
+    from letarette_spark.query.executor import Searcher
+    from letarette_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"shardq_{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    searcher = Searcher(Index.open(spark, index_dir))
+
+    def run(q: str) -> None:
+        df, _total, _capped = searcher.search_df(q, limit=10)
+        if df is not None:
+            df.collect()
+
+    for _name, q in QUERY_SUITE:
+        run(q)
+    lat: dict[str, list[float]] = {name: [] for name, _q in QUERY_SUITE}
+    t0 = time.perf_counter()
+    for _p in range(passes):
+        for name, q in QUERY_SUITE:
+            tq = time.perf_counter()
+            run(q)
+            lat[name].append(time.perf_counter() - tq)
+    wall = time.perf_counter() - t0
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "wall_sec": round(wall, 3),
+        "n_queries": passes * len(QUERY_SUITE),
+        "latency_sec": {n: round(min(v), 4) for n, v in lat.items()},
+    }
+
+
+def _spawn_shardq(cpus: int, index_dir: str, passes: int):
+    return subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--run-one-shardq",
+         "--cpus", str(cpus), "--index", index_dir,
+         "--passes", str(passes)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=dict(os.environ, SPARK_DRIVER_MEM="8g"),
+    )
+
+
+def _collect_shardq(procs) -> list[dict]:
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=3600)
+        lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        if not lines:
+            print(out[-1500:], err[-1500:], file=sys.stderr)
+            raise RuntimeError("shardq worker failed")
+        outs.append(json.loads(lines[-1][len("RESULT "):]))
+    return outs
+
+
+def shardq_mode(args) -> None:
+    """Query-side north-rule evidence, architecture-true: on a real
+    deployment "4x executors" for the QUERY path means 4x shard workers
+    each owning 1/4 of the corpus (the reference's shard groups — every
+    query fans out to every shard and the merge is a driver-side top-k,
+    pkg/client/agent.go:118-211; the same shape bench.py measures as
+    extra.sharded). A single local driver cannot model that with thread
+    concurrency (one DAGScheduler + one GIL serializes job submission —
+    measured and documented), so the 4N level runs 4 OS processes, one
+    per shard, each a real Spark driver on its own local[base] pool:
+
+        N  = 1 worker  x local[base]  owning the FULL corpus
+        4N = 4 workers x local[base]  each owning one FNV 1/4 shard
+
+    Both levels serve the identical query stream; each 4N worker runs
+    the whole stream (scatter = every query visits every shard), so the
+    4N wall is max-of-workers. Efficiency = (QPS_4N / QPS_N) / 4.
+    Rounds are interleaved A/B (CLAUDE.md noise protocol)."""
+    from letarette_spark.analysis.tokenizer import AnalyzerConfig
+    from letarette_spark.index.builder import Index, build_index
+    from letarette_spark.index.cloning import export_shard, import_shard
+    from letarette_spark.session import get_spark
+    from letarette_spark.sources.corpus import docs_from_corpus, generate_corpus
+
+    n_shards = args.shards
+    base = args.base_cpus
+    work = tempfile.mkdtemp(prefix="shardq_")
+    full_dir = os.path.join(work, "full")
+    spark = get_spark(app_name="shardq_gen", master="local[32]",
+                      shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = generate_corpus(spark, args.ndocs, seed=42, partitions=128)
+    build_index(
+        spark, docs_from_corpus(corpus), full_dir,
+        config=AnalyzerConfig(mode="porter"),
+        n_build_partitions=32, chunk_size=32, files_per_chunk=32,
+    )
+    idx = Index.open(spark, full_dir)
+    shard_dirs = []
+    for g in range(1, n_shards + 1):
+        exp = os.path.join(work, f"exp{g}")
+        root = os.path.join(work, f"shard{g}")
+        export_shard(idx, exp, f"{g}/{n_shards}")
+        import_shard(spark, exp, root)
+        shard_dirs.append(root)
+    spark.stop()
+
+    a_runs, b_runs = [], []
+    try:
+        for _round in range(args.rounds):
+            # A: one worker, full corpus, base cpus
+            a_runs.append(
+                _collect_shardq([_spawn_shardq(base, full_dir, args.passes)])[0]
+            )
+            # B: n_shards concurrent workers, one shard each
+            procs = [_spawn_shardq(base, d, args.passes) for d in shard_dirs]
+            b_runs.append(_collect_shardq(procs))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    n_q = a_runs[0]["n_queries"]
+    a_walls = [r["wall_sec"] for r in a_runs]
+    b_walls = [max(w["wall_sec"] for w in round_ws) for round_ws in b_runs]
+    qps_a = n_q / min(a_walls)
+    qps_b = n_q / min(b_walls)
+    ratio = n_shards  # total cores: base -> base * n_shards
+    ceiling = cpu_ceiling(base, base * n_shards)
+    # best-round per-query latency, merged max-over-shards for B
+    best_b = min(b_runs, key=lambda ws: max(w["wall_sec"] for w in ws))
+    lat_a = min(a_runs, key=lambda r: r["wall_sec"])["latency_sec"]
+    lat_b = {
+        n: round(max(w["latency_sec"][n] for w in best_b), 4)
+        for n, _q in QUERY_SUITE
+    }
+    summary = {
+        "metric": "query_shardgroup_scaling",
+        "ndocs": args.ndocs,
+        "n_shards": n_shards,
+        "base_cpus": base,
+        "qps_1worker": round(qps_a, 3),
+        "qps_shardgroup": round(qps_b, 3),
+        "wall_1worker_trials": a_walls,
+        "wall_shardgroup_trials": b_walls,
+        "speedup": round(qps_b / qps_a, 3),
+        "efficiency": round(qps_b / qps_a / ratio, 3),
+        "efficiency_vs_ceiling": round(qps_b / qps_a / ceiling, 3),
+        "hardware_ceiling_speedup": round(ceiling, 3),
+        "latency_1worker": lat_a,
+        "latency_shardgroup_max": lat_b,
+        "target": 0.8,
+    }
+    print(json.dumps(summary))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "SCALING_RUN.md"), "w") as f:
+        f.write(
+            "# Query-side scaling evidence: shard-group (N -> 4N cores)\n\n"
+            f"{args.ndocs} docs, identical query stream ({n_q} queries:"
+            " WAND/common/NEAR/NOT/phrase/wildcard x passes).\n"
+            f"N = 1 worker process x local[{base}] owning the full corpus;\n"
+            f"4N = {n_shards} concurrent worker processes x local[{base}],"
+            " each owning one FNV shard\n"
+            "(the reference's shard-group deployment; every query visits"
+            " every shard, 4N wall = max-of-workers).\n\n"
+            "| level | total cores | suite wall trials (s) | best QPS |\n"
+            "|---|---|---|---|\n"
+            f"| 1 worker | {base} | {a_walls} | {qps_a:.3f} |\n"
+            f"| {n_shards}-shard group | {base * n_shards} | {b_walls} |"
+            f" {qps_b:.3f} |\n\n"
+            f"Speedup **{qps_b / qps_a:.2f}x** over {ratio}x cores ->"
+            f" efficiency **{qps_b / qps_a / ratio:.3f}**"
+            f" (vs single-box CPU ceiling {ceiling:.2f}x:"
+            f" **{qps_b / qps_a / ceiling:.3f}**).\n\n"
+            "Per-query warm latency (best round; shard-group ="
+            " max over shards, the scatter-gather critical path):\n\n"
+            "| query | 1 worker s | shard-group s |\n|---|---|---|\n"
+            + "".join(
+                f"| {n} | {lat_a[n]} | {lat_b[n]} |\n"
+                for n, _q in QUERY_SUITE
+            )
+        )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ndocs", type=int, default=120000)
     ap.add_argument("--cpus-list", default="4,16")
     ap.add_argument("--rounds", type=int, default=3)
-    ap.add_argument("--mode", choices=["build", "query"], default="build")
+    ap.add_argument("--mode", choices=["build", "query", "shardq"],
+                    default="build")
     ap.add_argument("--run-one", action="store_true")
     ap.add_argument("--run-one-query", action="store_true")
+    ap.add_argument("--run-one-shardq", action="store_true")
     ap.add_argument("--cpus", type=int)
     ap.add_argument("--corpus")
     ap.add_argument("--index")
+    ap.add_argument("--passes", type=int, default=3)
+    ap.add_argument("--shards", type=int, default=4)
+    ap.add_argument("--base-cpus", type=int, default=4)
     args = ap.parse_args()
 
     if args.run_one:
@@ -351,8 +541,15 @@ def main() -> None:
     if args.run_one_query:
         print("RESULT " + json.dumps(run_one_query(args.cpus, args.index)))
         return
+    if args.run_one_shardq:
+        print("RESULT " + json.dumps(
+            run_one_shardq(args.cpus, args.index, args.passes)))
+        return
     if args.mode == "query":
         query_mode(args)
+        return
+    if args.mode == "shardq":
+        shardq_mode(args)
         return
 
     from letarette_spark.session import get_spark
