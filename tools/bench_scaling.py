@@ -372,12 +372,26 @@ def run_one_shardq(cpus: int, index_dir: str, passes: int) -> dict:
     }
 
 
-def _spawn_shardq(cpus: int, index_dir: str, passes: int):
+def _spawn_shardq(cpus: int, index_dir: str, passes: int,
+                  cpu_slot: int | None = None):
+    """Spawn one query worker. With cpu_slot, the process is PINNED to a
+    disjoint range of `cpus` CPUs (taskset) — the honest model of one
+    executor host with N cores. Without pinning, a local[N] JVM sizes its
+    GC/JIT/netty pools for ALL visible CPUs (availableProcessors=32) and
+    borrows far beyond its nominal budget, which inflates the 1-worker
+    baseline and makes concurrent workers interfere (measured: 4 unpinned
+    local[2] replicas each ran 3.5x slower per query than a lone one).
+    JDK 17 derives availableProcessors from sched_getaffinity, so taskset
+    also right-sizes every JVM-internal pool; Python workers inherit the
+    affinity as children."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--run-one-shardq",
+           "--cpus", str(cpus), "--index", index_dir,
+           "--passes", str(passes)]
+    if cpu_slot is not None and shutil.which("taskset"):
+        lo = cpu_slot * cpus
+        cmd = ["taskset", "-c", f"{lo}-{lo + cpus - 1}"] + cmd
     return subprocess.Popen(
-        [sys.executable, os.path.abspath(__file__), "--run-one-shardq",
-         "--cpus", str(cpus), "--index", index_dir,
-         "--passes", str(passes)],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         env=dict(os.environ, SPARK_DRIVER_MEM="8g"),
     )
 
@@ -446,10 +460,14 @@ def shardq_mode(args) -> None:
         for _round in range(args.rounds):
             # A: one worker, full corpus, base cpus
             a_runs.append(
-                _collect_shardq([_spawn_shardq(base, full_dir, args.passes)])[0]
+                _collect_shardq(
+                    [_spawn_shardq(base, full_dir, args.passes, cpu_slot=0)])[0]
             )
             # B: n_shards concurrent workers, one shard each
-            procs = [_spawn_shardq(base, d, args.passes) for d in shard_dirs]
+            procs = [
+                _spawn_shardq(base, d, args.passes, cpu_slot=g)
+                for g, d in enumerate(shard_dirs)
+            ]
             b_runs.append(_collect_shardq(procs))
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -517,12 +535,223 @@ def shardq_mode(args) -> None:
         )
 
 
+def replq_mode(args) -> None:
+    """Query THROUGHPUT north-rule evidence, architecture-true: the
+    reference scales QPS by worker replication — workers serving the same
+    shard join a NATS queue group and the stream is load-balanced across
+    them (worker.go Topic+group queue subscribe; SURVEY.md §2.8). "4x
+    executors" for serving therefore means 4 replica workers, each owning
+    a full copy of the index, splitting the query stream:
+
+        N  = 1 worker  x local[base]  runs the whole stream (P passes)
+        4N = n_repl workers x local[base], each runs P/n_repl passes
+
+    Replicas share nothing but the page cache, so this is the axis where
+    near-linear scaling is the architectural claim. Efficiency =
+    (QPS_4N / QPS_N) / n_repl; rounds interleaved A/B (noise protocol)."""
+    from letarette_spark.analysis.tokenizer import AnalyzerConfig
+    from letarette_spark.index.builder import build_index
+    from letarette_spark.session import get_spark
+    from letarette_spark.sources.corpus import docs_from_corpus, generate_corpus
+
+    n_repl = args.shards
+    base = args.base_cpus
+    passes = args.passes * n_repl  # total stream divides evenly
+    work = tempfile.mkdtemp(prefix="replq_")
+    index_dir = os.path.join(work, "idx")
+    spark = get_spark(app_name="replq_gen", master="local[32]",
+                      shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = generate_corpus(spark, args.ndocs, seed=42, partitions=128)
+    build_index(
+        spark, docs_from_corpus(corpus), index_dir,
+        config=AnalyzerConfig(mode="porter"),
+        n_build_partitions=32, chunk_size=32, files_per_chunk=32,
+    )
+    spark.stop()
+
+    a_runs, b_runs, loads = [], [], []
+    try:
+        for _round in range(args.rounds):
+            loads.append(round(os.getloadavg()[0], 1))
+            a_runs.append(
+                _collect_shardq(
+                    [_spawn_shardq(base, index_dir, passes, cpu_slot=0)])[0]
+            )
+            loads.append(round(os.getloadavg()[0], 1))
+            procs = [
+                _spawn_shardq(base, index_dir, passes // n_repl, cpu_slot=g)
+                for g in range(n_repl)
+            ]
+            b_runs.append(_collect_shardq(procs))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    n_q = a_runs[0]["n_queries"]
+    a_walls = [r["wall_sec"] for r in a_runs]
+    b_walls = [max(w["wall_sec"] for w in ws) for ws in b_runs]
+    qps_a = n_q / min(a_walls)
+    qps_b = n_q / min(b_walls)  # same total stream, split n_repl ways
+    ceiling = cpu_ceiling(base, base * n_repl)
+    summary = {
+        "metric": "query_replica_scaling",
+        "ndocs": args.ndocs,
+        "n_replicas": n_repl,
+        "base_cpus": base,
+        "stream_queries": n_q,
+        "qps_1worker": round(qps_a, 3),
+        "qps_replicas": round(qps_b, 3),
+        "wall_1worker_trials": a_walls,
+        "wall_replicas_trials": b_walls,
+        "speedup": round(qps_b / qps_a, 3),
+        "efficiency": round(qps_b / qps_a / n_repl, 3),
+        "efficiency_vs_ceiling": round(qps_b / qps_a / ceiling, 3),
+        "hardware_ceiling_speedup": round(ceiling, 3),
+        "pre_trial_loadavg": loads,
+        "target": 0.8,
+    }
+    print(json.dumps(summary))
+    _append_scaling_run(
+        "## Query throughput: replica workers (N -> %dN cores)\n\n"
+        "%d docs; one shared query stream of %d queries (suite x passes).\n"
+        "N = 1 worker x local[%d] serving the whole stream; %dN = %d replica\n"
+        "workers x local[%d], each owning a full index copy, stream split\n"
+        "evenly (the reference's queue-group load balancing).\n\n"
+        "| level | total cores | stream wall trials (s) | best QPS |\n"
+        "|---|---|---|---|\n"
+        "| 1 worker | %d | %s | %.3f |\n"
+        "| %d replicas | %d | %s | %.3f |\n\n"
+        "Speedup **%.2fx** over %dx cores -> efficiency **%.3f**"
+        " (vs single-box CPU ceiling %.2fx: **%.3f**).\n\n"
+        % (n_repl, args.ndocs, n_q, base, n_repl, n_repl, base,
+           base, a_walls, qps_a,
+           n_repl, base * n_repl, b_walls, qps_b,
+           qps_b / qps_a, n_repl, qps_b / qps_a / n_repl,
+           ceiling, qps_b / qps_a / ceiling)
+    )
+
+
+def weakq_mode(args) -> None:
+    """Query WEAK-scaling evidence: 4x corpus + 4x cores at constant
+    latency — the statement that actually matters at 100 TB (you grow the
+    cluster with the data; per-query latency must hold). Reuses the shard
+    machinery: build the full corpus (ndocs), export n_shards FNV shards
+    (ndocs/n each), then compare
+
+        N  = 1 worker x local[base] owning ONE shard   (corpus ndocs/n)
+        4N = n workers x local[base], one shard each    (corpus ndocs),
+             every query visiting every shard, wall = max-of-workers
+
+    Weak efficiency = wall_1shard / wall_group (1.0 = latency perfectly
+    flat at 4x data + 4x cores)."""
+    from letarette_spark.analysis.tokenizer import AnalyzerConfig
+    from letarette_spark.index.builder import Index, build_index
+    from letarette_spark.index.cloning import export_shard, import_shard
+    from letarette_spark.session import get_spark
+    from letarette_spark.sources.corpus import docs_from_corpus, generate_corpus
+
+    n_shards = args.shards
+    base = args.base_cpus
+    work = tempfile.mkdtemp(prefix="weakq_")
+    full_dir = os.path.join(work, "full")
+    spark = get_spark(app_name="weakq_gen", master="local[32]",
+                      shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = generate_corpus(spark, args.ndocs, seed=42, partitions=128)
+    build_index(
+        spark, docs_from_corpus(corpus), full_dir,
+        config=AnalyzerConfig(mode="porter"),
+        n_build_partitions=32, chunk_size=32, files_per_chunk=32,
+    )
+    idx = Index.open(spark, full_dir)
+    shard_dirs = []
+    for g in range(1, n_shards + 1):
+        exp = os.path.join(work, f"exp{g}")
+        root = os.path.join(work, f"shard{g}")
+        export_shard(idx, exp, f"{g}/{n_shards}")
+        import_shard(spark, exp, root)
+        shard_dirs.append(root)
+    spark.stop()
+
+    a_runs, b_runs = [], []
+    try:
+        for _round in range(args.rounds):
+            # A: one worker over ONE shard (corpus ndocs/n_shards)
+            a_runs.append(
+                _collect_shardq(
+                    [_spawn_shardq(base, shard_dirs[0], args.passes,
+                                   cpu_slot=0)])[0]
+            )
+            # B: the full shard group (corpus ndocs, n_shards x base cores)
+            procs = [
+                _spawn_shardq(base, d, args.passes, cpu_slot=g)
+                for g, d in enumerate(shard_dirs)
+            ]
+            b_runs.append(_collect_shardq(procs))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    n_q = a_runs[0]["n_queries"]
+    a_walls = [r["wall_sec"] for r in a_runs]
+    b_walls = [max(w["wall_sec"] for w in ws) for ws in b_runs]
+    eff = min(a_walls) / min(b_walls)
+    best_b = min(b_runs, key=lambda ws: max(w["wall_sec"] for w in ws))
+    lat_a = min(a_runs, key=lambda r: r["wall_sec"])["latency_sec"]
+    lat_b = {
+        n: round(max(w["latency_sec"][n] for w in best_b), 4)
+        for n, _q in QUERY_SUITE
+    }
+    summary = {
+        "metric": "query_weak_scaling",
+        "corpus_small": args.ndocs // n_shards,
+        "corpus_large": args.ndocs,
+        "n_shards": n_shards,
+        "base_cpus": base,
+        "wall_1shard_trials": a_walls,
+        "wall_group_trials": b_walls,
+        "latency_1shard": lat_a,
+        "latency_group_max": lat_b,
+        "weak_efficiency": round(eff, 3),
+        "target": 0.8,
+    }
+    print(json.dumps(summary))
+    _append_scaling_run(
+        "## Query latency: weak scaling (%dx corpus + %dx cores)\n\n"
+        "Same query stream (%d queries). N = 1 worker x local[%d] over one\n"
+        "%d-doc shard; %dN = %d workers x local[%d] over %d shards (%d docs\n"
+        "total), scatter-gather wall = max-of-workers.\n\n"
+        "| level | corpus | total cores | suite wall trials (s) |\n"
+        "|---|---|---|---|\n"
+        "| 1 shard | %d | %d | %s |\n"
+        "| %d-shard group | %d | %d | %s |\n\n"
+        "Weak-scaling efficiency (wall_1shard / wall_group):"
+        " **%.3f** (1.0 = latency flat at %dx data).\n\n"
+        "Per-query warm latency (best round; group = max over shards):\n\n"
+        "| query | 1 shard s | group s |\n|---|---|---|\n"
+        % (n_shards, n_shards, n_q, base, args.ndocs // n_shards,
+           n_shards, n_shards, base, n_shards, args.ndocs,
+           args.ndocs // n_shards, base, a_walls,
+           n_shards, args.ndocs, base * n_shards, b_walls,
+           eff, n_shards)
+        + "".join(
+            f"| {n} | {lat_a[n]} | {lat_b[n]} |\n" for n, _q in QUERY_SUITE
+        ) + "\n"
+    )
+
+
+def _append_scaling_run(text: str) -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "SCALING_RUN.md"), "a") as f:
+        f.write(text)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ndocs", type=int, default=120000)
     ap.add_argument("--cpus-list", default="4,16")
     ap.add_argument("--rounds", type=int, default=3)
-    ap.add_argument("--mode", choices=["build", "query", "shardq"],
+    ap.add_argument("--mode",
+                    choices=["build", "query", "shardq", "replq", "weakq"],
                     default="build")
     ap.add_argument("--run-one", action="store_true")
     ap.add_argument("--run-one-query", action="store_true")
@@ -550,6 +779,12 @@ def main() -> None:
         return
     if args.mode == "shardq":
         shardq_mode(args)
+        return
+    if args.mode == "replq":
+        replq_mode(args)
+        return
+    if args.mode == "weakq":
+        weakq_mode(args)
         return
 
     from letarette_spark.session import get_spark
