@@ -448,6 +448,27 @@ def q_top_users_per_type(spark, sf_dir):
     )
 
 
+def q_video_frame_features(spark, sf_dir):
+    """Multimodal end-to-end: synthesize a deterministic media corpus
+    (every third video a genuine MJPEG container — real JPEG frames with
+    stsz/stsc/stco addressing), extract each sampled frame's bytes from
+    the container and decode them to pixels with the repo's own JPEG
+    decoder (mp4.py + jpeg.py; no external codec). Binary decode is not
+    SQL-expressible, so this entry has no DuckDB twin — the driver
+    records the rows-only check; pixel correctness is pinned by
+    tests/test_mp4_samples.py (decoded output vs encoded source)."""
+    from letarette_spark.functions.multimodal import (
+        synthesize_media, video_frame_features,
+    )
+
+    media = synthesize_media(spark, 30)
+    return (
+        video_frame_features(media, every_ms=100)
+        .withColumn("mean_luma", F.round("mean_luma", 6))
+        .orderBy("media_id", "frame_idx")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "engine_bm25": q_engine_bm25,
@@ -484,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_hourly": q_event_hourly,
         "sessionize": q_sessionize,
         "top_users_per_type": q_top_users_per_type,
+        "video_frame_features": q_video_frame_features,
     }
 
 

@@ -10,7 +10,11 @@ DECODE (H.264 etc.) stays behind multimodal.require_real_decoder.
 Parsed boxes: ftyp (brand), moov/mvhd (timescale+duration, v0 and v1),
 trak/tkhd (16.16-fixed width/height), mdia/mdhd (per-track timescale),
 hdlr (vide/soun classification), minf/stbl/stsd (sample-entry fourcc +
-visual width/height), stts (sample count = frame count).
+visual width/height), stts (sample count = frame count), and the sample
+addressing tables stsz/stsc/stco/co64 (video_sample_ranges resolves
+every sample to its absolute (offset, size) byte range in the file —
+the extraction step a frame sampler needs; for intra-coded codecs like
+MJPEG each extracted sample is a complete decodable image).
 
 write_minimal_mp4 builds a tiny valid container (used by the synthetic
 media corpus and the tests) so the parse path is exercised on real
@@ -170,9 +174,126 @@ def _parse_stbl(data: bytes, start: int, end: int, trk: dict) -> None:
 
 
 # ---------------------------------------------------------------------------
+# Sample addressing (ISO 14496-12 §8.7): stsz sizes + stsc sample->chunk
+# runs + stco/co64 chunk offsets resolve every sample to an absolute byte
+# range. This is real extraction — a frame of an MJPEG track sliced out
+# with these ranges is a complete JPEG that jpeg.py decodes to pixels.
+# ---------------------------------------------------------------------------
+
+
+def _stbl_of_track(data: bytes, kind: str, index: int):
+    """(stbl_start, stbl_end) of the index-th track whose hdlr matches
+    *kind* ('video'/'audio'), or None."""
+    want = {"video": b"vide", "audio": b"soun"}.get(kind)
+    top = list(_walk(data, 0, len(data)))
+    seen = 0
+    for fc, b, e in top:
+        if fc != "moov":
+            continue
+        for fc2, tb, te in _walk(data, b, e):
+            if fc2 != "trak":
+                continue
+            mdia = _find(data, tb, te, "mdia")
+            if mdia is None:
+                continue
+            hdlr = _find(data, mdia[0], mdia[1], "hdlr")
+            if hdlr is None or data[hdlr[0] + 8 : hdlr[0] + 12] != want:
+                continue
+            if seen == index:
+                minf = _find(data, mdia[0], mdia[1], "minf")
+                if minf is None:
+                    return None
+                return _find(data, minf[0], minf[1], "stbl")
+            seen += 1
+    return None
+
+
+def video_sample_ranges(
+    data: bytes, track_index: int = 0, kind: str = "video"
+) -> list[tuple[int, int]]:
+    """Absolute (offset, size) byte range of every sample in the chosen
+    track, in sample order. Returns [] for payloads that are not ISO-BMFF
+    or whose sample tables are missing/truncated/out-of-bounds — NEVER
+    raises (fuzz-tested like parse_mp4; crawled corpora are hostile)."""
+    try:
+        return _sample_ranges_inner(data, track_index, kind)
+    except (IndexError, struct.error, ValueError, OverflowError):
+        return []
+
+
+def _sample_ranges_inner(data: bytes, track_index: int, kind: str):
+    stbl = _stbl_of_track(data, kind, track_index)
+    if stbl is None:
+        return []
+    sb, se = stbl
+    sizes: list[int] | None = None
+    chunk_offsets: list[int] | None = None
+    stsc_runs: list[tuple[int, int]] | None = None  # (first_chunk, per_chunk)
+    for fc, b, e in _walk(data, sb, se):
+        if fc == "stsz":
+            uniform, count = struct.unpack_from(">II", data, b + 4)
+            if uniform:
+                sizes = [uniform] * count
+            else:
+                if b + 12 + 4 * count > e:
+                    return []
+                sizes = list(struct.unpack_from(f">{count}I", data, b + 12))
+        elif fc in ("stco", "co64"):
+            count = struct.unpack_from(">I", data, b + 4)[0]
+            w, fmt = (8, "Q") if fc == "co64" else (4, "I")
+            if b + 8 + w * count > e:
+                return []
+            chunk_offsets = list(struct.unpack_from(f">{count}{fmt}", data, b + 8))
+        elif fc == "stsc":
+            count = struct.unpack_from(">I", data, b + 4)[0]
+            if b + 8 + 12 * count > e:
+                return []
+            stsc_runs = []
+            for i in range(count):
+                first, per, _desc = struct.unpack_from(">III", data, b + 8 + 12 * i)
+                if first < 1 or per < 1:
+                    return []
+                stsc_runs.append((first, per))
+    if not sizes or not chunk_offsets or not stsc_runs:
+        return []
+    # expand stsc runs into per-chunk sample counts, walk chunks in order
+    ranges: list[tuple[int, int]] = []
+    si = 0
+    n = len(data)
+    for ci, coff in enumerate(chunk_offsets, start=1):
+        per = 0
+        for first, p in stsc_runs:
+            if first <= ci:
+                per = p
+            else:
+                break
+        pos = coff
+        for _ in range(per):
+            if si >= len(sizes):
+                return ranges
+            sz = sizes[si]
+            if pos + sz > n:  # truncated file: keep the samples we have
+                return ranges
+            ranges.append((pos, sz))
+            pos += sz
+            si += 1
+    return ranges
+
+
+def extract_samples(
+    data: bytes, track_index: int = 0, kind: str = "video"
+) -> list[bytes]:
+    """The sample payload bytes themselves (convenience over
+    video_sample_ranges). Never raises."""
+    return [data[o : o + s] for o, s in video_sample_ranges(data, track_index, kind)]
+
+
+# ---------------------------------------------------------------------------
 # Minimal writer — enough structure for parse_mp4 and for any standard
-# tool to recognize the container. Payload samples are OPAQUE (no codec
-# encode); this is the synthesis side of the documented decode boundary.
+# tool to recognize the container. Pass `samples` to embed real per-frame
+# payloads with full stsz/stsc/stco addressing (e.g. JPEG frames from
+# jpeg.encode_jpeg make a genuine MJPEG file); the bare `mdat` form keeps
+# the opaque-payload synthesis side of the H.26x decode boundary.
 # ---------------------------------------------------------------------------
 
 
@@ -187,10 +308,20 @@ def write_minimal_mp4(
     fps: int = 10,
     codec: str = "avc1",
     mdat: bytes = b"",
+    samples: list[bytes] | None = None,
+    samples_per_chunk: int = 4,
 ) -> bytes:
     """A tiny valid ISO-BMFF container: ftyp + moov(mvhd, one video trak
-    with tkhd/mdhd/hdlr/minf/stbl(stsd, stts)) + mdat."""
+    with tkhd/mdhd/hdlr/minf/stbl(stsd, stts)) + mdat.
+
+    With `samples`, each list element becomes one addressable sample:
+    mdat carries their concatenation, grouped into chunks of
+    `samples_per_chunk`, and the stbl gains stsz/stsc/stco with correct
+    absolute offsets (n_frames is then len(samples))."""
     timescale = 1000
+    if samples is not None:
+        n_frames = len(samples)
+        mdat = b"".join(samples)
     duration = int(n_frames * timescale / fps)
 
     mvhd = _box(
@@ -239,10 +370,52 @@ def write_minimal_mp4(
         struct.pack(">B3xI", 0, 1)
         + struct.pack(">II", n_frames, timescale // fps),
     )
-    stbl = _box("stbl", stsd + stts)
-    minf = _box("minf", stbl)  # vmhd/dinf omitted: not needed to parse
-    mdia = _box("mdia", mdhd + hdlr + minf)
-    trak = _box("trak", tkhd + mdia)
-    moov = _box("moov", mvhd + trak)
-    ftyp = _box("ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
-    return ftyp + moov + _box("mdat", mdat)
+    def build(chunk_offsets: list[int]) -> bytes:
+        tables = stsd + stts
+        if samples is not None:
+            per = max(1, samples_per_chunk)
+            stsz = _box(
+                "stsz",
+                struct.pack(">B3xII", 0, 0, len(samples))
+                + struct.pack(f">{len(samples)}I", *map(len, samples)),
+            )
+            # one stsc run covers all full chunks; a second covers the
+            # short tail chunk (if any) — exercises multi-run resolution
+            runs = [(1, per)]
+            tail = len(samples) % per
+            n_chunks = (len(samples) + per - 1) // per
+            if tail and n_chunks > 1:
+                runs.append((n_chunks, tail))
+            stsc = _box(
+                "stsc",
+                struct.pack(">B3xI", 0, len(runs))
+                + b"".join(struct.pack(">III", f, p, 1) for f, p in runs),
+            )
+            stco = _box(
+                "stco",
+                struct.pack(">B3xI", 0, len(chunk_offsets))
+                + struct.pack(f">{len(chunk_offsets)}I", *chunk_offsets),
+            )
+            tables += stsz + stsc + stco
+        stbl = _box("stbl", tables)
+        minf = _box("minf", stbl)  # vmhd/dinf omitted: not needed to parse
+        mdia = _box("mdia", mdhd + hdlr + minf)
+        trak = _box("trak", tkhd + mdia)
+        moov = _box("moov", mvhd + trak)
+        ftyp = _box("ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+        return ftyp + moov + _box("mdat", mdat)
+
+    if samples is None:
+        return build([])
+    # chunk offsets are absolute file positions inside mdat's body; the
+    # moov size is independent of the offset VALUES (count is fixed), so
+    # build once with placeholders to measure, then rebuild for real
+    per = max(1, samples_per_chunk)
+    n_chunks = (len(samples) + per - 1) // per
+    placeholder = build([0] * n_chunks)
+    base = len(placeholder) - len(mdat)  # mdat body starts here
+    offsets, pos = [], base
+    for c in range(n_chunks):
+        offsets.append(pos)
+        pos += sum(len(s) for s in samples[c * per : (c + 1) * per])
+    return build(offsets)

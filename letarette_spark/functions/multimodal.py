@@ -6,8 +6,12 @@ for struct-layout formats: 24-bit BMP images and PCM-16 WAV audio are
 decoded with pure numpy (functions/codecs.py — actual pixels/samples
 feed mean-luma, aHash, nearest-neighbor resize, RMS and duration).
 
-Formats that genuinely need external codecs (JPEG, MP4, ...) fall back to
-a clearly-marked DETERMINISTIC FAKE (features derived from sha256 of the
+JPEG (baseline/progressive/arithmetic) decodes for real too (jpeg.py),
+and MP4 containers parse AND extract for real (mp4.py box tree + sample
+addressing), so MJPEG video tracks yield real frame pixels end-to-end
+(sample_frames / video_frame_features). Only formats that genuinely need
+an external codec (inter-coded H.264/H.265 frames) fall back to a
+clearly-marked DETERMINISTIC FAKE (features derived from sha256 of the
 payload): pipelines, joins and tests behave exactly as they would with a
 real decoder, and plugging one in is a one-function change
 (`set_decoder`). Calling `require_real_decoder()` raises
@@ -94,15 +98,17 @@ def set_decoder(fn: Callable[[bytes], dict]) -> None:
 
 def require_real_decoder() -> None:
     """The explicit stub boundary for CODEC-level decode still missing
-    here: H.264/H.265 frame pixels. BMP, PNG, baseline, progressive AND
-    arithmetic-coded JPEG (huffman + QM-coded SOF9/SOF10), and PCM WAV
-    decode for real (codecs.py, jpeg.py, jpeg_arith.py) and MP4
-    CONTAINER structure parses for real (mp4.py: duration, tracks,
-    codec fourcc, dimensions, frame count) — only the
-    compressed-video-frame pixel decode is faked."""
+    here: INTER-coded video frame pixels (H.264/H.265). BMP, PNG,
+    baseline, progressive AND arithmetic-coded JPEG (huffman + QM-coded
+    SOF9/SOF10), and PCM WAV decode for real (codecs.py, jpeg.py,
+    jpeg_arith.py); MP4 CONTAINER structure parses for real (mp4.py:
+    duration, tracks, codec fourcc, dimensions, frame count) INCLUDING
+    sample extraction (stsz/stsc/stco byte ranges), so intra-coded MJPEG
+    tracks decode to real pixels end-to-end (video_frame_features) —
+    only inter-frame codec decode is faked."""
     raise NotImplementedError(
-        "real video frame decoding requires ffmpeg, not present here; "
-        "install one and call set_decoder()"
+        "real inter-coded video frame decoding (H.264/H.265) requires "
+        "ffmpeg, not present here; install one and call set_decoder()"
     )
 
 
@@ -121,21 +127,43 @@ def synthesize_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                 height = 48 + (i % 12) * 8 if kind != "audio" else None
                 duration = 1000 + i % 9000 if kind != "image" else None
                 if kind == "video":
-                    # REAL ISO-BMFF container (mp4.py) around opaque
-                    # frame payload bytes — the parse path downstream
-                    # exercises genuine box structure
+                    # REAL ISO-BMFF container (mp4.py). Every third video
+                    # is a genuine MJPEG: real JPEG frames (jpeg.py
+                    # encoder) with full stsz/stsc/stco addressing, so
+                    # the extract->decode path downstream sees real
+                    # pixels; the rest stay opaque 'avc1' payloads (the
+                    # inter-frame-codec boundary).
                     from letarette_spark.functions.mp4 import write_minimal_mp4
 
                     fps = 10 + (i % 3) * 5
-                    data = write_minimal_mp4(
-                        width=width,
-                        height=height,
-                        n_frames=max(1, duration * fps // 1000),
-                        fps=fps,
-                        mdat=rng.integers(
-                            0, 256, size=256 + (i % 512), dtype=np.uint8
-                        ).tobytes(),
-                    )
+                    if i % 9 == 2:
+                        from letarette_spark.functions.jpeg import encode_jpeg
+
+                        frames = []
+                        for k in range(3 + i % 3):
+                            y, x = np.mgrid[0:16, 0:16]
+                            px = np.stack(
+                                [(x * 16 + k * 31 + i) % 256,
+                                 (y * 16) % 256,
+                                 ((x + y) * 8 + k * 17) % 256],
+                                axis=-1,
+                            ).astype(np.uint8)
+                            frames.append(encode_jpeg(px, quality=90))
+                        width, height = 16, 16
+                        data = write_minimal_mp4(
+                            width=16, height=16, fps=fps, codec="jpeg",
+                            samples=frames, samples_per_chunk=2,
+                        )
+                    else:
+                        data = write_minimal_mp4(
+                            width=width,
+                            height=height,
+                            n_frames=max(1, duration * fps // 1000),
+                            fps=fps,
+                            mdat=rng.integers(
+                                0, 256, size=256 + (i % 512), dtype=np.uint8
+                            ).tobytes(),
+                        )
                 else:
                     data = rng.integers(
                         0, 256, size=256 + (i % 512), dtype=np.uint8
@@ -282,39 +310,51 @@ def video_metadata(media: DataFrame) -> DataFrame:
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame sampling plumbing: one output row per sampled frame —
-    demonstrates the 1->N mapInPandas fan-out a real ffmpeg sampler
-    uses. For MP4 payloads the sampling GRID is real (frame count and
-    timing from the parsed stts/mdhd boxes); the frame PIXELS are the
-    documented fake boundary (codec decode needs ffmpeg —
-    require_real_decoder)."""
+    """Frame sampling: one output row per sampled frame (the 1->N
+    mapInPandas fan-out a real sampler uses). For MP4 payloads the
+    sampling GRID is real (frame count and timing from the parsed
+    stts/mdhd boxes) and, when the container carries sample addressing
+    tables (stsz/stsc/stco), the FRAME BYTES are the real extracted
+    sample payloads — for intra-coded tracks (MJPEG: codec 'jpeg'/
+    'mjpa'/'mjpb') each one is a complete JPEG that decodes to pixels
+    downstream. Only tracks without addressing tables, or whose frames
+    need an inter-frame codec, fall back to the deterministic sha fake
+    (require_real_decoder)."""
 
     def fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from letarette_spark.functions.mp4 import parse_mp4
+        from letarette_spark.functions.mp4 import parse_mp4, video_sample_ranges
 
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                meta = parse_mp4(bytes(r.data))
+                data = bytes(r.data)
+                meta = parse_mp4(data)
                 duration = (meta or {}).get("duration_ms") or int(
                     r.duration_ms or 0
                 )
                 n_frames = max(1, duration // every_ms)
+                n_samples = None
                 if meta is not None:
                     vts = [
                         t for t in meta["tracks"]
                         if t["kind"] == "video" and t["n_samples"]
                     ]
                     if vts:  # can't sample more frames than the track has
-                        n_frames = min(n_frames, vts[0]["n_samples"])
-                base = hashlib.sha256(bytes(r.data)).digest()
+                        n_samples = vts[0]["n_samples"]
+                        n_frames = min(n_frames, n_samples)
+                ranges = video_sample_ranges(data) if meta is not None else []
+                base = hashlib.sha256(data).digest()
                 for i in range(n_frames):
+                    if ranges:
+                        # even spacing over the real sample list
+                        off, sz = ranges[i * len(ranges) // n_frames]
+                        frame = data[off : off + sz]
+                    else:
+                        frame = hashlib.sha256(
+                            base + i.to_bytes(4, "big")
+                        ).digest()
                     rows.append(
-                        {
-                            "media_id": r.media_id,
-                            "frame_idx": i,
-                            "frame": hashlib.sha256(base + i.to_bytes(4, "big")).digest(),
-                        }
+                        {"media_id": r.media_id, "frame_idx": i, "frame": frame}
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
@@ -322,6 +362,51 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         media.filter(F.col("kind") == "video")
         .select("media_id", "duration_ms", "data")
         .mapInPandas(fs, schema=FRAME_SCHEMA)
+    )
+
+
+FRAME_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_luma", T.DoubleType(), False),
+        T.StructField("phash", T.LongType(), False),
+    ]
+)
+
+
+def video_frame_features(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """sample_frames -> per-frame image features. Frames extracted from
+    intra-coded tracks (MJPEG) decode to REAL pixels through the same
+    decoder the image path uses (decode_image dispatches on the JPEG
+    magic); inter-coded frames get the deterministic fake, same as
+    images in unknown formats. This is the end-to-end video analog of
+    image_features: real container parse -> real sample extraction ->
+    real JPEG decode, no external codec."""
+
+    def feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                d = _DECODER(bytes(r.frame))
+                rows.append(
+                    {
+                        "media_id": r.media_id,
+                        "frame_idx": r.frame_idx,
+                        "width": d.get("width"),
+                        "height": d.get("height"),
+                        "mean_luma": float(d["mean_luma"]),
+                        "phash": int(d["phash"]),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_FEATURES_SCHEMA.fields]
+            )
+
+    return sample_frames(media, every_ms).mapInPandas(
+        feat, schema=FRAME_FEATURES_SCHEMA
     )
 
 

@@ -96,9 +96,10 @@ def test_video_metadata_over_real_containers(spark):
     vids = {r["media_id"]: r for r in video_metadata(media).collect()}
     assert vids, "corpus must contain videos"
     for mid, r in vids.items():
-        # every synthesized video is a REAL ISO-BMFF container
+        # every synthesized video is a REAL ISO-BMFF container; most are
+        # opaque avc1, every third is a genuine MJPEG track
         assert r["container"] == "isom", r
-        assert r["codec"] == "avc1"
+        assert r["codec"] == ("jpeg" if mid % 9 == 2 else "avc1")
         assert r["width"] and r["height"]
         assert r["n_frames"] >= 1
         assert r["fps"] in (10.0, 15.0, 20.0)

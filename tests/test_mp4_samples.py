@@ -1,0 +1,153 @@
+"""MP4 sample extraction (stsz/stsc/stco) and the real MJPEG frame
+pipeline: container -> sample byte ranges -> our own JPEG decoder ->
+actual pixels, with fuzz robustness matching parse_mp4's guarantee.
+
+Reference parity note: the reference treats media as opaque payloads;
+this closes the brief's multimodal decode boundary for intra-coded
+video with no external codec (mp4.py + jpeg.py only)."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from letarette_spark.functions.jpeg import decode_jpeg, encode_jpeg
+from letarette_spark.functions.mp4 import (
+    extract_samples,
+    parse_mp4,
+    video_sample_ranges,
+    write_minimal_mp4,
+)
+
+
+def _frames(n: int, w: int = 32, h: int = 24, seed: int = 0) -> list[tuple[np.ndarray, bytes]]:
+    out = []
+    for k in range(n):
+        y, x = np.mgrid[0:h, 0:w]
+        px = np.stack(
+            [(x * 8 + k * 13 + seed) % 256, (y * 10) % 256, ((x + y) * 4) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        out.append((px, encode_jpeg(px, quality=92)))
+    return out
+
+
+class TestSampleRanges:
+    def test_multichunk_roundtrip(self):
+        frames = [jp for _px, jp in _frames(7)]
+        data = write_minimal_mp4(
+            width=32, height=24, fps=5, codec="jpeg",
+            samples=frames, samples_per_chunk=3,
+        )
+        meta = parse_mp4(data)
+        (trk,) = meta["tracks"]
+        assert trk["codec"] == "jpeg" and trk["n_samples"] == 7
+        ranges = video_sample_ranges(data)
+        assert len(ranges) == 7
+        assert [data[o : o + s] for o, s in ranges] == frames
+        assert extract_samples(data) == frames
+
+    def test_uniform_size_and_single_chunk(self):
+        samples = [b"ab" * 8, b"cd" * 8, b"ef" * 8]  # equal sizes
+        data = write_minimal_mp4(samples=samples, samples_per_chunk=99)
+        assert extract_samples(data) == samples
+
+    def test_tail_chunk_stsc_run(self):
+        samples = [bytes([i]) * ((i % 5) + 1) for i in range(10)]
+        data = write_minimal_mp4(samples=samples, samples_per_chunk=4)
+        assert extract_samples(data) == samples
+
+    def test_no_addressing_tables_gives_empty(self):
+        data = write_minimal_mp4(mdat=b"\x00" * 64)  # legacy opaque form
+        assert parse_mp4(data) is not None
+        assert video_sample_ranges(data) == []
+
+    def test_non_container_gives_empty(self):
+        assert video_sample_ranges(b"") == []
+        assert video_sample_ranges(b"\x00" * 100) == []
+
+    def test_truncated_mdat_keeps_in_bounds_samples(self):
+        frames = [jp for _px, jp in _frames(5)]
+        data = write_minimal_mp4(samples=frames, samples_per_chunk=2)
+        # cut inside the last sample: extraction stops at the boundary
+        cut = data[: len(data) - len(frames[-1]) // 2]
+        got = extract_samples(cut)
+        assert got == frames[:4]
+
+    def test_fuzz_never_raises(self):
+        frames = [jp for _px, jp in _frames(4, w=16, h=16)]
+        data = write_minimal_mp4(samples=frames, samples_per_chunk=2)
+        rng = random.Random(7)
+        for cut in range(0, len(data), 37):
+            video_sample_ranges(data[:cut])
+        b = bytearray(data)
+        for _ in range(500):
+            i = rng.randrange(len(b))
+            old = b[i]
+            b[i] = rng.randrange(256)
+            video_sample_ranges(bytes(b))
+            b[i] = old
+        for _ in range(300):
+            blob = bytes(rng.getrandbits(8) for _ in range(rng.randrange(0, 400)))
+            video_sample_ranges(blob)
+
+
+class TestMJPEGDecode:
+    def test_extracted_frames_decode_to_real_pixels(self):
+        pairs = _frames(4)
+        data = write_minimal_mp4(
+            width=32, height=24, fps=5, codec="jpeg",
+            samples=[jp for _px, jp in pairs], samples_per_chunk=2,
+        )
+        for (src, _jp), sample in zip(pairs, extract_samples(data)):
+            px = decode_jpeg(sample)
+            assert px is not None and px.shape == (24, 32, 3)
+            # quality-92 JPEG: decoded pixels close to the source image
+            err = np.abs(px.astype(int) - src.astype(int)).mean()
+            assert err < 12.0, err
+
+
+@pytest.mark.usefixtures("spark")
+class TestSparkFramePipeline:
+    def test_sample_frames_returns_real_jpeg_bytes(self, spark):
+        from letarette_spark.functions.multimodal import (
+            sample_frames,
+            synthesize_media,
+        )
+
+        media = synthesize_media(spark, 30).cache()
+        frames = sample_frames(media, every_ms=100).collect()
+        mjpeg_ids = {i for i in range(30) if i % 9 == 2}
+        assert mjpeg_ids
+        seen_real = seen_fake = 0
+        for f in frames:
+            if f["media_id"] in mjpeg_ids:
+                assert bytes(f["frame"])[:2] == b"\xff\xd8", f["media_id"]
+                seen_real += 1
+            else:
+                assert len(bytes(f["frame"])) == 32  # sha-256 fake
+                seen_fake += 1
+        assert seen_real and seen_fake
+        media.unpersist()
+
+    def test_video_frame_features_real_pixels(self, spark):
+        from letarette_spark.functions.multimodal import (
+            synthesize_media,
+            video_frame_features,
+        )
+
+        media = synthesize_media(spark, 30).cache()
+        rows = video_frame_features(media, every_ms=100).collect()
+        mjpeg_ids = {i for i in range(30) if i % 9 == 2}
+        got_mjpeg = [r for r in rows if r["media_id"] in mjpeg_ids]
+        got_fake = [r for r in rows if r["media_id"] not in mjpeg_ids]
+        assert got_mjpeg and got_fake
+        for r in got_mjpeg:
+            # real decode: authoritative dimensions + plausible luma
+            assert r["width"] == 16 and r["height"] == 16
+            assert 0.0 < r["mean_luma"] < 1.0
+        for r in got_fake:
+            assert r["width"] is None and r["height"] is None
+        media.unpersist()
