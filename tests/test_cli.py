@@ -1,0 +1,146 @@
+"""The lrcli-analog CLI (letarette_spark/cli.py): every subcommand driven
+end-to-end over a real temp index, same command surface as
+/root/reference/cmd/lrcli/main.go:38-67."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from letarette_spark.cli import main
+
+
+@pytest.fixture(scope="module")
+def cli_index(spark, tmp_path_factory):
+    """An index built THROUGH the CLI load command from a JSON docs file."""
+    base = tmp_path_factory.mktemp("cli")
+    docs_json = base / "docs.json"
+    with open(docs_json, "w") as f:
+        for i in range(40):
+            f.write(json.dumps({
+                "id": f"d{i}",
+                "title": f"title {i}",
+                "text": f"the quick brown fox number {i} jumps over value "
+                        + ("lazy dog " * (1 + i % 3)),
+            }) + "\n")
+    root = str(base / "idx")
+    rc = main(["load", "-d", root, "docs", str(docs_json)])
+    assert rc == 0
+    return root, str(docs_json)
+
+
+class TestCLI:
+    def test_load_builds_then_upserts(self, cli_index, capsys):
+        root, docs_json = cli_index
+        # second load over an existing index takes the upsert path
+        rc = main(["load", "-d", root, "docs", docs_json, "-m", "5"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "upserted" in out
+
+    def test_search_prints_hits_and_trailer(self, cli_index, capsys):
+        root, _ = cli_index
+        rc = main(["search", "-d", root, "-l", "5", "docs", "fox"])
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        assert any(line.startswith("docs\td") for line in out)
+        assert out[-1].startswith("-- index_hit:")
+
+    def test_search_missing_phrase_errors(self, cli_index):
+        root, _ = cli_index
+        with pytest.raises(SystemExit):
+            main(["search", "-d", root, "docs"])
+
+    def test_index_stats(self, cli_index, capsys):
+        root, _ = cli_index
+        assert main(["index", "stats", "-d", root]) == 0
+        out = capsys.readouterr().out
+        assert "documents: 40" in out  # the -m 5 upsert replaced existing ids
+        assert "terms:" in out and "top terms:" in out
+
+    def test_index_check_ok_and_stemmer_warning(self, cli_index, capsys):
+        root, _ = cli_index
+        assert main(["index", "check", "-d", root]) == 0
+        assert "index OK" in capsys.readouterr().out
+        # mismatched expected analyzer prints the reference's warning
+        assert main(["index", "check", "-d", root,
+                     "--mode", "letarette", "--languages", "swedish"]) == 0
+        assert "mismatch" in capsys.readouterr().out
+
+    def test_index_optimize(self, cli_index, capsys):
+        root, _ = cli_index
+        assert main(["index", "optimize", "-d", root]) == 0
+        did = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert did["stopwords"] is True
+
+    def test_spelling_update(self, cli_index, capsys):
+        root, _ = cli_index
+        assert main(["spelling", "update", "2", "-d", root]) == 0
+        assert "spelling table updated" in capsys.readouterr().out
+
+    def test_synonyms_roundtrip(self, cli_index, tmp_path, capsys):
+        root, _ = cli_index
+        syn = tmp_path / "syn.json"
+        syn.write_text(json.dumps([
+            {"description": "canines", "words": ["dog", "hound"]},
+        ]))
+        assert main(["synonyms", "-d", root, str(syn)]) == 0
+        capsys.readouterr()
+        assert main(["synonyms", "-d", root]) == 0
+        dumped = [json.loads(l) for l in
+                  capsys.readouterr().out.strip().splitlines()]
+        assert dumped == [["canines", ["dog", "hound"]]]
+
+    def test_sql_over_index_views(self, cli_index, capsys):
+        root, _ = cli_index
+        assert main(["sql", "-d", root,
+                     "SELECT count(*) AS n FROM docs WHERE alive"]) == 0
+        assert "4" in capsys.readouterr().out
+
+    def test_monitor_snapshot(self, cli_index, capsys):
+        root, _ = cli_index
+        assert main(["monitor", root]) == 0
+        out = capsys.readouterr().out
+        assert root in out
+
+    def test_env(self, capsys):
+        assert main(["env"]) == 0
+        assert "pyspark:" in capsys.readouterr().out
+
+    def test_forcestemmer_restamps_manifest(self, spark, tmp_path, capsys):
+        # build a tiny throwaway index (don't mutate the shared fixture)
+        docs_json = tmp_path / "d.json"
+        with open(docs_json, "w") as f:
+            for i in range(5):
+                f.write(json.dumps({"id": f"x{i}", "title": "t",
+                                    "text": f"alpha beta gamma {i}"}) + "\n")
+        root = str(tmp_path / "idx2")
+        assert main(["load", "-d", root, "docs", str(docs_json)]) == 0
+        from letarette_spark.analysis.tokenizer import AnalyzerConfig
+        from letarette_spark.index.builder import Index
+
+        with pytest.raises(ValueError):
+            Index.open(spark, root, AnalyzerConfig(mode="porter"))
+        assert main(["index", "forcestemmer", "-d", root,
+                     "--mode", "porter"]) == 0
+        Index.open(spark, root, AnalyzerConfig(mode="porter"))  # now accepted
+
+    def test_index_rebuild_swaps_atomically(self, spark, tmp_path, capsys):
+        docs_json = tmp_path / "d.json"
+        with open(docs_json, "w") as f:
+            for i in range(6):
+                f.write(json.dumps({"id": f"r{i}", "title": "t",
+                                    "text": f"delta epsilon {i}"}) + "\n")
+        root = str(tmp_path / "idx3")
+        assert main(["load", "-d", root, "docs", str(docs_json)]) == 0
+        assert main(["index", "rebuild", "-d", root]) == 0
+        assert "rebuilt" in capsys.readouterr().out
+        assert not os.path.exists(root + ".rebuild")
+        assert not os.path.exists(root + ".pre-rebuild")
+        from letarette_spark.index.builder import Index
+        from letarette_spark.query.executor import Searcher
+
+        res = Searcher(Index.open(spark, root)).search("epsilon", limit=3)
+        assert res.hits
