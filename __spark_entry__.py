@@ -170,6 +170,32 @@ def q_engine_wildcard_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Batch-retrieval gate queries (query/batch.py): analyzed under the simple
+# mode (no stemming/stopwords/synonyms) these become exactly the qterms
+# VALUES literal in the oracle twin — keep the two in lockstep.
+BATCH_QUERIES = ["key", "value", "key value", "key -value"]
+
+
+def q_batch_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-queries-in-one-job batch retrieval (query/batch.py): term-pruned
+    narrow postings scan ⋈ broadcast query terms → in-plan phrase df →
+    BM25 doc aggregate → per-query top-k window. Hash-verified against a
+    DuckDB twin that mirrors the same relational plan over the raw
+    documents table (simple analyzer: tokenization is SQL-expressible)."""
+    from letarette_spark.query.batch import search_batch
+    from letarette_spark.query.executor import Searcher
+
+    idx = _engine_index_simple(spark, sf_dir)
+    s = Searcher(idx, stopwords=frozenset(), synonyms={})
+    out = search_batch(s, BATCH_QUERIES, limit=5)
+    return (
+        out.select(
+            "query_id", "rank", "rowid", F.round("score", 6).alias("score")
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def q_term_stats(spark, sf_dir):
     from letarette_spark.functions.simple_text import term_stats
 
@@ -478,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_candidates": q_stopword_candidates,
         "doc_token_counts": q_doc_token_counts,
         "bm25_topk": q_bm25_topk,
+        "batch_bm25": q_batch_bm25,
         "match_and": q_match_and,
         "match_not": q_match_not,
         "match_prefix": q_match_prefix,
@@ -571,6 +598,77 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_token_counts": f"""
             SELECT doc_id, len({_ARR})::BIGINT AS dl FROM documents
+        """,
+        # batch_bm25: mirror of search_batch's relational plan. qterms is
+        # the simple-mode analysis of BATCH_QUERIES (keep in lockstep);
+        # title weight 5.0 / body 1.0, dl = title+body tokens, phrase df
+        # over the whole corpus BEFORE excludes, BM25(k1=1.2, b=0.75) with
+        # the <=0 -> 1e-6 idf clamp, engine sign (negative-is-better),
+        # rank after exclusion, ties on rowid.
+        "batch_bm25": f"""
+            WITH d AS (
+              SELECT doc_id AS rowid,
+                     list_filter(regexp_split_to_array(lower(source), '[^a-z0-9]+'),
+                                 x -> length(x) >= 2) AS ta,
+                     {_ARR} AS ba
+              FROM documents
+            ),
+            qterms(query_id, pidx, excl, term, n_inc) AS (
+              VALUES ('0', 0, false, 'key',   1),
+                     ('1', 0, false, 'value', 1),
+                     ('2', 0, false, 'key',   2),
+                     ('2', 1, false, 'value', 2),
+                     ('3', 0, false, 'key',   1),
+                     ('3', 1, true,  'value', 1)
+            ),
+            stats AS (
+              SELECT count(*)::DOUBLE AS n,
+                     sum(len(ta) + len(ba))::DOUBLE / count(*) AS avgdl
+              FROM d
+            ),
+            tf AS (
+              SELECT q.query_id, q.pidx, q.excl, q.n_inc, d.rowid,
+                     (len(ta) + len(ba))::DOUBLE AS dl,
+                     (5.0 * len(list_filter(ta, x -> x = q.term))
+                      + 1.0 * len(list_filter(ba, x -> x = q.term))) AS tfw
+              FROM d CROSS JOIN qterms q
+              WHERE len(list_filter(ta, x -> x = q.term))
+                    + len(list_filter(ba, x -> x = q.term)) > 0
+            ),
+            ph AS (
+              SELECT *, count(*) OVER (PARTITION BY query_id, pidx) AS df
+              FROM tf
+            ),
+            docs AS (
+              SELECT query_id, rowid, n_inc,
+                     sum( (CASE WHEN ln((stats.n - df + 0.5)/(df + 0.5)) <= 0
+                                THEN 1e-6
+                                ELSE ln((stats.n - df + 0.5)/(df + 0.5)) END)
+                          * tfw * 2.2
+                          / (tfw + 1.2 * (0.25 + 0.75 * dl / stats.avgdl)) )
+                       AS pos_score,
+                     count(*) AS nph
+              FROM ph CROSS JOIN stats
+              WHERE NOT excl
+              GROUP BY query_id, rowid, n_inc
+            ),
+            kept AS (
+              SELECT dd.query_id, dd.rowid, -dd.pos_score AS score
+              FROM docs dd
+              LEFT JOIN (SELECT DISTINCT query_id, rowid FROM ph WHERE excl) e
+                ON dd.query_id = e.query_id AND dd.rowid = e.rowid
+              WHERE dd.nph = dd.n_inc AND e.rowid IS NULL
+            ),
+            ranked AS (
+              SELECT query_id,
+                     row_number() OVER (
+                       PARTITION BY query_id ORDER BY score ASC, rowid ASC
+                     )::INTEGER AS rank,
+                     rowid, round(score, 6) AS score
+              FROM kept
+            )
+            SELECT query_id, rank, rowid, score FROM ranked
+            WHERE rank <= 5 ORDER BY query_id, rank
         """,
         "bm25_topk": f"""
             WITH tok AS ({_TOK}),
