@@ -170,6 +170,33 @@ def q_engine_wildcard_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontam_report(spark, sf_dir):
+    """Benchmark decontamination (functions/decontam.py): per-doc count of
+    8-gram shingles shared with a 'benchmark' slice (doc_id % 20 == 0) —
+    broadcast benchmark shingles, zero corpus-wide shuffle to find hits."""
+    from letarette_spark.functions.decontam import decontamination_report
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    train = d.filter(F.col("doc_id") % 20 != 0)
+    return decontamination_report(train, bench, n=8).orderBy("doc_id")
+
+
+def q_decontam_pairs(spark, sf_dir):
+    """(training doc, benchmark doc) pairs sharing >= 1 distinct 8-gram,
+    with the shared-shingle count."""
+    from letarette_spark.functions.decontam import contaminated_pairs
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    train = d.filter(F.col("doc_id") % 20 != 0)
+    return (
+        contaminated_pairs(train, bench, n=8)
+        .select("doc_id", "bench_id", "n_shared")
+        .orderBy("doc_id", "bench_id")
+    )
+
+
 # Batch-retrieval gate queries (query/batch.py): analyzed under the simple
 # mode (no stemming/stopwords/synonyms) these become exactly the qterms
 # VALUES literal in the oracle twin — keep the two in lockstep.
@@ -505,6 +532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_counts": q_doc_token_counts,
         "bm25_topk": q_bm25_topk,
         "batch_bm25": q_batch_bm25,
+        "decontam_report": q_decontam_report,
+        "decontam_pairs": q_decontam_pairs,
         "match_and": q_match_and,
         "match_not": q_match_not,
         "match_prefix": q_match_prefix,
@@ -598,6 +627,50 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_token_counts": f"""
             SELECT doc_id, len({_ARR})::BIGINT AS dl FROM documents
+        """,
+        # decontamination twins: 8-gram shingles, per-doc DISTINCT on both
+        # sides (dedup.shingles semantics); benchmark slice doc_id % 20.
+        "decontam_report": f"""
+            WITH t AS (SELECT doc_id, {_ARR} AS toks FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(greatest(len(toks) - 7, 0)),
+                       i -> array_to_string(toks[i+1:i+8], ' '))) AS shs
+              FROM t
+            ),
+            bench AS (
+              SELECT DISTINCT unnest(shs) AS shingle FROM sh
+              WHERE doc_id % 20 = 0
+            ),
+            train AS (SELECT doc_id, shs FROM sh WHERE doc_id % 20 <> 0),
+            m AS (
+              SELECT doc_id, count(*)::BIGINT AS n_matched
+              FROM (SELECT doc_id, unnest(shs) AS shingle FROM train) d
+              JOIN bench USING (shingle)
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   len(d.shs)::BIGINT AS n_total,
+                   coalesce(m.n_matched, 0)::BIGINT AS n_matched,
+                   coalesce(m.n_matched, 0) > 0 AS contaminated
+            FROM train d LEFT JOIN m USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "decontam_pairs": f"""
+            WITH t AS (SELECT doc_id, {_ARR} AS toks FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       range(greatest(len(toks) - 7, 0)),
+                       i -> array_to_string(toks[i+1:i+8], ' ')))) AS shingle
+              FROM t
+            )
+            SELECT d.doc_id, b.doc_id AS bench_id, count(*)::BIGINT AS n_shared
+            FROM (SELECT * FROM sh WHERE doc_id % 20 <> 0) d
+            JOIN (SELECT * FROM sh WHERE doc_id % 20 = 0) b USING (shingle)
+            GROUP BY d.doc_id, b.doc_id
+            ORDER BY d.doc_id, bench_id
         """,
         # batch_bm25: mirror of search_batch's relational plan. qterms is
         # the simple-mode analysis of BATCH_QUERIES (keep in lockstep);
