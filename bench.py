@@ -382,6 +382,39 @@ def main() -> None:
             )
             timed("simhash", lambda: simhash64(documents).count())
 
+            # batch retrieval: 32 queries resolved in ONE job (the offline
+            # fan-in path, query/batch.py) — compare against 32× the warm
+            # per-query latency below to see the amortization
+            from letarette_spark.query.batch import search_batch
+
+            words = [
+                "value", "key", "table", "index", "parser", "buffer",
+                "token", "query", "search", "document", "config",
+                "handler", "client", "server", "worker", "shard",
+            ]
+            batch_qs = words + [
+                f"{a} {b}" for a, b in zip(words, words[1:] + words[:1])
+            ]
+            timed(
+                "batch_search_32q",
+                lambda: search_batch(searcher, batch_qs, limit=10).count(),
+            )
+
+            # benchmark decontamination: one corpus scan + broadcast
+            # semi-join against a doc_id%20 'benchmark' slice
+            from letarette_spark.functions.decontam import (
+                decontamination_report,
+            )
+
+            timed(
+                "decontam_report",
+                lambda: decontamination_report(
+                    documents.filter(F.col("doc_id") % 20 != 0),
+                    documents.filter(F.col("doc_id") % 20 == 0),
+                    n=8,
+                ).count(),
+            )
+
             # query-latency distribution over warm repeats (reference lrload
             # reports mean/median/p90/p95/p99 — cmd/lrload/main.go:317-358)
             for _ in range(3):
@@ -454,6 +487,7 @@ def main() -> None:
             "load": load_samples,
             "query_latency": latency,
             "suite_r01_total": round(sum(best[k] for k in r01_set), 4),
+            "batch_queries_per_sec": round(32 / best["batch_search_32q"], 2),
             "sharded": sharded,
             "sf1": sf1,
         },
