@@ -170,6 +170,27 @@ def q_engine_wildcard_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_fraction(spark, sf_dir):
+    """Deterministic Bernoulli sample (functions/sampling.py): md5-derived
+    unit hash < 0.1 — a pure zero-shuffle filter, same subset at any
+    partitioning/cluster size."""
+    from letarette_spark.functions.sampling import hash_sample
+
+    return hash_sample(_docs(spark, sf_dir), 0.1, seed=42).select(
+        "doc_id"
+    ).orderBy("doc_id")
+
+
+def q_sample_quota(spark, sf_dir):
+    """Exactly-20-per-language quota sample: the 20 smallest unit hashes
+    per stratum, ties by key — deterministic, partition-independent."""
+    from letarette_spark.functions.sampling import quota_sample
+
+    return quota_sample(_docs(spark, sf_dir), "lang", 20, seed=42).select(
+        "lang", "doc_id"
+    ).orderBy("lang", "doc_id")
+
+
 def q_decontam_report(spark, sf_dir):
     """Benchmark decontamination (functions/decontam.py): per-doc count of
     8-gram shingles shared with a 'benchmark' slice (doc_id % 20 == 0) —
@@ -532,6 +553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_counts": q_doc_token_counts,
         "bm25_topk": q_bm25_topk,
         "batch_bm25": q_batch_bm25,
+        "sample_fraction": q_sample_fraction,
+        "sample_quota": q_sample_quota,
         "decontam_report": q_decontam_report,
         "decontam_pairs": q_decontam_pairs,
         "match_and": q_match_and,
@@ -627,6 +650,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_token_counts": f"""
             SELECT doc_id, len({_ARR})::BIGINT AS dl FROM documents
+        """,
+        # sampling twins: unit hash = first 8 md5 hex chars of
+        # '<seed>:<key>' over 2^32 (same identity as sampling.unit_hash)
+        "sample_fraction": """
+            SELECT doc_id FROM documents
+            WHERE ('0x' || substr(md5('42:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                  / 4294967296.0 < 0.1
+            ORDER BY doc_id
+        """,
+        "sample_quota": """
+            WITH h AS (
+              SELECT lang, doc_id,
+                     ('0x' || substr(md5('42:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                     / 4294967296.0 AS u
+              FROM documents
+            )
+            SELECT lang, doc_id FROM (
+              SELECT lang, doc_id,
+                     row_number() OVER (
+                       PARTITION BY lang ORDER BY u ASC, doc_id::VARCHAR ASC
+                     ) AS rn
+              FROM h
+            ) WHERE rn <= 20
+            ORDER BY lang, doc_id
         """,
         # decontamination twins: 8-gram shingles, per-doc DISTINCT on both
         # sides (dedup.shingles semantics); benchmark slice doc_id % 20.

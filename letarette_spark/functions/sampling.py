@@ -1,0 +1,104 @@
+"""Deterministic, partition-independent sampling for training-data
+pipelines.
+
+``df.sample()`` is seed×partitioning dependent — the same seed yields a
+different subset after a repartition, which breaks resumable pipelines
+and cross-run comparisons. These operators derive a uniform [0, 1) value
+from md5(seed, key) per ROW KEY instead, so the subset is a pure function
+of (seed, key): stable across partitionings, cluster sizes, and reruns,
+and expressible in any SQL engine (the DuckDB twins).
+
+Scale shape:
+* ``hash_sample`` / ``stratified_sample`` — a pure column-expression
+  filter: zero shuffle, pushes into the scan's surviving-row pipeline.
+* ``quota_sample`` — exactly-k-per-stratum needs a per-stratum order: one
+  shuffle on the stratum key + a row_number window. For huge strata pass
+  ``prefilter`` (an over-sampling fraction ≥ quota/stratum_size): rows
+  are hash-filtered BEFORE the window, shrinking the sort input while
+  returning the identical subset (the k smallest hashes all survive any
+  prefilter that keeps ≥ k rows — if a stratum keeps fewer, you chose the
+  fraction too low and the result is short for that stratum).
+* ``take_deterministic`` — global smallest-k by hash via orderBy+limit
+  (Spark's distributed TakeOrdered heap, no single-reducer sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_TWO32 = float(1 << 32)
+
+
+def unit_hash(key_col: str = "doc_id", seed: int = 42) -> Column:
+    """Uniform double in [0, 1) derived from md5('<seed>:<key>') — the
+    first 8 hex chars as an integer over 2^32. Exactly reproducible in
+    SQL: ('0x' || substr(md5(...), 1, 8))::BIGINT / 4294967296.0."""
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(_TWO32)
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, key_col: str = "doc_id", seed: int = 42
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows with unit_hash < fraction.
+    Pure filter — zero shuffle; same subset at any partitioning."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(unit_hash(key_col, seed) < fraction)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli fractions (e.g. language quotas as rates):
+    still a pure zero-shuffle filter — the per-stratum threshold is a
+    CASE expression, not a join."""
+    thr = F.lit(float(default))
+    for k, v in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(thr)
+    return df.filter(unit_hash(key_col, seed) < thr)
+
+
+def quota_sample(
+    df: DataFrame,
+    strata_col: str,
+    quota: int,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    prefilter: float | None = None,
+) -> DataFrame:
+    """EXACTLY min(quota, |stratum|) rows per stratum: the quota smallest
+    unit_hash values, ties broken by key. Deterministic and partition-
+    independent. ``prefilter`` hash-filters before the window (see module
+    docstring) to bound the per-stratum sort at scale."""
+    if quota < 1:
+        raise ValueError(f"quota must be >= 1, got {quota}")
+    h = unit_hash(key_col, seed)
+    src = df.filter(h < prefilter) if prefilter is not None else df
+    w = Window.partitionBy(strata_col).orderBy(
+        h.asc(), F.col(key_col).cast("string").asc()
+    )
+    return (
+        src.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .drop("__rn")
+    )
+
+
+def take_deterministic(
+    df: DataFrame, k: int, key_col: str = "doc_id", seed: int = 42
+) -> DataFrame:
+    """The k globally smallest unit_hash rows (ties by key): a stable
+    'random' head at any scale — orderBy+limit compiles to a distributed
+    top-k heap, never a global sort."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return df.orderBy(
+        unit_hash(key_col, seed).asc(), F.col(key_col).cast("string").asc()
+    ).limit(k)

@@ -1,0 +1,99 @@
+"""Deterministic sampling (functions/sampling.py): partition independence,
+exact quotas, prefilter equivalence, zero-shuffle plans."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from letarette_spark.functions.sampling import (
+    hash_sample,
+    quota_sample,
+    stratified_sample,
+    take_deterministic,
+    unit_hash,
+)
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    langs = ["go", "py", "md", "rs"]
+    return spark.createDataFrame(
+        [(i, langs[i % 4], f"doc {i}") for i in range(400)],
+        "doc_id long, lang string, text string",
+    )
+
+
+def _ids(frame):
+    return sorted(r["doc_id"] for r in frame.collect())
+
+
+def test_hash_sample_deterministic_and_partition_independent(df):
+    a = _ids(hash_sample(df, 0.2, seed=7))
+    b = _ids(hash_sample(df.repartition(13), 0.2, seed=7))
+    assert a == b and a  # same subset at any partitioning
+    # roughly the right size (md5 uniformity; wide tolerance)
+    assert 0.10 * 400 < len(a) < 0.30 * 400
+    # a different seed gives a different subset
+    assert a != _ids(hash_sample(df, 0.2, seed=8))
+    # monotone in fraction: smaller sample nests inside larger
+    assert set(a) <= set(_ids(hash_sample(df, 0.5, seed=7)))
+
+
+def test_hash_sample_bounds(df):
+    assert _ids(hash_sample(df, 0.0)) == []
+    assert len(_ids(hash_sample(df, 1.0))) == 400
+    with pytest.raises(ValueError):
+        hash_sample(df, 1.5)
+
+
+def test_stratified_fractions(df):
+    out = stratified_sample(df, "lang", {"go": 0.5, "py": 0.1}, seed=3)
+    rows = out.groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in rows}
+    assert set(by_lang) <= {"go", "py"}  # default 0.0 drops the rest
+    assert by_lang["go"] > by_lang.get("py", 0)
+    # per-row membership equals the plain hash_sample at that fraction
+    go_only = {r["doc_id"] for r in out.filter("lang = 'go'").collect()}
+    expect = {
+        r["doc_id"]
+        for r in hash_sample(df.filter("lang = 'go'"), 0.5, seed=3).collect()
+    }
+    assert go_only == expect
+
+
+def test_quota_exact_counts(df):
+    out = quota_sample(df, "lang", 17, seed=5)
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert counts == {"go": 17, "py": 17, "md": 17, "rs": 17}
+    # quota above the stratum size returns the whole stratum
+    out2 = quota_sample(df, "lang", 500, seed=5)
+    assert out2.count() == 400
+    # deterministic + partition independent
+    assert _ids(out) == _ids(quota_sample(df.repartition(9), "lang", 17, seed=5))
+
+
+def test_quota_prefilter_equivalence(df):
+    base = _ids(quota_sample(df, "lang", 10, seed=11))
+    # generous prefilter keeps >= 10 rows/stratum -> identical subset
+    pre = _ids(quota_sample(df, "lang", 10, seed=11, prefilter=0.8))
+    assert base == pre
+
+
+def test_take_deterministic(df):
+    a = take_deterministic(df, 25, seed=2)
+    b = take_deterministic(df.repartition(17), 25, seed=2)
+    assert _ids(a) == _ids(b) and a.count() == 25
+    # the 25 selected are exactly the smallest unit_hash rows
+    ranked = df.select("doc_id", unit_hash(seed=2).alias("h")).collect()
+    want = sorted(r["doc_id"] for r in sorted(ranked, key=lambda r: (r["h"], str(r["doc_id"])))[:25])
+    assert _ids(a) == want
+
+
+def test_filter_plans_have_no_exchange(df):
+    for frame in (
+        hash_sample(df, 0.3, seed=1),
+        stratified_sample(df, "lang", {"go": 0.5}, seed=1),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "sampling filters must not shuffle"
