@@ -170,6 +170,42 @@ def q_engine_wildcard_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_augmented(spark, sf_dir):
+    """The corpus text with deterministic synthetic PII appended (the raw
+    corpus contains none) — identical string algebra in the DuckDB twin."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or https://example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call 555-123-4567"),
+        ).alias("text"),
+    )
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing (functions/redact.py): chained regexp_replace over
+    url/email/ipv4/ssn/phone in one zero-shuffle scan; output hashed so
+    the driver compares full redacted text byte-for-byte."""
+    from letarette_spark.functions.redact import redact
+
+    out = redact(_pii_augmented(spark, sf_dir))
+    return out.select(
+        "doc_id", F.md5(F.col("text")).alias("redacted_md5")
+    ).orderBy("doc_id")
+
+
+def q_pii_counts(spark, sf_dir):
+    """Per-doc PII match counts (audit view for drop-vs-redact policy)."""
+    from letarette_spark.functions.redact import pii_counts
+
+    return pii_counts(_pii_augmented(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_sample_fraction(spark, sf_dir):
     """Deterministic Bernoulli sample (functions/sampling.py): md5-derived
     unit hash < 0.1 — a pure zero-shuffle filter, same subset at any
@@ -553,6 +589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_counts": q_doc_token_counts,
         "bm25_topk": q_bm25_topk,
         "batch_bm25": q_batch_bm25,
+        "pii_redact": q_pii_redact,
+        "pii_counts": q_pii_counts,
         "sample_fraction": q_sample_fraction,
         "sample_quota": q_sample_quota,
         "decontam_report": q_decontam_report,
@@ -605,10 +643,23 @@ def _lsh_bucket_sql(planes: list[list[float]], vec: str = "v") -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from letarette_spark.functions.redact import PII_PATTERNS
     from letarette_spark.functions.similarity import _hyperplanes
     from letarette_spark.functions.textstats import LANG_PROFILES
 
     from letarette_spark.functions.textstats import LANG_TRIGRAM_TIERS
+
+    # chained redaction expression + per-kind count columns, generated
+    # from the SAME ordered pattern table the Spark operator uses
+    _PII_REDACT_EXPR = "t"
+    for _k, (_pat, _repl) in PII_PATTERNS.items():
+        _PII_REDACT_EXPR = (
+            f"regexp_replace({_PII_REDACT_EXPR}, '{_pat}', '{_repl}', 'g')"
+        )
+    _PII_COUNT_COLS = ", ".join(
+        f"len(regexp_extract_all(t, '{pat}'))::BIGINT AS n_{k}"
+        for k, (pat, _r) in PII_PATTERNS.items()
+    )
 
     terms_in = ", ".join(f"'{t}'" for t in QUERY_TERMS)
     phrase = " ".join(QUERY_TERMS)
@@ -650,6 +701,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_token_counts": f"""
             SELECT doc_id, len({_ARR})::BIGINT AS dl FROM documents
+        """,
+        # PII twins: same augmented text algebra, same patterns in the
+        # same order (imported from redact.PII_PATTERNS — single source of
+        # truth), DuckDB regexp_replace with the 'g' flag to match Spark's
+        # replace-all default.
+        "pii_redact": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' reach user' || doc_id::VARCHAR
+                          || '@mail.example.com or https://example.com/p/'
+                          || doc_id::VARCHAR
+                          || ' ip 10.0.' || (doc_id % 256)::VARCHAR
+                          || '.7 call 555-123-4567' AS t
+              FROM documents
+            )
+            SELECT doc_id, md5({_PII_REDACT_EXPR}) AS redacted_md5
+            FROM aug ORDER BY doc_id
+        """,
+        "pii_counts": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' reach user' || doc_id::VARCHAR
+                          || '@mail.example.com or https://example.com/p/'
+                          || doc_id::VARCHAR
+                          || ' ip 10.0.' || (doc_id % 256)::VARCHAR
+                          || '.7 call 555-123-4567' AS t
+              FROM documents
+            )
+            SELECT doc_id, {_PII_COUNT_COLS}
+            FROM aug ORDER BY doc_id
         """,
         # sampling twins: unit hash = first 8 md5 hex chars of
         # '<seed>:<key>' over 2^32 (same identity as sampling.unit_hash)
