@@ -170,6 +170,45 @@ def q_engine_wildcard_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multiline_augmented(spark, sf_dir):
+    """Corpus text given deterministic line structure (the raw corpus is
+    single-line): a unique trailer per doc + a shared 2-line footer on
+    even doc_ids — identical string algebra in the DuckDB twins."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nuniq "), F.col("doc_id").cast("string"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("\nCopyright Example Corp\nAll rights reserved"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_boilerplate_lines(spark, sf_dir):
+    """Cross-document boilerplate detection (functions/boilerplate.py):
+    lines whose document frequency >= 2 over the line-augmented corpus."""
+    from letarette_spark.functions.boilerplate import boilerplate_lines
+
+    return boilerplate_lines(
+        _multiline_augmented(spark, sf_dir), min_df=2
+    ).orderBy("line")
+
+
+def q_boilerplate_clean(spark, sf_dir):
+    """Boilerplate removal: per-doc md5 of the cleaned text (remaining
+    lines in original order) so the driver compares byte-for-byte."""
+    from letarette_spark.functions.boilerplate import remove_boilerplate_lines
+
+    out = remove_boilerplate_lines(_multiline_augmented(spark, sf_dir), min_df=2)
+    return out.select(
+        "doc_id", F.md5(F.col("text")).alias("clean_md5")
+    ).orderBy("doc_id")
+
+
 def _pii_augmented(spark, sf_dir):
     """The corpus text with deterministic synthetic PII appended (the raw
     corpus contains none) — identical string algebra in the DuckDB twin."""
@@ -589,6 +628,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_counts": q_doc_token_counts,
         "bm25_topk": q_bm25_topk,
         "batch_bm25": q_batch_bm25,
+        "boilerplate_lines": q_boilerplate_lines,
+        "boilerplate_clean": q_boilerplate_clean,
         "pii_redact": q_pii_redact,
         "pii_counts": q_pii_counts,
         "sample_fraction": q_sample_fraction,
@@ -701,6 +742,59 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_token_counts": f"""
             SELECT doc_id, len({_ARR})::BIGINT AS dl FROM documents
+        """,
+        # boilerplate twins: lockstep unnest(list)+unnest(range) preserves
+        # line positions; blank lines never counted/removed; df counts
+        # DISTINCT docs (in-doc repeats count once).
+        "boilerplate_lines": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text || chr(10) || 'uniq ' || doc_id::VARCHAR ||
+                     CASE WHEN doc_id % 2 = 0
+                          THEN chr(10) || 'Copyright Example Corp'
+                               || chr(10) || 'All rights reserved'
+                          ELSE '' END AS t
+              FROM documents
+            ),
+            l AS (
+              SELECT doc_id, unnest(string_split(t, chr(10))) AS line
+              FROM aug
+            )
+            SELECT line, count(DISTINCT doc_id)::BIGINT AS df
+            FROM l WHERE trim(line) <> ''
+            GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+            ORDER BY line
+        """,
+        "boilerplate_clean": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text || chr(10) || 'uniq ' || doc_id::VARCHAR ||
+                     CASE WHEN doc_id % 2 = 0
+                          THEN chr(10) || 'Copyright Example Corp'
+                               || chr(10) || 'All rights reserved'
+                          ELSE '' END AS t
+              FROM documents
+            ),
+            l AS (
+              SELECT doc_id,
+                     unnest(string_split(t, chr(10))) AS line,
+                     unnest(range(len(string_split(t, chr(10))))) AS pos
+              FROM aug
+            ),
+            bp AS (
+              SELECT line FROM (
+                SELECT line, count(DISTINCT doc_id) AS df
+                FROM l WHERE trim(line) <> '' GROUP BY line
+              ) WHERE df >= 2
+            ),
+            kept AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean
+              FROM l ANTI JOIN bp USING (line)
+              GROUP BY doc_id
+            )
+            SELECT a.doc_id, md5(coalesce(k.clean, '')) AS clean_md5
+            FROM aug a LEFT JOIN kept k USING (doc_id)
+            ORDER BY a.doc_id
         """,
         # PII twins: same augmented text algebra, same patterns in the
         # same order (imported from redact.PII_PATTERNS — single source of
