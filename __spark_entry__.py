@@ -188,6 +188,19 @@ def _multiline_augmented(spark, sf_dir):
     )
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Token-window chunking (functions/chunking.py): 40-token windows
+    with 8-token overlap; md5 of each chunk so the driver compares the
+    exact window text."""
+    from letarette_spark.functions.chunking import chunk_documents
+
+    out = chunk_documents(_docs(spark, sf_dir), max_tokens=40, overlap=8)
+    return out.select(
+        "doc_id", "chunk_idx",
+        F.md5(F.col("chunk")).alias("chunk_md5"), "n_tokens",
+    ).orderBy("doc_id", "chunk_idx")
+
+
 def q_boilerplate_lines(spark, sf_dir):
     """Cross-document boilerplate detection (functions/boilerplate.py):
     lines whose document frequency >= 2 over the line-augmented corpus."""
@@ -628,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_counts": q_doc_token_counts,
         "bm25_topk": q_bm25_topk,
         "batch_bm25": q_batch_bm25,
+        "chunk_documents": q_chunk_documents,
         "boilerplate_lines": q_boilerplate_lines,
         "boilerplate_clean": q_boilerplate_clean,
         "pii_redact": q_pii_redact,
@@ -742,6 +756,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_token_counts": f"""
             SELECT doc_id, len({_ARR})::BIGINT AS dl FROM documents
+        """,
+        # chunking twin: starts advance by step=32 (max 40, overlap 8);
+        # last admissible start = len - overlap - 1 (no fully-contained
+        # tails); Spark's inclusive sequence == range(0, last+1, step)
+        "chunk_documents": f"""
+            WITH t AS (SELECT doc_id, {_ARR} AS toks FROM documents),
+            c AS (
+              SELECT doc_id, toks,
+                     unnest(range(0, greatest(len(toks) - 9, 0) + 1, 32)) AS s
+              FROM t WHERE len(toks) > 0
+            )
+            SELECT doc_id,
+                   (s // 32)::INTEGER AS chunk_idx,
+                   md5(array_to_string(toks[s+1:s+40], ' ')) AS chunk_md5,
+                   len(toks[s+1:s+40])::BIGINT AS n_tokens
+            FROM c ORDER BY doc_id, chunk_idx
         """,
         # boilerplate twins: lockstep unnest(list)+unnest(range) preserves
         # line positions; blank lines never counted/removed; df counts
