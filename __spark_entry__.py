@@ -279,6 +279,17 @@ def q_sample_quota(spark, sf_dir):
     ).orderBy("lang", "doc_id")
 
 
+def q_sample_temperature(spark, sf_dir):
+    """Temperature-mixed sample (alpha=0.5): per-language quotas
+    proportional to sqrt(count), the multilingual data-mixing rule;
+    exact quotas, smallest-unit-hash members."""
+    from letarette_spark.functions.sampling import temperature_sample
+
+    return temperature_sample(
+        _docs(spark, sf_dir), "lang", 150, alpha=0.5, seed=42
+    ).select("lang", "doc_id").orderBy("lang", "doc_id")
+
+
 def q_decontam_report(spark, sf_dir):
     """Benchmark decontamination (functions/decontam.py): per-doc count of
     8-gram shingles shared with a 'benchmark' slice (doc_id % 20 == 0) —
@@ -648,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_counts": q_pii_counts,
         "sample_fraction": q_sample_fraction,
         "sample_quota": q_sample_quota,
+        "sample_temperature": q_sample_temperature,
         "decontam_report": q_decontam_report,
         "decontam_pairs": q_decontam_pairs,
         "match_and": q_match_and,
@@ -879,6 +891,30 @@ def oracle_sql() -> dict[str, str]:
               FROM h
             ) WHERE rn <= 20
             ORDER BY lang, doc_id
+        """,
+        "sample_temperature": """
+            WITH c AS (
+              SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang
+            ),
+            w AS (SELECT lang, n, sqrt(n) AS wa FROM c),
+            tot AS (SELECT sum(wa) AS tw FROM w),
+            q AS (
+              SELECT lang,
+                     least(floor(150.0 * wa / tw), n)::BIGINT AS quota
+              FROM w, tot
+            ),
+            h AS (
+              SELECT lang, doc_id,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY ('0x' || substr(md5('42:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                                / 4294967296.0 ASC,
+                                doc_id::VARCHAR ASC
+                     ) AS rn
+              FROM documents
+            )
+            SELECT lang, doc_id FROM h JOIN q USING (lang)
+            WHERE rn <= quota ORDER BY lang, doc_id
         """,
         # decontamination twins: 8-gram shingles, per-doc DISTINCT on both
         # sides (dedup.shingles semantics); benchmark slice doc_id % 20.

@@ -91,6 +91,57 @@ def quota_sample(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    target_rows: int,
+    alpha: float = 0.5,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-mixed sample: per-stratum quotas proportional to
+    count^alpha (the multilingual data-mixing rule — alpha=1 keeps the
+    natural distribution, alpha→0 flattens toward uniform), totalling at
+    most *target_rows*. Quotas are exact: quota_s = min(floor(target ·
+    count_s^alpha / Σ count^alpha), count_s); rows are the quota smallest
+    unit hashes per stratum — deterministic and partition-independent.
+
+    NOTE for cross-engine twins: alpha=0.5 (sqrt) is IEEE-correctly
+    rounded everywhere; other alphas go through pow(), which may differ
+    by an ulp between libms and flip a floor() at a boundary.
+
+    Plan: two tiny aggregates over the stratum key (broadcast back) + one
+    per-stratum window — the same single shuffle quota_sample pays."""
+    if target_rows < 1:
+        raise ValueError(f"target_rows must be >= 1, got {target_rows}")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__n")
+    )
+    wa = counts.withColumn("__wa", F.pow("__n", float(alpha)))
+    tot = wa.agg(F.sum("__wa").alias("__tw"))
+    quotas = (
+        wa.crossJoin(F.broadcast(tot))
+        .select(
+            strata_col,
+            F.least(
+                F.floor(F.lit(float(target_rows)) * F.col("__wa") / F.col("__tw")),
+                F.col("__n"),
+            ).cast("long").alias("__quota"),
+        )
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        unit_hash(key_col, seed).asc(), F.col(key_col).cast("string").asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(quotas), strata_col)
+        .filter(F.col("__rn") <= F.col("__quota"))
+        .drop("__rn", "__quota")
+    )
+
+
 def take_deterministic(
     df: DataFrame, k: int, key_col: str = "doc_id", seed: int = 42
 ) -> DataFrame:

@@ -11,6 +11,7 @@ from letarette_spark.functions.sampling import (
     quota_sample,
     stratified_sample,
     take_deterministic,
+    temperature_sample,
     unit_hash,
 )
 
@@ -88,6 +89,43 @@ def test_take_deterministic(df):
     ranked = df.select("doc_id", unit_hash(seed=2).alias("h")).collect()
     want = sorted(r["doc_id"] for r in sorted(ranked, key=lambda r: (r["h"], str(r["doc_id"])))[:25])
     assert _ids(a) == want
+
+
+def test_temperature_quotas(spark):
+    """Skewed strata: 300 'en', 80 'fr', 20 'zh'; target 100, alpha=0.5.
+    weights sqrt: 17.32/8.94/4.47 (sum 30.74) -> quotas floor(100*w/S) =
+    56 / 29 / 14."""
+    import math
+
+    df = spark.createDataFrame(
+        [(i, "en" if i < 300 else ("fr" if i < 380 else "zh"), "t")
+         for i in range(400)],
+        "doc_id long, lang string, text string",
+    )
+    out = temperature_sample(df, "lang", 100, alpha=0.5, seed=3)
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    s = math.sqrt(300) + math.sqrt(80) + math.sqrt(20)
+    want = {
+        "en": int(100 * math.sqrt(300) / s),
+        "fr": int(100 * math.sqrt(80) / s),
+        "zh": int(100 * math.sqrt(20) / s),
+    }
+    assert counts == want
+    # alpha=1 keeps the natural proportions; quota caps at stratum size
+    nat = temperature_sample(df, "lang", 400, alpha=1.0, seed=3)
+    ncounts = {r["lang"]: r["count"] for r in nat.groupBy("lang").count().collect()}
+    assert ncounts == {"en": 300, "fr": 80, "zh": 20}
+    # alpha=0 flattens to equal quotas (pow(n,0)=1)
+    flat = temperature_sample(df, "lang", 60, alpha=0.0, seed=3)
+    fcounts = {r["lang"]: r["count"] for r in flat.groupBy("lang").count().collect()}
+    assert fcounts == {"en": 20, "fr": 20, "zh": 20}
+    # deterministic + partition independent
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_sample(df.repartition(11), "lang", 100, 0.5, seed=3).collect()
+    )
+    assert a == b
 
 
 def test_filter_plans_have_no_exchange(df):
