@@ -279,6 +279,20 @@ def q_sample_quota(spark, sf_dir):
     ).orderBy("lang", "doc_id")
 
 
+def q_cluster_split(spark, sf_dir):
+    """Leakage-safe train/test split (functions/sampling.py
+    split_by_cluster): near-dup clusters (jaccard >= 0.05 components)
+    land in one split atomically; singletons hash individually."""
+    from letarette_spark.functions.dedup import jaccard_pairs
+    from letarette_spark.functions.sampling import split_by_cluster
+
+    d = _docs(spark, sf_dir)
+    pairs = jaccard_pairs(d, n=3, threshold=0.05)
+    return split_by_cluster(d, pairs, test_fraction=0.1, seed=42).orderBy(
+        "doc_id"
+    )
+
+
 def q_sample_temperature(spark, sf_dir):
     """Temperature-mixed sample (alpha=0.5): per-language quotas
     proportional to sqrt(count), the multilingual data-mixing rule;
@@ -660,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_fraction": q_sample_fraction,
         "sample_quota": q_sample_quota,
         "sample_temperature": q_sample_temperature,
+        "cluster_split": q_cluster_split,
         "decontam_report": q_decontam_report,
         "decontam_pairs": q_decontam_pairs,
         "match_and": q_match_and,
@@ -891,6 +906,41 @@ def oracle_sql() -> dict[str, str]:
               FROM h
             ) WHERE rn <= 20
             ORDER BY lang, doc_id
+        """,
+        # cluster_split: same jaccard-pair reachability as dedup_clusters,
+        # then the unit-hash split keyed on the component id (singletons =
+        # their own component via the left-join coalesce)
+        "cluster_split": f"""
+            WITH RECURSIVE arr AS (SELECT doc_id, {_ARR} AS a FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                     unnest(list_transform(range(greatest(len(a) - 2, 0)),
+                            i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3])) AS shingle
+                   FROM arr),
+            sizes AS (SELECT doc_id, count(*)::DOUBLE AS sz FROM sh GROUP BY doc_id),
+            inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*)::DOUBLE AS i
+                      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                      GROUP BY x.doc_id, y.doc_id),
+            pairs AS (SELECT a, b FROM inter
+                      JOIN sizes sa ON sa.doc_id = a
+                      JOIN sizes sb ON sb.doc_id = b
+                      WHERE i / (sa.sz + sb.sz - i) >= 0.05),
+            edges AS (SELECT a AS u, b AS v FROM pairs
+                      UNION ALL SELECT b, a FROM pairs),
+            nodes AS (SELECT DISTINCT u AS id FROM edges),
+            reach(id, n) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT r.id, e.v FROM reach r JOIN edges e ON e.u = r.n
+            ),
+            comp AS (SELECT id, min(n) AS component FROM reach GROUP BY id)
+            SELECT d.doc_id,
+                   coalesce(c.component, d.doc_id) AS component,
+                   CASE WHEN ('0x' || substr(md5('42:' ||
+                               coalesce(c.component, d.doc_id)::VARCHAR), 1, 8))::BIGINT
+                             / 4294967296.0 < 0.1
+                        THEN 'test' ELSE 'train' END AS split
+            FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+            ORDER BY d.doc_id
         """,
         "sample_temperature": """
             WITH c AS (

@@ -30,11 +30,12 @@ from pyspark.sql import functions as F
 _TWO32 = float(1 << 32)
 
 
-def unit_hash(key_col: str = "doc_id", seed: int = 42) -> Column:
+def unit_hash(key_col: Column | str = "doc_id", seed: int = 42) -> Column:
     """Uniform double in [0, 1) derived from md5('<seed>:<key>') — the
     first 8 hex chars as an integer over 2^32. Exactly reproducible in
     SQL: ('0x' || substr(md5(...), 1, 8))::BIGINT / 4294967296.0."""
-    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string")))
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    h = F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string")))
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(_TWO32)
 
 
@@ -139,6 +140,53 @@ def temperature_sample(
         .join(F.broadcast(quotas), strata_col)
         .filter(F.col("__rn") <= F.col("__quota"))
         .drop("__rn", "__quota")
+    )
+
+
+def split_by_cluster(
+    df: DataFrame,
+    pairs: DataFrame,
+    test_fraction: float = 0.1,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+    seed: int = 42,
+) -> DataFrame:
+    """Leakage-safe train/test split: near-duplicate CLUSTERS (connected
+    components of *pairs*) land in one split atomically, so a document
+    can never have a near-twin on the other side of the split — the
+    failure mode a plain row-level split has on any deduplicatable
+    corpus. Docs outside the pair graph are their own singleton cluster.
+
+    Returns (id, component, split) with split ∈ {'train', 'test'}; the
+    decision is unit_hash(component) < test_fraction — deterministic,
+    partition-independent, and stable under adding unrelated documents.
+
+    Plan: the component propagation is dedup.connected_components
+    (O(log diameter) rounds over the pair graph ONLY — tiny next to the
+    corpus); the corpus-side cost is one left join against that small
+    frame + a pure hash filter."""
+    if not 0.0 <= test_fraction <= 1.0:
+        raise ValueError(
+            f"test_fraction must be in [0, 1], got {test_fraction}"
+        )
+    from letarette_spark.functions.dedup import connected_components
+
+    comp = connected_components(pairs, a_col, b_col).withColumnRenamed(
+        "id", "__cid"
+    )
+    comp_col = F.coalesce(F.col("component"), F.col(id_col)).alias("component")
+    out = (
+        df.select(id_col)
+        .join(comp, F.col(id_col) == F.col("__cid"), "left")
+        .select(id_col, comp_col)
+    )
+    return out.select(
+        id_col,
+        "component",
+        F.when(unit_hash(F.col("component"), seed) < test_fraction, "test")
+        .otherwise("train")
+        .alias("split"),
     )
 
 

@@ -128,6 +128,35 @@ def test_temperature_quotas(spark):
     assert a == b
 
 
+def test_split_by_cluster(spark):
+    from letarette_spark.functions.sampling import split_by_cluster
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(1, 9)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "a long, b long"
+    )
+    out = {r["doc_id"]: r for r in split_by_cluster(docs, pairs, 0.3, seed=4).collect()}
+    assert set(out) == set(range(1, 9))
+    # clusters are atomic: {1,2,3} share a component AND a split
+    assert out[1]["component"] == out[2]["component"] == out[3]["component"] == 1
+    assert out[1]["split"] == out[2]["split"] == out[3]["split"]
+    assert out[5]["component"] == out[6]["component"] == 5
+    assert out[5]["split"] == out[6]["split"]
+    # singletons are their own component
+    for i in (4, 7, 8):
+        assert out[i]["component"] == i
+    # extreme fractions
+    all_train = split_by_cluster(docs, pairs, 0.0).filter("split = 'test'").count()
+    all_test = split_by_cluster(docs, pairs, 1.0).filter("split = 'train'").count()
+    assert all_train == 0 and all_test == 0
+    # deterministic under repartition
+    a = sorted(map(tuple, split_by_cluster(docs, pairs, 0.3, seed=4).collect()))
+    b = sorted(map(tuple, split_by_cluster(docs.repartition(5), pairs, 0.3, seed=4).collect()))
+    assert a == b
+
+
 def test_filter_plans_have_no_exchange(df):
     for frame in (
         hash_sample(df, 0.3, seed=1),

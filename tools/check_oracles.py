@@ -3,6 +3,7 @@ __spark_entry__ query on Spark AND its DuckDB oracle at the given sf dir,
 compare row count, column names, and order-insensitive values.
 
 Usage: python tools/check_oracles.py [sf_dir] [--skip name1,name2]
+                                     [--only name1,name2]
 
 sf_dir tables may be single parquet FILES (the driver's testdata) or
 Spark parquet DIRECTORIES named <table>.parquet (tools/gen_big_sf.py
@@ -45,7 +46,11 @@ def norm_rows(cols, rows):
     return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
 
 
-def main(sf_dir: str, skip: frozenset[str] = frozenset()) -> int:
+def main(
+    sf_dir: str,
+    skip: frozenset[str] = frozenset(),
+    only: frozenset[str] = frozenset(),
+) -> int:
     spark = get_spark(app_name="oracle_check")
     con = duckdb.connect()
     for t in TABLES:
@@ -60,7 +65,13 @@ def main(sf_dir: str, skip: frozenset[str] = frozenset()) -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown --only entries: {sorted(unknown)}")
+        return 1
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         if name in skip:
             print(f"  {name:24s} SKIP (--skip)")
             continue
@@ -104,6 +115,9 @@ if __name__ == "__main__":
     ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
     ap.add_argument("--skip", default="",
                     help="comma-separated query names to exclude")
+    ap.add_argument("--only", default="",
+                    help="comma-separated query names to run exclusively")
     args = ap.parse_args()
     skip = frozenset(s for s in args.skip.split(",") if s)
-    sys.exit(main(args.sf_dir, skip))
+    only = frozenset(s for s in args.only.split(",") if s)
+    sys.exit(main(args.sf_dir, skip, only))
