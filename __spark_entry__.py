@@ -188,6 +188,28 @@ def _multiline_augmented(spark, sf_dir):
     )
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """Corpus-trained bigram-LM perplexity (functions/lm_score.py) — the
+    CCNet-style fluency signal; add-k smoothing, exact model, rounded to
+    6 decimals for cross-engine value hashing."""
+    from letarette_spark.functions.lm_score import lm_perplexity
+
+    return lm_perplexity(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Cross-document sequence packing (functions/packing.py): 96-token
+    budget, 4 pack groups; md5 of the packed text so the driver compares
+    exact sequence content."""
+    from letarette_spark.functions.packing import pack_sequences
+
+    out = pack_sequences(_docs(spark, sf_dir), budget=96, n_groups=4)
+    return out.select(
+        "group", "seq_idx", "n_tokens", "n_docs",
+        F.md5(F.col("seq")).alias("seq_md5"),
+    ).orderBy("group", "seq_idx")
+
+
 def q_chunk_documents(spark, sf_dir):
     """Token-window chunking (functions/chunking.py): 40-token windows
     with 8-token overlap; md5 of each chunk so the driver compares the
@@ -666,6 +688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_counts": q_doc_token_counts,
         "bm25_topk": q_bm25_topk,
         "batch_bm25": q_batch_bm25,
+        "lm_perplexity": q_lm_perplexity,
+        "pack_sequences": q_pack_sequences,
         "chunk_documents": q_chunk_documents,
         "boilerplate_lines": q_boilerplate_lines,
         "boilerplate_clean": q_boilerplate_clean,
@@ -783,6 +807,62 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_token_counts": f"""
             SELECT doc_id, len({_ARR})::BIGINT AS dl FROM documents
+        """,
+        # bigram-LM perplexity twin: identical add-k=0.5 model (bigram
+        # counts, context counts from the bigram table, vocab = distinct
+        # tokens), entropy = -avg log2 P, both engines round to 6
+        "lm_perplexity": f"""
+            WITH t AS (SELECT doc_id, {_ARR} AS toks FROM documents),
+            ex AS (SELECT doc_id, toks,
+                          unnest(range(1, len(toks))) AS i FROM t),
+            ev AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 FROM ex),
+            m2 AS (SELECT w1, w2, count(*)::DOUBLE AS c2
+                   FROM ev GROUP BY w1, w2),
+            m1 AS (SELECT w1, sum(c2) AS c1 FROM m2 GROUP BY w1),
+            v AS (SELECT count(DISTINCT term)::DOUBLE AS vv FROM ({_TOK})),
+            sc AS (
+              SELECT ev.doc_id, count(*)::BIGINT AS nb,
+                     -avg(log2((c2 + 0.5) / (c1 + 0.5 * vv))) AS ent
+              FROM ev JOIN m2 USING (w1, w2) JOIN m1 USING (w1), v
+              GROUP BY ev.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(nb, 0)::BIGINT AS n_bigrams,
+                   round(ent, 6) AS entropy,
+                   round(pow(2.0, ent), 6) AS perplexity
+            FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+            ORDER BY d.doc_id
+        """,
+        # packing twin: same md5-prefix key (32-bit, = unit_hash * 2^32),
+        # group = key % 4, exclusive prefix sum of token counts in
+        # (key, doc_id) order, sequence = global position // 96; parallel
+        # unnests zip (position with token)
+        "pack_sequences": f"""
+            WITH t AS (
+              SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS k,
+                     doc_id, {_ARR} AS toks
+              FROM documents
+            ),
+            g AS (SELECT (k % 4)::INTEGER AS grp, k, doc_id, toks,
+                         len(toks) AS dl
+                  FROM t WHERE len(toks) > 0),
+            s AS (SELECT *,
+                         sum(dl) OVER (
+                           PARTITION BY grp ORDER BY k, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                         ) - dl AS strt
+                  FROM g),
+            ev AS (SELECT grp, doc_id,
+                          strt + unnest(range(len(toks))) AS pos,
+                          unnest(toks) AS tok
+                   FROM s)
+            SELECT grp AS "group",
+                   (pos // 96)::BIGINT AS seq_idx,
+                   count(*)::BIGINT AS n_tokens,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs,
+                   md5(string_agg(tok, ' ' ORDER BY pos)) AS seq_md5
+            FROM ev GROUP BY grp, pos // 96
+            ORDER BY "group", seq_idx
         """,
         # chunking twin: starts advance by step=32 (max 40, overlap 8);
         # last admissible start = len - overlap - 1 (no fully-contained

@@ -343,6 +343,7 @@ def build_index(
     docs_buckets: int = DEFAULT_DOC_BUCKETS,
     prefix_lengths: tuple[int, ...] = DEFAULT_PREFIX_LENGTHS,
     verify_sha256: bool = False,
+    snapshot_retention: int = 1,
     fail_after_chunks: int | None = None,  # test hook: simulate a killed build
 ) -> BuildResult:
     """Build (or resume) the inverted index at *root*.
@@ -351,6 +352,11 @@ def build_index(
     optionally rowid / content_sha256. Chunking key is a stable hash of
     doc_id, so a resumed build over the same input processes exactly the
     not-yet-committed chunks regardless of input partitioning.
+
+    ``snapshot_retention`` > 1 keeps that many committed snapshots readable
+    via ``Index.open(..., snapshot_id=n)`` (Iceberg-style time travel);
+    mutation-path GC then preserves any data dir a retained snapshot still
+    references, and ``index.incremental.expire_snapshots`` reclaims them.
     """
     config = config or AnalyzerConfig()
     if "rowid" not in docs.columns:
@@ -496,6 +502,7 @@ def build_index(
             "prefix_lengths": sorted(int(x) for x in prefix_lengths),
             "prefix_buckets": PREFIX_BUCKETS if prefix_lengths else None,
             "prefix_tail": bool(prefix_lengths),
+            "snapshot_retention": max(1, int(snapshot_retention)),
             "plan": plan,
         }
     )
@@ -522,8 +529,25 @@ class Index:
     meta: dict
 
     @classmethod
-    def open(cls, spark: SparkSession, root: str, config: AnalyzerConfig | None = None) -> "Index":
-        man = Manifest.load(root)
+    def open(
+        cls,
+        spark: SparkSession,
+        root: str,
+        config: AnalyzerConfig | None = None,
+        snapshot_id: int | None = None,
+    ) -> "Index":
+        """Open the committed index, or — with *snapshot_id* — a retained
+        older snapshot (time travel, the Iceberg ``VERSION AS OF`` analog;
+        requires the index to have been built/maintained with
+        ``snapshot_retention > 1``). Time-travel reads force the exhaustive
+        scoring path: the WAND blocks table tracks only the CURRENT
+        snapshot, so serving it for an older state could surface rows the
+        old snapshot never contained."""
+        if snapshot_id is None:
+            man = Manifest.load(root)
+        else:
+            man = Manifest.load_snapshot(root, snapshot_id)
+            man.state = dict(man.state, blocks=None)
         if config is not None:
             man.require_analyzer(config.key())
         return cls(spark, root, man.state)

@@ -64,14 +64,61 @@ _VERSIONED = re.compile(r"^(postings|docs|term_stats|prefix)(\.v\d+|\.tmp|\.comp
 
 
 def _gc_stale_dirs(root: str, keep_rel: set[str]) -> None:
-    """Remove versioned data dirs not referenced by the committed snapshot.
-    Runs strictly AFTER commit — a crash before GC leaves harmless orphans
-    that the next commit's GC collects."""
+    """Remove versioned data dirs not referenced by the committed snapshot
+    OR by any retained time-travel snapshot (snapshot_retention > 1 keeps
+    older states readable, the Iceberg expire-snapshots model). Runs
+    strictly AFTER commit — a crash before GC leaves harmless orphans that
+    the next commit's GC collects."""
+    ret_dirs, _ = Manifest.retained_refs(root)
+    keep = set(keep_rel) | ret_dirs
     for name in os.listdir(root):
-        if name in keep_rel:
+        if name in keep:
             continue
         if _VERSIONED.match(name):
             shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+
+
+def _gc_seg_dirs(root: str, keep_seqs: set[int]) -> None:
+    """Remove delta-segment dirs (seg/<seq>) whose seq no retained snapshot
+    references. Compaction empties the current snapshot's segment list, but
+    a retained older snapshot may still overlay them."""
+    _, ret_seqs = Manifest.retained_refs(root)
+    keep = {int(s) for s in keep_seqs} | ret_seqs
+    seg_root = os.path.join(root, "seg")
+    if not os.path.isdir(seg_root):
+        return
+    removed_all = True
+    for name in os.listdir(seg_root):
+        try:
+            seq = int(name)
+        except ValueError:
+            seq = None
+        if seq is not None and seq in keep:
+            removed_all = False
+            continue
+        shutil.rmtree(os.path.join(seg_root, name), ignore_errors=True)
+    if removed_all:
+        shutil.rmtree(seg_root, ignore_errors=True)
+
+
+def expire_snapshots(root: str, keep_last: int = 1) -> list[int]:
+    """Expire old time-travel snapshots and collect the data dirs only they
+    referenced (Iceberg ``expire_snapshots`` analog). Returns the snapshot
+    ids that remain readable."""
+    man = Manifest.load(root)
+    man.prune_snapshot_files(keep_last)
+    cur = man.state
+    _gc_stale_dirs(
+        root,
+        keep_rel={
+            cur.get("postings_dir", "postings"),
+            cur.get("docs_dir", "docs"),
+            cur.get("prefix_dir", "prefix"),
+            cur.get("term_stats_dir", "term_stats"),
+        },
+    )
+    _gc_seg_dirs(root, keep_seqs={int(s["seq"]) for s in cur.get("segments", [])})
+    return Manifest.retained_ids(root)
 
 
 def _drop_blocks(root: str) -> None:
@@ -214,7 +261,19 @@ def upsert_documents(
 
     if "rowid" not in docs.columns:
         docs = docs.withColumn("rowid", F.xxhash64("doc_id"))
-    seq = max((s["seq"] for s in index.segments), default=0) + 1
+    # seq must be fresh w.r.t. RETAINED segment dirs too, not just the
+    # current snapshot's list: after a compaction, reusing seq 1 would
+    # overwrite a time-travel snapshot's overlay data in place
+    seg_root = os.path.join(root, "seg")
+    on_disk = (
+        [int(n) for n in os.listdir(seg_root) if n.isdigit()]
+        if os.path.isdir(seg_root)
+        else []
+    )
+    seq = max(
+        max((s["seq"] for s in index.segments), default=0),
+        max(on_disk, default=0),
+    ) + 1
     seg_rel = {
         "seq": seq,
         "postings": f"seg/{seq}/postings",
@@ -439,6 +498,8 @@ def compact_index(spark: SparkSession, root: str) -> Index:
     if pf_rel:
         keep.add(pf_rel)
     _gc_stale_dirs(root, keep_rel=keep)
-    shutil.rmtree(os.path.join(root, "seg"), ignore_errors=True)
+    # the compacted snapshot overlays nothing, but retained time-travel
+    # snapshots may still reference delta segments — GC only unreferenced
+    _gc_seg_dirs(root, keep_seqs=set())
     _drop_blocks(root)
     return index

@@ -50,6 +50,13 @@ class Manifest:
     def _lineage(self) -> str:
         return os.path.join(self._dir, "lineage.json")
 
+    @property
+    def _snapshots(self) -> str:
+        return os.path.join(self._dir, "snapshots")
+
+    def _snapshot_path(self, snapshot_id: int) -> str:
+        return os.path.join(self._snapshots, f"{int(snapshot_id)}.json")
+
     # ---- snapshot (query-visible commit) ----
     @classmethod
     def load(cls, root: str) -> "Manifest":
@@ -59,13 +66,100 @@ class Manifest:
         return m
 
     @classmethod
+    def load_snapshot(cls, root: str, snapshot_id: int) -> "Manifest":
+        """Time-travel read: the committed state AS OF *snapshot_id* (the
+        Iceberg ``VERSION AS OF`` analog over this repo's plain-parquet
+        metadata). Raises FileNotFoundError for ids that were never
+        committed or have been expired."""
+        m = cls(root)
+        path = m._snapshot_path(snapshot_id)
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"snapshot {snapshot_id} at {root} does not exist or was "
+                f"expired (retained: {sorted(cls.retained_ids(root))})"
+            )
+        with open(path) as f:
+            m.state = json.load(f)
+        return m
+
+    @classmethod
     def exists(cls, root: str) -> bool:
         return os.path.exists(os.path.join(root, "_manifest", "CURRENT.json"))
+
+    @classmethod
+    def retained_ids(cls, root: str) -> list[int]:
+        """Snapshot ids still readable via load_snapshot, ascending."""
+        d = os.path.join(root, "_manifest", "snapshots")
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for name in os.listdir(d):
+            if name.endswith(".json"):
+                try:
+                    out.append(int(name[:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    @classmethod
+    def history(cls, root: str) -> list[dict]:
+        """Retained snapshot summaries, oldest first (the Iceberg
+        ``snapshots`` metadata-table analog)."""
+        rows = []
+        for sid in cls.retained_ids(root):
+            st = cls.load_snapshot(root, sid).state
+            rows.append(
+                {
+                    "snapshot_id": sid,
+                    "ndocs": st.get("ndocs"),
+                    "nterms": st.get("nterms"),
+                    "segments": len(st.get("segments", [])),
+                    "postings_dir": st.get("postings_dir", "postings"),
+                    "term_stats_dir": st.get("term_stats_dir", "term_stats"),
+                }
+            )
+        return rows
+
+    @classmethod
+    def retained_refs(cls, root: str) -> tuple[set, set]:
+        """(top-level data dirs, segment seqs) referenced by ANY retained
+        snapshot — data-dir GC must not collect these while a time-travel
+        read could still want them."""
+        dirs: set = set()
+        seqs: set = set()
+        for sid in cls.retained_ids(root):
+            st = cls.load_snapshot(root, sid).state
+            dirs.add(st.get("postings_dir", "postings"))
+            dirs.add(st.get("docs_dir", "docs"))
+            dirs.add(st.get("term_stats_dir", "term_stats"))
+            dirs.add(st.get("prefix_dir", "prefix"))
+            for s in st.get("segments", []):
+                seqs.add(int(s["seq"]))
+        return dirs, seqs
 
     def commit_snapshot(self, meta: dict) -> None:
         prev = self.state.get("snapshot_id", 0)
         self.state = dict(meta, snapshot_id=prev + 1)
+        # snapshot file first (a crash here leaves a harmless orphan);
+        # the CURRENT pointer replace below stays the single commit point
+        _atomic_write_json(self._snapshot_path(prev + 1), self.state)
         _atomic_write_json(self._current, self.state)
+        keep = int(self.state.get("snapshot_retention") or 1)
+        self.prune_snapshot_files(max(1, keep))
+
+    def prune_snapshot_files(self, keep_last: int) -> None:
+        """Drop snapshot metadata files beyond the newest *keep_last* (the
+        current snapshot is always retained). Data-dir GC is the caller's
+        job (index/incremental.expire_snapshots) — this only prunes which
+        ids time-travel can name."""
+        ids = self.retained_ids(self.root)
+        current = int(self.state.get("snapshot_id", 0))
+        for sid in ids[: max(0, len(ids) - max(1, int(keep_last)))]:
+            if sid != current:
+                try:
+                    os.remove(self._snapshot_path(sid))
+                except FileNotFoundError:
+                    pass
 
     def require_analyzer(self, analyzer_key: dict) -> None:
         stamped = self.state.get("analyzer")
