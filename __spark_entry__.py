@@ -210,6 +210,27 @@ def q_pack_sequences(spark, sf_dir):
     ).orderBy("group", "seq_idx")
 
 
+def q_repeated_spans(spark, sf_dir):
+    """Exact-substring repeat table (functions/spandedup.py): 12-token
+    windows appearing >= 2 times corpus-wide — the audit view of the
+    span dedup (Lee et al. 2022 reformulated at window granularity)."""
+    from letarette_spark.functions.spandedup import repeated_spans
+
+    return repeated_spans(_docs(spark, sf_dir), span_tokens=12).orderBy("whash")
+
+
+def q_span_dedup_clean(spark, sf_dir):
+    """Strip every token covered by a repeated 12-token window; md5 of
+    the surviving text so the driver compares exact content."""
+    from letarette_spark.functions.spandedup import strip_repeated_spans
+
+    out = strip_repeated_spans(_docs(spark, sf_dir), span_tokens=12)
+    return out.select(
+        "doc_id", F.md5(F.col("clean")).alias("clean_md5"),
+        "n_tokens", "n_removed",
+    ).orderBy("doc_id")
+
+
 def q_chunk_documents(spark, sf_dir):
     """Token-window chunking (functions/chunking.py): 40-token windows
     with 8-token overlap; md5 of each chunk so the driver compares the
@@ -690,6 +711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_bm25": q_batch_bm25,
         "lm_perplexity": q_lm_perplexity,
         "pack_sequences": q_pack_sequences,
+        "repeated_spans": q_repeated_spans,
+        "span_dedup_clean": q_span_dedup_clean,
         "chunk_documents": q_chunk_documents,
         "boilerplate_lines": q_boilerplate_lines,
         "boilerplate_clean": q_boilerplate_clean,
@@ -863,6 +886,52 @@ def oracle_sql() -> dict[str, str]:
                    md5(string_agg(tok, ' ' ORDER BY pos)) AS seq_md5
             FROM ev GROUP BY grp, pos // 96
             ORDER BY "group", seq_idx
+        """,
+        # span-dedup twins: L=12-token windows, md5 window hash, repeat =
+        # corpus count >= 2 (self-repeats included); strip removes tokens
+        # covered by any repeated window (1-based inclusive list slices)
+        "repeated_spans": f"""
+            WITH t AS (SELECT doc_id, {_ARR} AS toks FROM documents),
+            w AS (SELECT doc_id, toks,
+                         unnest(range(len(toks) - 11)) AS s
+                  FROM t WHERE len(toks) >= 12),
+            wh AS (SELECT doc_id, s,
+                          md5(array_to_string(toks[s+1 : s+12], ' ')) AS whash
+                   FROM w)
+            SELECT whash, count(*)::BIGINT AS n_occurrences,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs
+            FROM wh GROUP BY whash HAVING count(*) >= 2
+            ORDER BY whash
+        """,
+        "span_dedup_clean": f"""
+            WITH t AS (SELECT doc_id, {_ARR} AS toks FROM documents),
+            w AS (SELECT doc_id, toks,
+                         unnest(range(len(toks) - 11)) AS s
+                  FROM t WHERE len(toks) >= 12),
+            wh AS (SELECT doc_id, s,
+                          md5(array_to_string(toks[s+1 : s+12], ' ')) AS whash
+                   FROM w),
+            rep AS (SELECT whash FROM wh GROUP BY whash HAVING count(*) >= 2),
+            fl AS (SELECT doc_id, s FROM wh JOIN rep USING (whash)),
+            tok AS (SELECT doc_id, unnest(range(len(toks))) AS i,
+                           unnest(toks) AS tok
+                    FROM t),
+            cov AS (SELECT DISTINCT tok.doc_id, i
+                    FROM tok JOIN fl ON fl.doc_id = tok.doc_id
+                                    AND fl.s <= i AND i <= fl.s + 11),
+            kept AS (SELECT tok.doc_id, i, tok
+                     FROM tok LEFT JOIN cov USING (doc_id, i)
+                     WHERE cov.i IS NULL)
+            SELECT t.doc_id,
+                   md5(coalesce(k.clean, '')) AS clean_md5,
+                   len(t.toks)::BIGINT AS n_tokens,
+                   (len(t.toks) - coalesce(k.n_kept, 0))::BIGINT AS n_removed
+            FROM t LEFT JOIN (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            ) k ON k.doc_id = t.doc_id
+            ORDER BY t.doc_id
         """,
         # chunking twin: starts advance by step=32 (max 40, overlap 8);
         # last admissible start = len - overlap - 1 (no fully-contained

@@ -198,6 +198,9 @@ def _bench_sf1(spark, cpus: int) -> dict:
             ).count(),
         )
         timed("simhash", lambda: simhash64(documents).count())
+        from letarette_spark.functions.lm_score import lm_perplexity
+
+        timed("lm_perplexity", lambda: lm_perplexity(documents).count())
         timed(
             "knn_cosine",
             lambda: cosine_topk(embeddings, query_id=0, k=5).collect(),
@@ -412,6 +415,19 @@ def main() -> None:
                     documents.filter(F.col("doc_id") % 20 != 0),
                     documents.filter(F.col("doc_id") % 20 == 0),
                     n=8,
+                ).count(),
+            )
+
+            # corpus-trained bigram-LM perplexity (train + score, one call)
+            # and cross-document sequence packing (one window + one groupBy)
+            from letarette_spark.functions.lm_score import lm_perplexity
+            from letarette_spark.functions.packing import pack_sequences
+
+            timed("lm_perplexity", lambda: lm_perplexity(documents).count())
+            timed(
+                "pack_sequences",
+                lambda: pack_sequences(
+                    documents, budget=128, n_groups=cpus
                 ).count(),
             )
 

@@ -137,3 +137,26 @@ def test_pack_sequences_rejects_bad_args(spark):
         pack_sequences(_df(spark), budget=0)
     with pytest.raises(ValueError):
         pack_sequences(_df(spark), n_groups=0)
+
+
+def test_lm_perplexity_plan_is_pure_jvm(spark):
+    """No Python evaluation anywhere — token split, bigram zip, log2
+    arithmetic and the model joins are all codegen'd column expressions."""
+    plan = (
+        lm_perplexity(_df(spark))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_plan_shape(spark):
+    """One window (the per-group prefix sum) and no Python/cartesian —
+    the packing cost is the window shuffle plus the final groupBy."""
+    plan = (
+        pack_sequences(_df(spark), budget=8, n_groups=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") >= 1
