@@ -231,6 +231,19 @@ def q_span_dedup_clean(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_pipeline_audit(spark, sf_dir):
+    """One-call training-data preparation (functions/pipeline.py):
+    quality gates -> exact dedup -> near dedup (LSH, jaccard >= 0.05) ->
+    decontamination vs the doc_id%20 benchmark slice; per-doc kept flag
+    + first-dropping-stage reason."""
+    from letarette_spark.functions.pipeline import prepare_training_data
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    train = d.filter(F.col("doc_id") % 20 != 0)
+    return prepare_training_data(train, bench, threshold=0.05).orderBy("doc_id")
+
+
 def q_chunk_documents(spark, sf_dir):
     """Token-window chunking (functions/chunking.py): 40-token windows
     with 8-token overlap; md5 of each chunk so the driver compares the
@@ -713,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "repeated_spans": q_repeated_spans,
         "span_dedup_clean": q_span_dedup_clean,
+        "pipeline_audit": q_pipeline_audit,
         "chunk_documents": q_chunk_documents,
         "boilerplate_lines": q_boilerplate_lines,
         "boilerplate_clean": q_boilerplate_clean,
@@ -886,6 +900,125 @@ def oracle_sql() -> dict[str, str]:
                    md5(string_agg(tok, ' ' ORDER BY pos)) AS seq_md5
             FROM ev GROUP BY grp, pos // 96
             ORDER BY "group", seq_idx
+        """,
+        # pipeline-audit twin: the staged composition of the quality_gates,
+        # dedup_exact (keep min id), near_dedup_kept (LSH + verify +
+        # components at 0.05, over exact survivors), and decontam (8-gram
+        # vs the bench slice, over near survivors) twins; reason = first
+        # dropping stage
+        "pipeline_audit": f"""
+            WITH RECURSIVE
+            tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
+            qbase AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'),
+                                 w -> length(w) > 0) AS words,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                                                l -> trim(l)),
+                                 l -> length(l) > 0) AS lines
+              FROM tr
+            ),
+            qm AS (
+              SELECT doc_id,
+                     len(words)::DOUBLE AS n_words,
+                     CASE WHEN len(words) > 0
+                          THEN list_sum(list_transform(words, w -> length(w)))::DOUBLE / len(words)
+                          ELSE 0.0 END AS mean_wl,
+                     CASE WHEN len(words) > 0
+                          THEN len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE / len(words)
+                          ELSE 0.0 END AS frac_alpha,
+                     CASE WHEN len(lines) > 0
+                          THEN len(list_filter(lines, l -> starts_with(l, '-') OR starts_with(l, '*')))::DOUBLE / len(lines)
+                          ELSE 0.0 END AS bullet_frac,
+                     CASE WHEN len(lines) > 0
+                          THEN len(list_filter(lines, l -> ends_with(l, '...')))::DOUBLE / len(lines)
+                          ELSE 0.0 END AS ellipsis_frac,
+                     CASE WHEN len(lines) > 0
+                          THEN 1.0 - len(list_distinct(lines))::DOUBLE / len(lines)
+                          ELSE 0.0 END AS dup_frac
+              FROM qbase
+            ),
+            q AS (
+              SELECT doc_id,
+                     (n_words >= 50 AND n_words <= 100000
+                      AND mean_wl >= 3.0 AND mean_wl <= 10.0
+                      AND frac_alpha >= 0.8 AND bullet_frac <= 0.9
+                      AND ellipsis_frac <= 0.3 AND dup_frac <= 0.3) AS passes
+              FROM qm
+            ),
+            s1 AS (SELECT tr.doc_id, tr.text FROM tr
+                   JOIN q USING (doc_id) WHERE passes),
+            ex AS (SELECT doc_id,
+                          min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+                   FROM s1),
+            s2 AS (SELECT s1.doc_id, s1.text FROM s1
+                   JOIN ex USING (doc_id) WHERE s1.doc_id = ex.keep),
+            arr AS (SELECT doc_id, {_ARR} AS a FROM s2),
+            sh AS (SELECT DISTINCT doc_id,
+                     unnest(list_transform(range(greatest(len(a) - 2, 0)),
+                            i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3])) AS shingle
+                   FROM arr),
+            sig AS (SELECT doc_id,
+                    {", ".join(f"min(md5(shingle || '#' || '{i}')) AS s{i}" for i in range(8))}
+                    FROM sh GROUP BY doc_id),
+            banded AS (SELECT doc_id, unnest([
+                    md5('0' || '|' || s0 || '|' || s1),
+                    md5('1' || '|' || s2 || '|' || s3),
+                    md5('2' || '|' || s4 || '|' || s5),
+                    md5('3' || '|' || s6 || '|' || s7)]) AS bucket FROM sig),
+            cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                     FROM banded x JOIN banded y
+                     ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+            sizes AS (SELECT doc_id, count(*)::DOUBLE AS sz FROM sh GROUP BY doc_id),
+            inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*)::DOUBLE AS i
+                      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                      GROUP BY x.doc_id, y.doc_id),
+            pairs AS (SELECT cand.a, cand.b FROM cand
+                      JOIN inter ON inter.a = cand.a AND inter.b = cand.b
+                      JOIN sizes sa ON sa.doc_id = cand.a
+                      JOIN sizes sb ON sb.doc_id = cand.b
+                      WHERE i / (sa.sz + sb.sz - i) >= 0.05),
+            edges AS (SELECT a AS u, b AS v FROM pairs
+                      UNION ALL SELECT b, a FROM pairs),
+            nodes AS (SELECT DISTINCT u AS id FROM edges),
+            reach(id, n) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT r.id, e.v FROM reach r JOIN edges e ON e.u = r.n
+            ),
+            comp AS (SELECT id, min(n) AS component FROM reach GROUP BY id),
+            s3 AS (SELECT doc_id, text FROM s2 WHERE doc_id NOT IN
+                   (SELECT id FROM comp WHERE id <> component)),
+            t3 AS (SELECT doc_id, {_ARR} AS toks FROM s3),
+            sh3 AS (SELECT doc_id,
+                      list_distinct(list_transform(
+                        range(greatest(len(toks) - 7, 0)),
+                        i -> array_to_string(toks[i+1:i+8], ' '))) AS shs
+                    FROM t3),
+            bt AS (SELECT {_ARR} AS toks FROM documents WHERE doc_id % 20 = 0),
+            bsh AS (SELECT DISTINCT unnest(list_transform(
+                      range(greatest(len(toks) - 7, 0)),
+                      i -> array_to_string(toks[i+1:i+8], ' '))) AS shingle
+                    FROM bt),
+            dirty AS (SELECT DISTINCT doc_id
+                      FROM (SELECT doc_id, unnest(shs) AS shingle FROM sh3) d
+                      JOIN bsh USING (shingle)),
+            s4 AS (SELECT doc_id FROM s3 WHERE doc_id NOT IN
+                   (SELECT doc_id FROM dirty))
+            SELECT tr.doc_id,
+                   (CASE
+                      WHEN tr.doc_id NOT IN (SELECT doc_id FROM s1) THEN 'quality'
+                      WHEN tr.doc_id NOT IN (SELECT doc_id FROM s2) THEN 'exact_dup'
+                      WHEN tr.doc_id NOT IN (SELECT doc_id FROM s3) THEN 'near_dup'
+                      WHEN tr.doc_id NOT IN (SELECT doc_id FROM s4) THEN 'contaminated'
+                    END) IS NULL AS kept,
+                   CASE
+                     WHEN tr.doc_id NOT IN (SELECT doc_id FROM s1) THEN 'quality'
+                     WHEN tr.doc_id NOT IN (SELECT doc_id FROM s2) THEN 'exact_dup'
+                     WHEN tr.doc_id NOT IN (SELECT doc_id FROM s3) THEN 'near_dup'
+                     WHEN tr.doc_id NOT IN (SELECT doc_id FROM s4) THEN 'contaminated'
+                   END AS reason
+            FROM tr ORDER BY tr.doc_id
         """,
         # span-dedup twins: L=12-token windows, md5 window hash, repeat =
         # corpus count >= 2 (self-repeats included); strip removes tokens

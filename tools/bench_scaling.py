@@ -739,6 +739,148 @@ def weakq_mode(args) -> None:
     )
 
 
+def run_one_pipeops(cpus: int, corpus_dir: str) -> dict:
+    """One process at local[cpus]: wall time for each training-pipeline
+    operator over the same corpus parquet — 2 interleaved trials per op,
+    min is the steady-state statistic (CLAUDE.md noise protocol). These
+    ops are pure-JVM scan/shuffle pipelines (no Python workers), so the
+    expectation is near-linear core scaling up to the host ceiling."""
+    from pyspark.sql import functions as F
+
+    from letarette_spark.functions.dedup import minhash_lsh_pairs
+    from letarette_spark.functions.lm_score import lm_perplexity
+    from letarette_spark.functions.packing import pack_sequences
+    from letarette_spark.functions.spandedup import strip_repeated_spans
+    from letarette_spark.session import get_spark
+
+    spark = get_spark(app_name=f"pipeops_{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = (
+        spark.read.parquet(corpus_dir)
+        .select(
+            F.concat_ws(
+                "", F.col("repo"), F.lit(":"), F.col("path"),
+                F.lit("@"), F.col("commit"),
+            ).alias("doc_id"),
+            F.col("content").alias("text"),
+        )
+        .repartition(cpus)
+        .persist()
+    )
+    ndocs = docs.count()
+    ops = {
+        "lm_perplexity": lambda: lm_perplexity(docs).count(),
+        "pack_sequences": lambda: pack_sequences(
+            docs, budget=512, n_groups=4 * cpus
+        ).count(),
+        "span_dedup": lambda: strip_repeated_spans(docs, span_tokens=12).count(),
+        "minhash_lsh": lambda: minhash_lsh_pairs(
+            docs, bands=4, rows_per_band=2, n=3, threshold=0.05
+        ).count(),
+    }
+    timings: dict[str, list[float]] = {k: [] for k in ops}
+    for _trial in range(2):  # interleaved: one noisy window can't take both
+        for name, fn in ops.items():
+            t0 = time.perf_counter()
+            fn()
+            timings[name].append(round(time.perf_counter() - t0, 2))
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "ndocs": ndocs,
+        "trials": timings,
+        "best": {k: min(v) for k, v in timings.items()},
+    }
+
+
+def pipeops_mode(args) -> None:
+    """North-rule evidence for the training-pipeline operators: the same
+    corpus at two parallelism levels, separate processes, interleaved
+    rounds, min-of-trials per op."""
+    from letarette_spark.session import get_spark
+    from letarette_spark.sources.corpus import generate_corpus
+
+    corpus_dir = tempfile.mkdtemp(prefix="pipeops_corpus_")
+    spark = get_spark(app_name="pipeops_gen", master="local[32]",
+                      shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    generate_corpus(spark, args.ndocs, seed=42, partitions=128).write.mode(
+        "overwrite"
+    ).parquet(corpus_dir)
+    spark.stop()
+
+    cpus_list = [int(c) for c in args.cpus_list.split(",")]
+    acc: dict[int, list[dict]] = {c: [] for c in cpus_list}
+    try:
+        for _round in range(args.rounds):
+            for cpus in cpus_list:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--run-one-pipeops", "--cpus", str(cpus),
+                     "--corpus", corpus_dir],
+                    capture_output=True, text=True, timeout=7200,
+                    env=dict(os.environ, SPARK_DRIVER_MEM="48g"),
+                )
+                line = [l for l in out.stdout.splitlines()
+                        if l.startswith("RESULT ")]
+                if not line:
+                    print(out.stdout[-2000:], out.stderr[-2000:],
+                          file=sys.stderr)
+                    raise RuntimeError(f"pipeops run at local[{cpus}] failed")
+                acc[cpus].append(json.loads(line[-1][len("RESULT "):]))
+    finally:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+
+    op_names = list(acc[cpus_list[0]][0]["best"].keys())
+    results = []
+    for cpus in cpus_list:
+        best = {
+            op: min(min(r["trials"][op]) for r in acc[cpus])
+            for op in op_names
+        }
+        results.append({
+            "cpus": cpus,
+            "best_sec": best,
+            "trials": {op: [t for r in acc[cpus] for t in r["trials"][op]]
+                       for op in op_names},
+        })
+    lo, hi = results[0], results[-1]
+    par_ratio = hi["cpus"] / lo["cpus"]
+    ceiling = cpu_ceiling(lo["cpus"], hi["cpus"])
+    speedup = {
+        op: round(lo["best_sec"][op] / hi["best_sec"][op], 2)
+        for op in op_names
+    }
+    summary = {
+        "metric": "pipeline_ops_scaling",
+        "ndocs": args.ndocs,
+        "runs": results,
+        "speedup": speedup,
+        "efficiency": {op: round(s / par_ratio, 3) for op, s in speedup.items()},
+        "efficiency_vs_ceiling": {
+            op: round(s / ceiling, 3) for op, s in speedup.items()
+        },
+        "cpu_ceiling": round(ceiling, 2),
+    }
+    print(json.dumps(summary, indent=1))
+    lines = [
+        "\n## Pipeline ops N -> 4N (" + time.strftime("%Y-%m-%d %H:%M") + ")\n",
+        f"corpus {args.ndocs} docs; ceiling {ceiling:.2f}x\n",
+        "| op | " + " | ".join(f"local[{r['cpus']}] best s" for r in results)
+        + " | speedup | eff | eff vs ceiling |\n",
+        "|---|" + "---|" * (len(results) + 3) + "\n",
+    ]
+    for op in op_names:
+        lines.append(
+            f"| {op} | "
+            + " | ".join(str(r["best_sec"][op]) for r in results)
+            + f" | {speedup[op]}x | {summary['efficiency'][op]} |"
+            + f" {summary['efficiency_vs_ceiling'][op]} |\n"
+        )
+    _append_scaling_run("".join(lines))
+
+
 def _append_scaling_run(text: str) -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(repo, "SCALING_RUN.md"), "a") as f:
@@ -751,11 +893,13 @@ def main() -> None:
     ap.add_argument("--cpus-list", default="4,16")
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--mode",
-                    choices=["build", "query", "shardq", "replq", "weakq"],
+                    choices=["build", "query", "shardq", "replq", "weakq",
+                             "pipeops"],
                     default="build")
     ap.add_argument("--run-one", action="store_true")
     ap.add_argument("--run-one-query", action="store_true")
     ap.add_argument("--run-one-shardq", action="store_true")
+    ap.add_argument("--run-one-pipeops", action="store_true")
     ap.add_argument("--cpus", type=int)
     ap.add_argument("--corpus")
     ap.add_argument("--index")
@@ -773,6 +917,12 @@ def main() -> None:
     if args.run_one_shardq:
         print("RESULT " + json.dumps(
             run_one_shardq(args.cpus, args.index, args.passes)))
+        return
+    if args.run_one_pipeops:
+        print("RESULT " + json.dumps(run_one_pipeops(args.cpus, args.corpus)))
+        return
+    if args.mode == "pipeops":
+        pipeops_mode(args)
         return
     if args.mode == "query":
         query_mode(args)
