@@ -39,6 +39,10 @@ def main() -> None:
     ap.add_argument("--chunk-size", type=int, default=8)
     ap.add_argument("--files-per-chunk", type=int, default=None)
     ap.add_argument("--verify-sha256", action="store_true")
+    ap.add_argument("--snapshot-retention", type=int, default=1,
+                    help="keep the last K committed snapshots readable "
+                         "via Index.open(root, snapshot_id=n) (Iceberg "
+                         "VERSION AS OF analog; default 1 = current only)")
     ap.add_argument("--docs-shape", action="store_true",
                     help="corpus is already (doc_id, space, title, body, alive)")
     ap.add_argument("--build-blocks", action="store_true",
@@ -72,6 +76,7 @@ def main() -> None:
         files_per_chunk=args.files_per_chunk,
         n_buckets=args.buckets,
         verify_sha256=args.verify_sha256,
+        snapshot_retention=args.snapshot_retention,
     )
     wall = time.perf_counter() - t0
 

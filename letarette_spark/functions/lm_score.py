@@ -74,40 +74,63 @@ def lm_perplexity(
     text_col: str = "text",
     add_k: float = DEFAULT_ADD_K,
     round_to: int | None = 6,
+    persist_events: bool = False,
 ) -> DataFrame:
     """(id, n_bigrams, entropy, perplexity) per document.
 
     entropy = -(1/m) * sum log2 P(w2|w1) over the document's m bigrams
     with P = (c2 + k) / (c1 + k*V); perplexity = 2^entropy. Documents
     with < 2 tokens carry NULLs. ``round_to`` stabilizes the float tail
-    for cross-engine value hashing (same convention as bm25_topk)."""
-    m2, m1, vocab = train_bigram_lm(df, id_col, text_col)
+    for cross-engine value hashing (same convention as bm25_topk).
+
+    The bigram-event lineage feeds both model training and scoring.
+    ``persist_events`` caches the exploded events between the two (and
+    the vocab count rides the token scan either way): worth it when the
+    corpus re-scan (tokenize + explode) costs more than storing ~one row
+    per token — usually true up to memory scale, NOT at 100 TB, where
+    recomputing the narrow explode beats spilling it; hence opt-in."""
     ev = bigram_events(df, id_col, text_col)
-    logp = F.log2(
-        (F.col("c2") + F.lit(add_k))
-        / (F.col("c1") + F.lit(add_k) * F.lit(float(vocab)))
-    )
-    scored = (
-        ev.join(m2, ["w1", "w2"])  # inner: every event exists in the model
-        .join(m1, ["w1"])
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            (-F.avg(logp)).alias("entropy"),
+    if persist_events:
+        ev = ev.persist()
+    try:
+        m2 = ev.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+        m1 = m2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+        vocab = int(
+            df.select(F.explode(token_array(text_col)).alias("t"))
+            .agg(F.countDistinct("t"))
+            .collect()[0][0]
+            or 0
         )
-        .withColumn("perplexity", F.pow(F.lit(2.0), F.col("entropy")))
-    )
-    out = df.select(id_col).join(scored, [id_col], "left").select(
-        id_col,
-        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
-        "entropy",
-        "perplexity",
-    )
-    if round_to is not None:
-        out = out.select(
+        logp = F.log2(
+            (F.col("c2") + F.lit(add_k))
+            / (F.col("c1") + F.lit(add_k) * F.lit(float(vocab)))
+        )
+        scored = (
+            ev.join(m2, ["w1", "w2"])  # inner: every event is in the model
+            .join(m1, ["w1"])
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_bigrams"),
+                (-F.avg(logp)).alias("entropy"),
+            )
+            .withColumn("perplexity", F.pow(F.lit(2.0), F.col("entropy")))
+        )
+        out = df.select(id_col).join(scored, [id_col], "left").select(
             id_col,
-            "n_bigrams",
-            F.round("entropy", round_to).alias("entropy"),
-            F.round("perplexity", round_to).alias("perplexity"),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "entropy",
+            "perplexity",
         )
-    return out
+        if round_to is not None:
+            out = out.select(
+                id_col,
+                "n_bigrams",
+                F.round("entropy", round_to).alias("entropy"),
+                F.round("perplexity", round_to).alias("perplexity"),
+            )
+        if persist_events:
+            return out.localCheckpoint()  # narrow per-doc frame
+        return out
+    finally:
+        if persist_events:
+            ev.unpersist()

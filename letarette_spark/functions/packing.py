@@ -66,8 +66,16 @@ def pack_sequences(
         F.size("__toks").alias("__dl"),
     )
     # global token position of each doc's first token within its group:
-    # exclusive prefix sum over the deterministic doc order
-    w = Window.partitionBy("group").orderBy("__k", "__id")
+    # exclusive prefix sum over the deterministic doc order. ROWS frame,
+    # not the default RANGE: RANGE treats order-key ties (duplicate ids)
+    # as frame peers and would hand both copies the same start position,
+    # overfilling bins. With ROWS, duplicate-id rows order arbitrarily
+    # between themselves but every row gets a distinct token range.
+    w = (
+        Window.partitionBy("group")
+        .orderBy("__k", "__id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     toks = toks.withColumn(
         "__start", F.coalesce(F.sum("__dl").over(w) - F.col("__dl"), F.lit(0))
     )

@@ -42,14 +42,21 @@ def prepare_training_data(
     reason ∈ {'quality', 'exact_dup', 'near_dup', 'contaminated'} (NULL
     when kept); a document gets the reason of the FIRST stage that drops
     it. Exact/near dedup keep each group's minimum id. ``benchmark``
-    None skips decontamination."""
+    None skips decontamination.
+
+    Survivor-id frames are persisted for the audit assembly (each is
+    consumed 2-3 times: by the next stage and by the reason diff) and
+    released after the result is materialized via localCheckpoint — the
+    narrow (id, kept, reason) frame, linear in corpus size."""
     ids = docs.select(id_col)
+    persisted = []
 
     # stage 1: quality gates (one scan, pure column exprs)
     passed = gopher_quality_flags(docs, id_col=id_col, text_col=text_col).select(
         id_col, "passes"
     )
-    s1 = docs.join(passed.filter(F.col("passes")).select(id_col), id_col)
+    s1 = docs.join(passed.filter(F.col("passes")).select(id_col), id_col).persist()
+    persisted.append(s1)
 
     # stage 2: exact dedup among quality survivors — keep min id per hash
     keep_exact = (
@@ -62,7 +69,9 @@ def prepare_training_data(
         .join(keep_exact, "text_hash")
         .filter(F.col(id_col) == F.col("__keep"))
         .drop("text_hash", "__keep")
+        .persist()
     )
+    persisted.append(s2)
 
     # stage 3: near dedup among exact survivors — LSH candidates, exact
     # jaccard verify, connected components, keep each component's min
@@ -73,7 +82,8 @@ def prepare_training_data(
     near_dropped = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )
-    s3 = s2.join(near_dropped, id_col, "left_anti")
+    s3 = s2.join(near_dropped, id_col, "left_anti").persist()
+    persisted.append(s3)
 
     # stage 4: benchmark decontamination among near survivors
     if benchmark is not None:
@@ -103,11 +113,15 @@ def prepare_training_data(
     all_marks = marks[0]
     for m in marks[1:]:
         all_marks = all_marks.unionByName(m)
-    return (
-        ids.join(all_marks, [id_col], "left")
-        .select(
-            id_col,
-            F.col("__r").isNull().alias("kept"),
-            F.col("__r").alias("reason"),
-        )
+    out = ids.join(all_marks, [id_col], "left").select(
+        id_col,
+        F.col("__r").isNull().alias("kept"),
+        F.col("__r").alias("reason"),
     )
+    # materialize the narrow audit eagerly, then release every stage
+    # cache deterministically (even when the job fails)
+    try:
+        return out.localCheckpoint()
+    finally:
+        for p in persisted:
+            p.unpersist()

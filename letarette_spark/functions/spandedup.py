@@ -8,7 +8,8 @@ The published method builds a suffix array over the concatenated corpus;
 that is inherently sequential. The distributed reformulation here works
 at fixed window granularity: hash every L-token window (rolling shingle),
 count window hashes across the corpus, and strip every token covered by
-a window whose hash repeats (count > min_count). A span of R repeated
+a window whose hash repeats (count >= min_count, so the default
+min_count=2 removes a span on its second occurrence). A span of R repeated
 tokens (R >= L) is covered by R-L+1 repeated windows, so entire repeated
 regions are removed while unique text — including unique text BETWEEN
 two repeated regions — survives. Granularity L trades recall (shorter
@@ -89,22 +90,37 @@ def strip_repeated_spans(
     comes back as ''. Self-repeats within one document count toward
     min_count (same as the suffix-array method: the second occurrence IS
     a repeat, wherever it lives)."""
+    if span_tokens < 1:
+        raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
     arr = token_array(text_col)
     windows = _windows(arr, span_tokens)
-    rep = repeated_spans(df, span_tokens, min_count, id_col, text_col)
 
-    # flagged window starts per doc: explode -> hash join to the repeat
-    # table -> collect back. The repeat table is corpus-derived and
-    # usually small relative to the corpus, but nothing here requires
-    # broadcasting it.
+    # ONE window table feeds both the repeat derivation and the flagging
+    # join (tokenize + md5-per-window is the dominant cost — never run it
+    # twice); the per-doc flagged-starts frame is small (docs with
+    # repeats only) and checkpointed so the persisted windows release
+    # deterministically.
     exploded = df.select(
         F.col(id_col), F.explode(windows).alias("w")
-    ).select(id_col, F.col("w.start").alias("start"), F.col("w.whash").alias("whash"))
-    flagged = (
-        exploded.join(rep.select("whash"), "whash")
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_list("start")).alias("starts"))
-    )
+    ).select(
+        id_col, F.col("w.start").alias("start"), F.col("w.whash").alias("whash")
+    ).persist()
+    try:
+        rep = (
+            exploded.groupBy("whash")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .filter(F.col("n_occurrences") >= min_count)
+        )
+        flagged = (
+            exploded.join(rep.select("whash"), "whash")
+            .groupBy(id_col)
+            .agg(F.sort_array(F.collect_list("start")).alias("starts"))
+            .localCheckpoint()
+        )
+    finally:
+        exploded.unpersist()
 
     L = span_tokens
     base = df.select(F.col(id_col), arr.alias("toks"))

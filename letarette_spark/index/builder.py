@@ -489,6 +489,7 @@ def build_index(
     ).collect()[0]
     nterms = int(agg["nterms"])
 
+    man.reset_history()  # a full (re)build starts a fresh snapshot history
     man.commit_snapshot(
         {
             "analyzer": config.key(),

@@ -73,10 +73,12 @@ class Manifest:
         committed or have been expired."""
         m = cls(root)
         path = m._snapshot_path(snapshot_id)
-        if not os.path.exists(path):
+        if int(snapshot_id) not in cls.retained_ids(root):
+            # covers both expired ids and phantom files newer than the
+            # committed CURRENT pointer (crash between the two writes)
             raise FileNotFoundError(
                 f"snapshot {snapshot_id} at {root} does not exist or was "
-                f"expired (retained: {sorted(cls.retained_ids(root))})"
+                f"expired (retained: {cls.retained_ids(root)})"
             )
         with open(path) as f:
             m.state = json.load(f)
@@ -88,17 +90,30 @@ class Manifest:
 
     @classmethod
     def retained_ids(cls, root: str) -> list[int]:
-        """Snapshot ids still readable via load_snapshot, ascending."""
+        """Snapshot ids still readable via load_snapshot, ascending.
+
+        Ids NEWER than the committed CURRENT pointer are ignored: the
+        snapshot file is written before the pointer flip, so a crash
+        between the two writes leaves an uncommitted (phantom) snapshot
+        file that must never be served, pinned by GC, or counted by
+        retention pruning. The next successful commit reuses its id and
+        atomically overwrites the file."""
         d = os.path.join(root, "_manifest", "snapshots")
         if not os.path.isdir(d):
+            return []
+        try:
+            current = cls.load(root).state.get("snapshot_id", 0)
+        except FileNotFoundError:
             return []
         out = []
         for name in os.listdir(d):
             if name.endswith(".json"):
                 try:
-                    out.append(int(name[:-5]))
+                    sid = int(name[:-5])
                 except ValueError:
                     continue
+                if sid <= current:
+                    out.append(sid)
         return sorted(out)
 
     @classmethod
@@ -146,6 +161,15 @@ class Manifest:
         _atomic_write_json(self._current, self.state)
         keep = int(self.state.get("snapshot_retention") or 1)
         self.prune_snapshot_files(max(1, keep))
+
+    def reset_history(self) -> None:
+        """Drop every retained snapshot file. A full rebuild into an
+        existing root starts a NEW history at snapshot 1 — stale files
+        from the previous build would otherwise outrank it (higher ids)
+        and pin data dirs the rebuild overwrites in place."""
+        import shutil
+
+        shutil.rmtree(self._snapshots, ignore_errors=True)
 
     def prune_snapshot_files(self, keep_last: int) -> None:
         """Drop snapshot metadata files beyond the newest *keep_last* (the

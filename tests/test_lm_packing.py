@@ -132,6 +132,24 @@ def test_pack_sequences_full_bins(spark):
         assert 1 <= rs[-1]["n_tokens"] <= 7
 
 
+def test_pack_sequences_duplicate_ids_fill_bins_exactly(spark):
+    """Duplicate-id rows must each get their own token range (ROWS window
+    frame; the default RANGE frame would make ties frame-peers, hand both
+    copies the same start, and overfill bins). With identical texts the
+    packed output is deterministic either way ties order."""
+    rows = [{"doc_id": "dup", "text": "alpha beta gamma delta"}] * 3 + [
+        {"doc_id": "other", "text": "one two three four five six"}
+    ]
+    df = spark.createDataFrame(rows)
+    out = pack_sequences(df, budget=5, n_groups=1).collect()
+    total = sum(r["n_tokens"] for r in out)
+    assert total == 3 * 4 + 6
+    out.sort(key=lambda r: r["seq_idx"])
+    for r in out[:-1]:
+        assert r["n_tokens"] == 5, r
+    assert 1 <= out[-1]["n_tokens"] <= 5
+
+
 def test_pack_sequences_rejects_bad_args(spark):
     with pytest.raises(ValueError):
         pack_sequences(_df(spark), budget=0)

@@ -135,8 +135,9 @@ def test_time_travel_survives_compaction(spark, retained):
 
 def test_expire_snapshots_reclaims_and_protects_current(spark, retained):
     root, states, (s1, s2, s3) = retained
-    # run AFTER the compaction test (alphabetical ordering would break
-    # this; rely on pytest's in-file definition order)
+    # self-sufficient under test selection: compact first (idempotent —
+    # a no-op when the compaction test already ran)
+    compact_index(spark, root)
     remaining = expire_snapshots(root, keep_last=1)
     cur_id = int(Manifest.load(root).state["snapshot_id"])
     assert remaining == [cur_id]
@@ -171,3 +172,37 @@ def test_default_retention_keeps_single_snapshot(spark, tmp_path_factory):
         if n.startswith("term_stats") and n != cur.get("term_stats_dir", "term_stats")
     ]
     assert stale == []
+
+
+def test_phantom_snapshot_file_is_invisible(spark, tmp_path_factory):
+    """A crash between the snapshot-file write and the CURRENT pointer
+    flip leaves a snapshot file NEWER than CURRENT. It must never be
+    listed, served, or counted by retention — and the next successful
+    commit reuses its id, atomically overwriting the phantom."""
+    import json
+    import os
+
+    root = str(tmp_path_factory.mktemp("tt_phantom"))
+    build_index(spark, _docs_df(spark, BASE), root, config=CFG,
+                n_build_partitions=2, chunk_size=2, snapshot_retention=4)
+    man = Manifest.load(root)
+    cur = int(man.state["snapshot_id"])
+    # simulate the torn commit: phantom file at cur+1, CURRENT unchanged
+    phantom = man._snapshot_path(cur + 1)
+    os.makedirs(os.path.dirname(phantom), exist_ok=True)
+    with open(phantom, "w") as f:
+        json.dump(dict(man.state, snapshot_id=cur + 1,
+                       term_stats_dir="term_stats.v999"), f)
+
+    assert Manifest.retained_ids(root) == [cur]
+    assert [h["snapshot_id"] for h in Manifest.history(root)] == [cur]
+    with pytest.raises(FileNotFoundError):
+        Index.open(spark, root, snapshot_id=cur + 1)
+
+    # the next real commit takes id cur+1 and overwrites the phantom
+    upsert_documents(spark, root, _docs_df(spark, UPDATES_1), batch_id=1)
+    man2 = Manifest.load(root)
+    assert int(man2.state["snapshot_id"]) == cur + 1
+    st = Manifest.load_snapshot(root, cur + 1).state
+    assert st.get("term_stats_dir") != "term_stats.v999"
+    assert Manifest.retained_ids(root) == [cur, cur + 1]

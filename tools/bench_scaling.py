@@ -771,8 +771,11 @@ def run_one_pipeops(cpus: int, corpus_dir: str) -> dict:
     ndocs = docs.count()
     ops = {
         "lm_perplexity": lambda: lm_perplexity(docs).count(),
+        # n_groups FIXED across parallelism levels — both levels must run
+        # the identical job or speedup conflates core scaling with a
+        # workload change (64 groups saturates local[16] and beyond)
         "pack_sequences": lambda: pack_sequences(
-            docs, budget=512, n_groups=4 * cpus
+            docs, budget=512, n_groups=64
         ).count(),
         "span_dedup": lambda: strip_repeated_spans(docs, span_tokens=12).count(),
         "minhash_lsh": lambda: minhash_lsh_pairs(
