@@ -231,6 +231,15 @@ def q_span_dedup_clean(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_repetition_scores(spark, sf_dir):
+    """Gopher repetition signals (functions/textstats.py
+    repetition_scores): dup-n-gram fraction + top-n-gram character
+    fraction for n = 2, 3, 4, deterministic argmax tie-break."""
+    from letarette_spark.functions.textstats import repetition_scores
+
+    return repetition_scores(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_pipeline_audit(spark, sf_dir):
     """One-call training-data preparation (functions/pipeline.py):
     quality gates -> exact dedup -> near dedup (LSH, jaccard >= 0.05) ->
@@ -727,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans": q_repeated_spans,
         "span_dedup_clean": q_span_dedup_clean,
         "pipeline_audit": q_pipeline_audit,
+        "repetition_scores": q_repetition_scores,
         "chunk_documents": q_chunk_documents,
         "boilerplate_lines": q_boilerplate_lines,
         "boilerplate_clean": q_boilerplate_clean,
@@ -828,6 +838,52 @@ def oracle_sql() -> dict[str, str]:
     )
     lsh_planes = _hyperplanes(_EMB_DIM, 4, seed=42)      # q_lsh_cosine twin
     band_planes = [_hyperplanes(_EMB_DIM, 4, seed=42 + b) for b in range(2)]
+
+    # repetition-scores twin: per-n CTEs generated from the same n list
+    # the Spark operator defaults to; argmax tie-break mirrored exactly
+    # (count desc, char length desc, n-gram text desc)
+    _REP_NS = (2, 3, 4)
+    _rep_ctes, _rep_joins, _rep_cols = [], [], []
+    for _n in _REP_NS:
+        _join = " || ' ' || ".join(f"toks[i+{j+1}]" for j in range(_n))
+        _rep_ctes.append(f"""
+            ng{_n} AS (SELECT doc_id,
+                list_transform(range(greatest(len(toks) - {_n - 1}, 0)),
+                               i -> {_join}) AS ng FROM t),
+            dup{_n} AS (SELECT doc_id,
+                CASE WHEN len(ng) > 0
+                     THEN round(1.0 - len(list_distinct(ng))::DOUBLE / len(ng), 6)
+                     ELSE 0.0 END AS dup_{_n}gram_frac FROM ng{_n}),
+            agg{_n} AS (SELECT doc_id, g, count(*) AS c,
+                               length(replace(g, ' ', '')) AS gl
+                        FROM (SELECT doc_id, unnest(ng) AS g FROM ng{_n})
+                        GROUP BY doc_id, g),
+            top{_n} AS (SELECT doc_id, c * gl AS topchars FROM (
+                SELECT doc_id, c, gl,
+                       row_number() OVER (PARTITION BY doc_id
+                         ORDER BY c DESC, gl DESC, g DESC) AS rn
+                FROM agg{_n}) WHERE rn = 1)""")
+        _rep_joins.append(
+            f"LEFT JOIN dup{_n} USING (doc_id) LEFT JOIN top{_n} USING (doc_id)"
+        )
+    _rep_cols = ", ".join(
+        [f"coalesce(dup{_n}.dup_{_n}gram_frac, 0.0) AS dup_{_n}gram_frac"
+         for _n in _REP_NS]
+        + [f"""round(CASE WHEN b.chars > 0
+                 THEN coalesce(top{_n}.topchars, 0)::DOUBLE / b.chars
+                 ELSE 0.0 END, 6) AS top_{_n}gram_char_frac"""
+           for _n in _REP_NS]
+    )
+    _REP_SQL = f"""
+            WITH t AS (SELECT doc_id, {_ARR} AS toks FROM documents),
+            b AS (SELECT doc_id,
+                    coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+                      AS chars
+                  FROM t),{",".join(_rep_ctes)}
+            SELECT b.doc_id, {_rep_cols}
+            FROM b {" ".join(_rep_joins)}
+            ORDER BY b.doc_id
+        """
     return {
         "term_stats": f"""
             WITH tok AS ({_TOK})
@@ -901,6 +957,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ev GROUP BY grp, pos // 96
             ORDER BY "group", seq_idx
         """,
+        "repetition_scores": _REP_SQL,
         # pipeline-audit twin: the staged composition of the quality_gates,
         # dedup_exact (keep min id), near_dedup_kept (LSH + verify +
         # components at 0.05, over exact survivors), and decontam (8-gram

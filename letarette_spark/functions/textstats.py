@@ -383,3 +383,93 @@ def fingerprint64(
 
     fp = rolling(31, "") * F.lit(2147483648).cast("long") + rolling(37, "#2")
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def _ngram_array(arr, n: int):
+    """array<string> of space-joined n-grams over a token array, document
+    order; docs shorter than n yield an empty array."""
+    idx = F.when(
+        F.size(arr) >= n, F.sequence(F.lit(0), F.size(arr) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(arr, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+
+
+def repetition_scores(
+    df: DataFrame,
+    ns: tuple[int, ...] = (2, 3, 4),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style within-document repetition signals, per n in *ns*:
+
+      dup_{n}gram_frac      1 - distinct/total n-grams (count-based)
+      top_{n}gram_char_frac characters covered by the single most frequent
+                            n-gram (occurrences × its token chars) over
+                            the document's total token characters
+
+    (Rae et al., "Scaling Language Models: ... Gopher", Table A1 — the
+    repetition filters; dup-line signals live in gopher_quality_flags.)
+
+    The top n-gram per doc needs a per-group argmax with a DETERMINISTIC
+    tie-break (count desc, char length desc, n-gram text desc — mirrored
+    exactly by the DuckDB twin), so it runs as explode -> partial-agg
+    groupBy -> row_number window, both keyed by (doc, n-gram) / doc:
+    linear, skew-free (a doc contributes ~doc_len rows). The dup
+    fractions are pure per-row array math riding the same scan."""
+    from pyspark.sql import Window
+
+    arr = token_array(text_col)
+    tok_chars = F.aggregate(arr, F.lit(0), lambda a, t: a + F.length(t))
+    base_cols = [F.col(id_col), tok_chars.alias("__chars")]
+    for n in ns:
+        ng = _ngram_array(arr, n)
+        total = F.size(ng)
+        dup = F.when(
+            total > 0,
+            1.0 - F.size(F.array_distinct(ng)).cast("double") / total.cast("double"),
+        ).otherwise(F.lit(0.0))
+        base_cols.append(F.round(dup, 6).alias(f"dup_{n}gram_frac"))
+        base_cols.append(ng.alias(f"__ng_{n}"))
+    base = df.select(*base_cols)
+
+    out = base.select(
+        id_col, "__chars", *[f"dup_{n}gram_frac" for n in ns]
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("__cnt"), F.desc("__nglen"), F.desc("__ng")
+    )
+    for n in ns:
+        top = (
+            base.select(F.col(id_col), F.explode(f"__ng_{n}").alias("__ng"))
+            .groupBy(id_col, "__ng")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .withColumn(
+                "__nglen",
+                F.length(F.regexp_replace(F.col("__ng"), " ", "")),
+            )
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                F.col(id_col),
+                (F.col("__cnt") * F.col("__nglen")).alias(f"__topchars_{n}"),
+            )
+        )
+        out = out.join(top, [id_col], "left")
+    sel = [F.col(id_col)] + [F.col(f"dup_{n}gram_frac") for n in ns]
+    for n in ns:
+        sel.append(
+            F.round(
+                F.when(
+                    F.col("__chars") > 0,
+                    F.coalesce(F.col(f"__topchars_{n}"), F.lit(0)).cast("double")
+                    / F.col("__chars").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias(f"top_{n}gram_char_frac")
+        )
+    return out.select(*sel)
