@@ -602,6 +602,20 @@ def q_ann_ivf(spark, sf_dir):
     ).select("vec_id", F.round("cos", 6).alias("cos"))
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (functions/pq.py): m=8 subspaces x
+    k=16 codes over the 64-dim embeddings (4 bytes/vector), seed
+    codebooks (n_iter=0 — exactly SQL-expressible; Lloyd variants are
+    numpy-pinned in tests/test_pq.py), asymmetric-distance top-10."""
+    from letarette_spark.functions.pq import pq_adc_topk, pq_codebooks
+
+    e = _emb(spark, sf_dir)
+    books = pq_codebooks(e, m=8, k=16, n_iter=0)
+    return pq_adc_topk(e, query_id=0, codebooks=books, k=10).select(
+        "vec_id", F.round("adist", 6).alias("adist")
+    )
+
+
 def q_text_quality(spark, sf_dir):
     from letarette_spark.functions.textstats import quality_scores
 
@@ -737,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup_clean": q_span_dedup_clean,
         "pipeline_audit": q_pipeline_audit,
         "repetition_scores": q_repetition_scores,
+        "pq_topk": q_pq_topk,
         "chunk_documents": q_chunk_documents,
         "boilerplate_lines": q_boilerplate_lines,
         "boilerplate_clean": q_boilerplate_clean,
@@ -958,6 +973,51 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY "group", seq_idx
         """,
         "repetition_scores": _REP_SQL,
+        # PQ twin: seed codebooks = subvectors of the 16 lowest-id
+        # vectors; encode = per-(vec, subspace) argmin L2 with
+        # d2 = s.s - 2 s.c + c.c over list_dot_product (bit-identical to
+        # the Spark fold), ties lowest code; ADC = per-query LUT joined
+        # on (subspace, code), summed per vector
+        "pq_topk": """
+            WITH seeds AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+                       embedding::DOUBLE[] AS v
+                FROM (SELECT vec_id, embedding FROM embeddings
+                      WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)
+            ),
+            subs AS (SELECT unnest(range(8)) AS s),
+            cb AS (SELECT subs.s, seeds.code,
+                          seeds.v[subs.s*8+1 : subs.s*8+8] AS c
+                   FROM seeds CROSS JOIN subs),
+            vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            pairs AS (SELECT vecs.vec_id, cb.s, cb.code, cb.c,
+                             vecs.v[cb.s*8+1 : cb.s*8+8] AS sub
+                      FROM vecs CROSS JOIN cb),
+            enc AS (SELECT vec_id, s, code FROM (
+                SELECT vec_id, s, code,
+                       row_number() OVER (PARTITION BY vec_id, s
+                         ORDER BY list_dot_product(sub, sub)
+                                  - 2*list_dot_product(sub, c)
+                                  + list_dot_product(c, c) ASC,
+                                  code ASC) AS rn
+                FROM pairs) WHERE rn = 1),
+            q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),
+            lut AS (SELECT cb.s, cb.code,
+                           list_dot_product(qs.sub, qs.sub)
+                           - 2*list_dot_product(qs.sub, cb.c)
+                           + list_dot_product(cb.c, cb.c) AS d2
+                    FROM cb JOIN (
+                      SELECT subs.s, q.qv[subs.s*8+1 : subs.s*8+8] AS sub
+                      FROM subs CROSS JOIN q
+                    ) qs ON qs.s = cb.s),
+            sc AS (SELECT enc.vec_id, sum(lut.d2) AS adist
+                   FROM enc JOIN lut ON lut.s = enc.s AND lut.code = enc.code
+                   GROUP BY enc.vec_id)
+            SELECT vec_id, round(adist, 6) AS adist
+            FROM sc WHERE vec_id <> 0
+            ORDER BY adist ASC, vec_id ASC
+            LIMIT 10
+        """,
         # pipeline-audit twin: the staged composition of the quality_gates,
         # dedup_exact (keep min id), near_dedup_kept (LSH + verify +
         # components at 0.05, over exact survivors), and decontam (8-gram

@@ -1,0 +1,212 @@
+"""Product quantization (IVF-PQ's compression half) — the canonical way
+to fit billion-vector ANN in memory (Jégou, Douze, Schmid, "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011): split each
+D-dim vector into m subvectors, vector-quantize each subspace with a
+tiny k-entry codebook, and answer queries with asymmetric distance
+computation (ADC) — per-query lookup tables of exact
+query-subvector-to-centroid distances, so each database vector costs m
+table lookups instead of D multiplies, at m*log2(k) bits of storage
+(64-dim float64 = 512 bytes -> m=8,k=16 = 4 bytes, 128x).
+
+Determinism contract (same as similarity.ivf_centroids): codebook
+seeding is the k lowest-id vectors' subvectors, code j = position in
+that id order, so the 0-iteration configuration is exactly expressible
+in ANSI SQL (the pq_topk driver gate); Lloyd refinement (n_iter > 0) is
+pytest-covered against a numpy reference. Distances use
+d2 = s.s - 2*s.c + c.c with the same sequential-left-fold dot product
+as similarity._cosine_cols — bit-identical to DuckDB list_dot_product,
+so code assignment ties break identically cross-engine.
+
+Scale shape: training collects only k lowest-id vectors + (optionally
+sampled) per-code means — never the corpus; encoding is one scan of
+pure array expressions (zero shuffle, no Python); ADC scoring bakes the
+m×k lookup table into the plan as a literal (no join) and pays one
+orderBy-limit top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot_cols(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (bit-identical to DuckDB
+    list_dot_product on double inputs — same contract _cosine_cols
+    relies on)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _sub(vec: Column, s: int, dsub: int) -> Column:
+    """Subvector s (0-based) of dsub dims."""
+    return F.slice(vec, s * dsub + 1, dsub)
+
+
+def _codebook_lit(codebook: list[list[float]]) -> Column:
+    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in codebook])
+
+
+def _code_expr(sub: Column, codebook: list[list[float]]) -> Column:
+    """argmin_j ||sub - codebook[j]||^2, ties to the lowest code — the
+    same array_min-over-structs trick as similarity._ivf_cell_expr
+    (field-lexicographic struct ordering = ORDER BY d2 ASC, code ASC)."""
+    scored = F.transform(
+        _codebook_lit(codebook),
+        lambda c, j: F.struct(
+            (
+                _dot_cols(sub, sub)
+                - F.lit(2.0) * _dot_cols(sub, c)
+                + _dot_cols(c, c)
+            ).alias("d2"),
+            j.alias("code"),
+        ),
+    )
+    return F.array_min(scored)["code"]
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks: codebooks[s][j] = centroid j of
+    subspace s. Seeds are the k lowest-id vectors' subvectors; each
+    Lloyd round (L2 assign -> per-code subvector mean; empty codes keep
+    their previous centroid) is one scan + one tiny (m*k*dsub) collect."""
+    train = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).filter(F.col("v").isNotNull())
+    seeds = [list(r["v"]) for r in train.orderBy(id_col).limit(k).collect()]
+    if not seeds:
+        return []
+    dim = len(seeds[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = [
+        [s_vec[s * dsub : (s + 1) * dsub] for s_vec in seeds]
+        for s in range(m)
+    ]
+    if n_iter > 0 and sample_fraction is not None:
+        train = train.sample(fraction=sample_fraction, seed=seed)
+    for _ in range(n_iter):
+        cols = [
+            _code_expr(_sub(F.col("v"), s, dsub), books[s]).alias(f"c{s}")
+            for s in range(m)
+        ]
+        assigned = train.select("v", *cols)
+        new = [list(b) for b in books]
+        for s in range(m):
+            means = (
+                assigned.groupBy(f"c{s}")
+                .agg(
+                    *[
+                        F.avg(F.element_at("v", s * dsub + i + 1)).alias(f"m{i}")
+                        for i in range(dsub)
+                    ]
+                )
+                .collect()
+            )
+            for r in means:
+                new[s][r[f"c{s}"]] = [r[f"m{i}"] for i in range(dsub)]
+        if new == books:
+            break
+        books = new
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>[m]) — one scan, zero shuffle, no Python.
+    At m=8, k=16 the codes column is ~4 bytes/vector: the representation
+    a billion-vector corpus actually stores."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    codes = F.array(
+        *[_code_expr(_sub(v, s, dsub), codebooks[s]) for s in range(m)]
+    )
+    return emb.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_adc_lut(
+    query_vec: list[float], codebooks: list[list[list[float]]]
+) -> list[list[float]]:
+    """Driver-side ADC lookup table: lut[s][j] = ||q_s - codebook[s][j]||^2
+    with the same sequential-fold accumulation as the cluster-side math."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    lut = []
+    for s in range(m):
+        qs = query_vec[s * dsub : (s + 1) * dsub]
+        lut.append(
+            [dot(qs, qs) - 2.0 * dot(qs, c) + dot(c, c) for c in codebooks[s]]
+        )
+    return lut
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query_id: int,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_df: DataFrame | None = None,
+) -> DataFrame:
+    """(id, adist) — top-k smallest ADC distances to the query vector,
+    ties to the lowest id; the query itself is excluded. Pass a
+    pre-encoded ``codes_df`` (from pq_encode) to score the compressed
+    representation directly — the production path; otherwise vectors are
+    encoded on the fly in the same scan."""
+    row = emb.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).cast("array<double>").alias("v")
+    ).first()
+    if row is None:
+        raise ValueError(f"query id {query_id} not found")
+    lut = pq_adc_lut(list(row["v"]), codebooks)
+    if codes_df is None:
+        codes_df = pq_encode(emb, codebooks, id_col, vec_col)
+    lut_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in js]) for js in lut]
+    )
+    # adist = sum_s lut[s][codes[s]] — left-fold over subspaces, matching
+    # the twin's sequential sum over the per-subspace lookups
+    adist = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            lut_lit,
+            lambda code, lutrow: F.element_at(lutrow, (code + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        codes_df.filter(F.col(id_col) != query_id)
+        .select(F.col(id_col), adist.alias("adist"))
+        .orderBy(F.asc("adist"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+__all__ = ["pq_codebooks", "pq_encode", "pq_adc_lut", "pq_adc_topk"]

@@ -1,0 +1,147 @@
+"""Product quantization (functions/pq.py) vs a numpy reference:
+codebook seeding, Lloyd refinement, encoding argmin ties, ADC ranking."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from letarette_spark.functions.pq import (
+    pq_adc_lut,
+    pq_adc_topk,
+    pq_codebooks,
+    pq_encode,
+)
+
+DIM, M, K = 16, 4, 4
+DSUB = DIM // M
+
+
+def _vectors(n=40, seed=7):
+    rng = np.random.RandomState(seed)
+    return rng.randn(n, DIM).round(3)  # round: stable float literals
+
+
+def _df(spark, vecs):
+    return spark.createDataFrame(
+        [
+            {"vec_id": i, "embedding": [float(x) for x in v]}
+            for i, v in enumerate(vecs)
+        ]
+    )
+
+
+def _np_books_seed(vecs):
+    seeds = vecs[:K]  # k lowest ids
+    return [
+        [list(s[j * DSUB : (j + 1) * DSUB]) for s in seeds] for j in range(M)
+    ]
+
+
+def _np_encode(vecs, books):
+    out = []
+    for v in vecs:
+        codes = []
+        for s in range(M):
+            sub = v[s * DSUB : (s + 1) * DSUB]
+            d2 = [float(np.sum((sub - np.array(c)) ** 2)) for c in books[s]]
+            codes.append(int(np.argmin(d2)))  # argmin ties -> lowest index
+        out.append(codes)
+    return out
+
+
+def _np_lloyd(vecs, n_iter):
+    books = _np_books_seed(vecs)
+    for _ in range(n_iter):
+        codes = _np_encode(vecs, books)
+        new = [list(b) for b in books]
+        for s in range(M):
+            for j in range(K):
+                members = [
+                    vecs[i][s * DSUB : (s + 1) * DSUB]
+                    for i, c in enumerate(codes)
+                    if c[s] == j
+                ]
+                if members:
+                    new[s][j] = list(np.mean(members, axis=0))
+        if new == books:
+            break
+        books = new
+    return books
+
+
+def test_seed_codebooks_match_numpy(spark):
+    vecs = _vectors()
+    books = pq_codebooks(_df(spark, vecs), m=M, k=K, n_iter=0)
+    exp = _np_books_seed(vecs)
+    assert np.allclose(np.array(books), np.array(exp))
+
+
+def test_lloyd_refinement_matches_numpy(spark):
+    vecs = _vectors()
+    books = pq_codebooks(_df(spark, vecs), m=M, k=K, n_iter=2)
+    exp = _np_lloyd(vecs, 2)
+    assert np.allclose(np.array(books), np.array(exp), atol=1e-9)
+
+
+def test_encode_matches_numpy_argmin(spark):
+    vecs = _vectors()
+    books = pq_codebooks(_df(spark, vecs), m=M, k=K, n_iter=1)
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(_df(spark, vecs), books).collect()
+    }
+    exp = _np_encode(vecs, books)
+    assert got == {i: c for i, c in enumerate(exp)}
+
+
+def test_seed_vectors_encode_to_themselves(spark):
+    """Seed vector j's subvectors ARE codebook entries j: zero distance,
+    exact in float64 (identical fold on identical operands)."""
+    vecs = _vectors()
+    books = pq_codebooks(_df(spark, vecs), m=M, k=K, n_iter=0)
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(_df(spark, vecs), books).collect()
+    }
+    for j in range(K):
+        assert got[j] == [j] * M
+
+
+def test_adc_topk_matches_numpy(spark):
+    vecs = _vectors(60)
+    df = _df(spark, vecs)
+    books = pq_codebooks(df, m=M, k=K, n_iter=1)
+    got = [(r["vec_id"], r["adist"]) for r in
+           pq_adc_topk(df, query_id=3, codebooks=books, k=7).collect()]
+    lut = pq_adc_lut([float(x) for x in vecs[3]], books)
+    codes = _np_encode(vecs, books)
+    dists = [
+        (i, sum(lut[s][codes[i][s]] for s in range(M)))
+        for i in range(len(vecs)) if i != 3
+    ]
+    dists.sort(key=lambda t: (t[1], t[0]))
+    exp = dists[:7]
+    assert [i for i, _ in got] == [i for i, _ in exp]
+    for (_, a), (_, b) in zip(got, exp):
+        assert abs(a - b) < 1e-9
+
+
+def test_adc_approximates_true_neighbors(spark):
+    """Clustered data: ADC's top neighbors land in the query's true
+    cluster (the approximation is useful, not just self-consistent)."""
+    rng = np.random.RandomState(0)
+    centers = rng.randn(4, DIM) * 5
+    vecs = np.array([
+        centers[i % 4] + rng.randn(DIM) * 0.1 for i in range(48)
+    ]).round(3)
+    df = _df(spark, vecs)
+    books = pq_codebooks(df, m=M, k=K, n_iter=3)
+    got = [r["vec_id"] for r in
+           pq_adc_topk(df, query_id=0, codebooks=books, k=8).collect()]
+    assert all(i % 4 == 0 for i in got), got  # query 0's cluster is i%4==0
+
+
+def test_dim_not_divisible_raises(spark):
+    with pytest.raises(ValueError):
+        pq_codebooks(_df(spark, _vectors()), m=3, k=K)
