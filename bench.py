@@ -300,6 +300,15 @@ def main() -> None:
         float(x)
         for x in embeddings.filter(F.col("vec_id") == 0).first()["embedding"]
     ]
+    # PQ: codebooks trained once (build-side, like centroids); per-trial
+    # queries score the ~4-byte codes via the ADC literal-LUT plan
+    from letarette_spark.functions.pq import (
+        ivf_pq_topk,
+        pq_adc_topk,
+        pq_codebooks,
+    )
+
+    pq_books = pq_codebooks(embeddings, m=8, k=16, n_iter=1)
 
     trial_timings: list[dict[str, float]] = []
     load_samples: list[float] = [_load_avg()]
@@ -369,6 +378,19 @@ def main() -> None:
                 "ann_ivf_indexed",
                 lambda: ivf_index_topk(
                     spark, ivf_dir, ivf_qvec, ivf_cents, k=5, nprobe=4
+                ).collect(),
+            )
+            timed(
+                "pq_adc",
+                lambda: pq_adc_topk(
+                    embeddings, query_id=0, codebooks=pq_books, k=5
+                ).collect(),
+            )
+            timed(
+                "ivf_pq",
+                lambda: ivf_pq_topk(
+                    embeddings, query_id=0, centroids=ivf_cents,
+                    codebooks=pq_books, k=5, nprobe=4,
                 ).collect(),
             )
             timed(

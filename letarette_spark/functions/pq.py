@@ -173,18 +173,23 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codes_df: DataFrame | None = None,
+    query_vec: list[float] | None = None,
 ) -> DataFrame:
     """(id, adist) — top-k smallest ADC distances to the query vector,
     ties to the lowest id; the query itself is excluded. Pass a
     pre-encoded ``codes_df`` (from pq_encode) to score the compressed
     representation directly — the production path; otherwise vectors are
-    encoded on the fly in the same scan."""
-    row = emb.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).cast("array<double>").alias("v")
-    ).first()
-    if row is None:
-        raise ValueError(f"query id {query_id} not found")
-    lut = pq_adc_lut(list(row["v"]), codebooks)
+    encoded on the fly in the same scan. ``query_vec`` skips the lookup
+    by id (needed when *emb* is already filtered to a candidate subset
+    that may not contain the query, e.g. ivf_pq_topk)."""
+    if query_vec is None:
+        row = emb.filter(F.col(id_col) == query_id).select(
+            F.col(vec_col).cast("array<double>").alias("v")
+        ).first()
+        if row is None:
+            raise ValueError(f"query id {query_id} not found")
+        query_vec = list(row["v"])
+    lut = pq_adc_lut([float(x) for x in query_vec], codebooks)
     if codes_df is None:
         codes_df = pq_encode(emb, codebooks, id_col, vec_col)
     lut_lit = F.array(
@@ -209,4 +214,51 @@ def pq_adc_topk(
     )
 
 
-__all__ = ["pq_codebooks", "pq_encode", "pq_adc_lut", "pq_adc_topk"]
+def ivf_pq_topk(
+    emb: DataFrame,
+    query_id: int,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_df: DataFrame | None = None,
+) -> DataFrame:
+    """The full billion-scale ANN shape — IVF routing × PQ compression:
+    probe the nprobe cells nearest the query (cosine, like ivf_topk),
+    then rank ONLY those cells' vectors by ADC distance over their
+    ~4-byte codes. Cost per query: n_cells centroid cosines + m lookups
+    per candidate in ~nprobe/n_cells of the corpus; with a
+    cell-partitioned codes table (pq_encode written partitionBy(cell),
+    the ivf_index_write layout) the scan prunes to the probed
+    directories. Ties to the lowest id; the query is excluded."""
+    from letarette_spark.functions.similarity import (
+        ivf_assign,
+        ivf_probe_cells,
+    )
+
+    row = emb.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).cast("array<double>").alias("v")
+    ).first()
+    if row is None:
+        raise ValueError(f"query id {query_id} not found")
+    qvec = list(row["v"])
+    probe = ivf_probe_cells(qvec, centroids, nprobe)
+    cand_ids = (
+        ivf_assign(emb, centroids, id_col, vec_col)
+        .filter(F.col("cell").isin(probe))
+        .select(id_col)
+    )
+    cand = emb.join(cand_ids, id_col, "left_semi")
+    if codes_df is not None:
+        codes_df = codes_df.join(cand_ids, id_col, "left_semi")
+    return pq_adc_topk(
+        cand, query_id, codebooks, k, id_col, vec_col,
+        codes_df=codes_df, query_vec=qvec,
+    )
+
+
+__all__ = [
+    "pq_codebooks", "pq_encode", "pq_adc_lut", "pq_adc_topk", "ivf_pq_topk",
+]

@@ -145,3 +145,47 @@ def test_adc_approximates_true_neighbors(spark):
 def test_dim_not_divisible_raises(spark):
     with pytest.raises(ValueError):
         pq_codebooks(_df(spark, _vectors()), m=3, k=K)
+
+
+def test_ivf_pq_topk_matches_numpy(spark):
+    """IVF routing (cosine argmax cells, probe top-nprobe) composed with
+    ADC ranking, vs a full numpy reference."""
+    from letarette_spark.functions.pq import ivf_pq_topk
+    from letarette_spark.functions.similarity import (
+        ivf_centroids,
+        ivf_probe_cells,
+    )
+
+    vecs = _vectors(60)
+    df = _df(spark, vecs)
+    cents = ivf_centroids(df, n_cells=5, n_iter=1)
+    books = pq_codebooks(df, m=M, k=K, n_iter=1)
+    got = [(r["vec_id"], r["adist"]) for r in
+           ivf_pq_topk(df, query_id=3, centroids=cents, codebooks=books,
+                       k=7, nprobe=2).collect()]
+
+    def cos(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y; na += x * x; nb += y * y
+        d = (na ** 0.5) * (nb ** 0.5)
+        return dot / d if d else float("-inf")
+
+    cells = {
+        i: min(range(len(cents)),
+               key=lambda j: (-cos(list(v), cents[j]), j))
+        for i, v in enumerate(vecs)
+    }
+    probe = set(ivf_probe_cells([float(x) for x in vecs[3]], cents, 2))
+    lut = pq_adc_lut([float(x) for x in vecs[3]], books)
+    codes = _np_encode(vecs, books)
+    dists = [
+        (i, sum(lut[s][codes[i][s]] for s in range(M)))
+        for i in range(len(vecs))
+        if i != 3 and cells[i] in probe
+    ]
+    dists.sort(key=lambda t: (t[1], t[0]))
+    exp = dists[:7]
+    assert [i for i, _ in got] == [i for i, _ in exp], (got, exp)
+    for (_, a), (_, b) in zip(got, exp):
+        assert abs(a - b) < 1e-9
