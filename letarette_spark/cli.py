@@ -78,7 +78,8 @@ def _root(args) -> str:
 def _open(spark, args):
     from letarette_spark.index.builder import Index
 
-    return Index.open(spark, _root(args))
+    snapshot = getattr(args, "snapshot", None)
+    return Index.open(spark, _root(args), snapshot_id=snapshot)
 
 
 def cmd_search(args) -> int:
@@ -134,6 +135,34 @@ def cmd_index_stats(args) -> int:
     print("top terms:")
     for term, cnt in st.top_terms:
         print(f"  {term}\t{cnt}")
+    return 0
+
+
+def cmd_index_snapshots(args) -> int:
+    """List retained time-travel snapshots (Iceberg snapshots-table
+    analog); serve an old one with `search --snapshot N`."""
+    from letarette_spark.index.manifest import Manifest
+
+    rows = Manifest.history(_root(args))
+    if not rows:
+        print("no retained snapshots (build with snapshot_retention > 1)")
+        return 0
+    print("snapshot\tndocs\tnterms\tsegments\tterm_stats_dir")
+    for h in rows:
+        print(
+            f"{h['snapshot_id']}\t{h['ndocs']}\t{h['nterms']}\t"
+            f"{h['segments']}\t{h['term_stats_dir']}"
+        )
+    return 0
+
+
+def cmd_index_expire(args) -> int:
+    """Expire old snapshots and reclaim their data dirs
+    (expire_snapshots analog)."""
+    from letarette_spark.index.incremental import expire_snapshots
+
+    remaining = expire_snapshots(_root(args), keep_last=args.keep)
+    print(f"retained: {remaining}")
     return 0
 
 
@@ -386,6 +415,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-l", "--limit", type=int, default=10)
     p.add_argument("-p", "--page", type=int, default=0)
     p.add_argument("-i", "--interactive", action="store_true")
+    p.add_argument("--snapshot", type=int, default=None,
+                   help="serve a retained snapshot (time travel; see "
+                        "'index snapshots')")
     p.add_argument("space", nargs="?")
     p.add_argument("phrase", nargs="*")
     p.set_defaults(fn=cmd_search)
@@ -393,6 +425,12 @@ def build_parser() -> argparse.ArgumentParser:
     pi = sub.add_parser("index")
     isub = pi.add_subparsers(dest="subcmd", required=True)
     with_index(isub.add_parser("stats")).set_defaults(fn=cmd_index_stats)
+    with_index(isub.add_parser("snapshots")).set_defaults(
+        fn=cmd_index_snapshots
+    )
+    pe = with_index(isub.add_parser("expire"))
+    pe.add_argument("--keep", type=int, default=1)
+    pe.set_defaults(fn=cmd_index_expire)
     pc = with_index(isub.add_parser("check"))
     pc.add_argument("--mode", help="expected analyzer mode to check against")
     pc.add_argument("--languages", default="english")

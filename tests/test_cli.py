@@ -144,3 +144,49 @@ class TestCLI:
 
         res = Searcher(Index.open(spark, root)).search("epsilon", limit=3)
         assert res.hits
+
+
+class TestSnapshotCLI:
+    def test_snapshots_expire_and_time_travel_search(
+        self, spark, tmp_path_factory, capsys
+    ):
+        from pyspark.sql import functions as F
+
+        from letarette_spark.analysis.tokenizer import AnalyzerConfig
+        from letarette_spark.index.builder import build_index
+        from letarette_spark.index.incremental import upsert_documents
+
+        root = str(tmp_path_factory.mktemp("cli_tt") / "idx")
+        docs = spark.createDataFrame([
+            {"doc_id": f"d{i}", "space": "docs", "title": f"t{i}",
+             "body": f"value number {i} quick fox", "alive": True}
+            for i in range(8)
+        ])
+        build_index(spark, docs, root, config=AnalyzerConfig(mode="porter"),
+                    n_build_partitions=2, chunk_size=2, snapshot_retention=3)
+        up = spark.createDataFrame([
+            {"doc_id": "d0", "space": "docs", "title": "t0",
+             "body": "", "alive": False},
+        ])
+        upsert_documents(spark, root, up, batch_id=9)
+
+        assert main(["index", "snapshots", "-d", root]) == 0
+        out = capsys.readouterr().out
+        assert out.splitlines()[0].startswith("snapshot\t")
+        assert len(out.strip().splitlines()) == 3  # header + 2 snapshots
+
+        # time-travel search at snapshot 1 still sees d0
+        assert main(["search", "-d", root, "--snapshot", "1",
+                     "-l", "10", "docs", "value"]) == 0
+        old = capsys.readouterr().out
+        assert "\td0\t" in old
+        # current search does not
+        assert main(["search", "-d", root, "-l", "10", "docs", "value"]) == 0
+        cur = capsys.readouterr().out
+        assert "\td0\t" not in cur
+
+        assert main(["index", "expire", "-d", root, "--keep", "1"]) == 0
+        out = capsys.readouterr().out
+        assert out.startswith("retained: [2]")
+        with pytest.raises(FileNotFoundError):
+            main(["search", "-d", root, "--snapshot", "1", "docs", "value"])
