@@ -309,6 +309,10 @@ def main() -> None:
     )
 
     pq_books = pq_codebooks(embeddings, m=8, k=16, n_iter=1)
+    from letarette_spark.functions.pq import pq_index_topk, pq_index_write
+
+    pq_dir = tempfile.mkdtemp(prefix="letarette_bench_pq_")
+    pq_index_write(embeddings, pq_dir, ivf_cents, pq_books)
 
     trial_timings: list[dict[str, float]] = []
     load_samples: list[float] = [_load_avg()]
@@ -391,6 +395,13 @@ def main() -> None:
                 lambda: ivf_pq_topk(
                     embeddings, query_id=0, centroids=ivf_cents,
                     codebooks=pq_books, k=5, nprobe=4,
+                ).collect(),
+            )
+            timed(
+                "ivf_pq_indexed",
+                lambda: pq_index_topk(
+                    spark, pq_dir, ivf_qvec, ivf_cents, pq_books,
+                    k=5, nprobe=4, exclude_id=0,
                 ).collect(),
             )
             timed(
@@ -482,6 +493,7 @@ def main() -> None:
         for r in roots:
             shutil.rmtree(r, ignore_errors=True)
         shutil.rmtree(ivf_dir, ignore_errors=True)
+        shutil.rmtree(pq_dir, ignore_errors=True)
         spark.stop()
 
     # min across interleaved trials: the best number each operation reached

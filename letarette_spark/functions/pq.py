@@ -259,6 +259,87 @@ def ivf_pq_topk(
     )
 
 
+def pq_index_write(
+    emb: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF-PQ index: (id, codes) partitioned by IVF cell
+    (cell=N parquet dirs). The 100-TB ANN layout both ways at once —
+    a query's cell filter prunes at the DIRECTORY level (reads
+    ~nprobe/n_cells of the files) and each surviving row is ~4 bytes of
+    codes instead of the full vector (reads ~1/100 of the bytes per
+    file). Raw vectors live elsewhere for optional exact re-ranking."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    out = emb.select(
+        F.col(id_col),
+        F.array(
+            *[_code_expr(_sub(v, s, dsub), codebooks[s]) for s in range(m)]
+        ).alias("codes"),
+        _ivf_cell_expr_on(v, centroids).alias("cell"),
+    )
+    out.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def _ivf_cell_expr_on(vec: Column, centroids: list[list[float]]) -> Column:
+    """similarity._ivf_cell_expr accepts a column NAME; this variant
+    takes the column expression directly (the codes projection has no
+    named vector column to point at)."""
+    from letarette_spark.functions.similarity import _centroids_lit, _cosine_cols
+
+    scored = F.transform(
+        _centroids_lit(centroids),
+        lambda c, i: F.struct(
+            (-_cosine_cols(vec, c)).alias("negcos"), i.alias("cell")
+        ),
+    )
+    return F.array_min(scored)["cell"]
+
+
+def pq_index_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Query a materialized IVF-PQ index: partition-pruned scan of the
+    nprobe nearest cells, ADC over the stored codes (LUT as a literal,
+    m lookups per row), top-k ascending, ties to the lowest id."""
+    from letarette_spark.functions.similarity import ivf_probe_cells
+
+    probes = ivf_probe_cells(query_vec, centroids, nprobe)
+    lut = pq_adc_lut([float(x) for x in query_vec], codebooks)
+    lut_lit = F.array(*[F.array(*[F.lit(float(x)) for x in js]) for js in lut])
+    df = spark.read.parquet(path).filter(F.col("cell").isin(probes))
+    if exclude_id is not None:
+        df = df.filter(F.col(id_col) != exclude_id)
+    adist = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            lut_lit,
+            lambda code, lutrow: F.element_at(lutrow, (code + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        df.select(F.col(id_col), adist.alias("adist"))
+        .orderBy(F.asc("adist"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 __all__ = [
     "pq_codebooks", "pq_encode", "pq_adc_lut", "pq_adc_topk", "ivf_pq_topk",
+    "pq_index_write", "pq_index_topk",
 ]

@@ -189,3 +189,53 @@ def test_ivf_pq_topk_matches_numpy(spark):
     assert [i for i, _ in got] == [i for i, _ in exp], (got, exp)
     for (_, a), (_, b) in zip(got, exp):
         assert abs(a - b) < 1e-9
+
+
+def test_pq_index_partition_pruning_and_equality(spark, tmp_path):
+    """The materialized IVF-PQ index: cell predicate lands in
+    PartitionFilters (directory pruning — the 100-TB claim) and the
+    indexed query returns exactly what the in-memory ivf_pq_topk does."""
+    from pyspark.sql import functions as F
+
+    from letarette_spark.functions.pq import (
+        ivf_pq_topk,
+        pq_index_topk,
+        pq_index_write,
+    )
+    from letarette_spark.functions.similarity import (
+        ivf_centroids,
+        ivf_probe_cells,
+    )
+
+    vecs = _vectors(60)
+    df = _df(spark, vecs)
+    cents = ivf_centroids(df, n_cells=4, n_iter=1)
+    books = pq_codebooks(df, m=M, k=K, n_iter=1)
+    path = str(tmp_path / "pqidx")
+    pq_index_write(df, path, cents, books)
+
+    qv = [float(x) for x in vecs[3]]
+    out = pq_index_topk(spark, path, qv, cents, books, k=7, nprobe=2,
+                        exclude_id=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+
+    got = [(r["vec_id"], round(r["adist"], 9)) for r in out.collect()]
+    exp = [(r["vec_id"], round(r["adist"], 9)) for r in
+           ivf_pq_topk(df, query_id=3, centroids=cents, codebooks=books,
+                       k=7, nprobe=2).collect()]
+    assert got == exp
+
+    # files actually read are only the probed cell dirs
+    probed = set(ivf_probe_cells(qv, cents, 2))
+    files = [
+        r["f"]
+        for r in spark.read.parquet(path)
+        .filter(F.col("cell").isin(list(probed)))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    ]
+    assert files and all(
+        any(f"cell={c}/" in f for c in probed) for f in files
+    ), files
