@@ -631,6 +631,21 @@ def q_ivf_pq_topk(spark, sf_dir):
     ).select("vec_id", F.round("adist", 6).alias("adist"))
 
 
+def q_ivf_pq_rerank(spark, sf_dir):
+    """Three-stage ANN (functions/pq.py ivf_pq_rerank_topk): IVF probe ->
+    ADC shortlist (20) -> exact-cosine re-rank top-10."""
+    from letarette_spark.functions.pq import ivf_pq_rerank_topk, pq_codebooks
+    from letarette_spark.functions.similarity import ivf_centroids
+
+    e = _emb(spark, sf_dir)
+    cents = ivf_centroids(e, n_cells=8, n_iter=0)
+    books = pq_codebooks(e, m=8, k=16, n_iter=0)
+    return ivf_pq_rerank_topk(
+        e, query_id=0, centroids=cents, codebooks=books,
+        k=10, shortlist=20, nprobe=2,
+    ).select("vec_id", F.round("cos", 6).alias("cos"))
+
+
 def q_text_quality(spark, sf_dir):
     from letarette_spark.functions.textstats import quality_scores
 
@@ -768,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": q_repetition_scores,
         "pq_topk": q_pq_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
+        "ivf_pq_rerank": q_ivf_pq_rerank,
         "chunk_documents": q_chunk_documents,
         "boilerplate_lines": q_boilerplate_lines,
         "boilerplate_clean": q_boilerplate_clean,
@@ -824,6 +840,64 @@ def _lsh_bucket_sql(planes: list[list[float]], vec: str = "v") -> str:
         f"THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(planes)
     )
+
+
+# shared IVF-PQ oracle body (routing + encode + LUT + per-vector ADC
+# sums), finished differently by the ivf_pq_topk / ivf_pq_rerank twins
+_IVFPQ_BODY = """
+            WITH icents AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                       embedding::DOUBLE[] AS cv
+                FROM (SELECT vec_id, embedding FROM embeddings
+                      WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 8)
+            ),
+            vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            assign AS (
+                SELECT e.vec_id, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                    c.cell) AS rn
+                FROM vecs e CROSS JOIN icents c
+            ),
+            cellof AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+            q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),
+            probe AS (
+                SELECT c.cell FROM icents c CROSS JOIN q
+                ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cell
+                LIMIT 2
+            ),
+            seeds AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+                       embedding::DOUBLE[] AS v
+                FROM (SELECT vec_id, embedding FROM embeddings
+                      WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)
+            ),
+            subs AS (SELECT unnest(range(8)) AS s),
+            cb AS (SELECT subs.s, seeds.code,
+                          seeds.v[subs.s*8+1 : subs.s*8+8] AS c
+                   FROM seeds CROSS JOIN subs),
+            pairs AS (SELECT vecs.vec_id, cb.s, cb.code, cb.c,
+                             vecs.v[cb.s*8+1 : cb.s*8+8] AS sub
+                      FROM vecs CROSS JOIN cb),
+            enc AS (SELECT vec_id, s, code FROM (
+                SELECT vec_id, s, code,
+                       row_number() OVER (PARTITION BY vec_id, s
+                         ORDER BY list_dot_product(sub, sub)
+                                  - 2*list_dot_product(sub, c)
+                                  + list_dot_product(c, c) ASC,
+                                  code ASC) AS rn
+                FROM pairs) WHERE rn = 1),
+            lut AS (SELECT cb.s, cb.code,
+                           list_dot_product(qs.sub, qs.sub)
+                           - 2*list_dot_product(qs.sub, cb.c)
+                           + list_dot_product(cb.c, cb.c) AS d2
+                    FROM cb JOIN (
+                      SELECT subs.s, q.qv[subs.s*8+1 : subs.s*8+8] AS sub
+                      FROM subs CROSS JOIN q
+                    ) qs ON qs.s = cb.s),
+            sc AS (SELECT enc.vec_id, sum(lut.d2) AS adist
+                   FROM enc JOIN lut ON lut.s = enc.s AND lut.code = enc.code
+                   GROUP BY enc.vec_id)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1037,66 +1111,29 @@ def oracle_sql() -> dict[str, str]:
         # IVF-PQ twin: the ann_ivf routing CTEs (cosine cells, probe 2/8)
         # composed with the pq_topk CTEs (seed codebooks, argmin encode,
         # ADC LUT), candidates restricted to the probed cells
-        "ivf_pq_topk": """
-            WITH icents AS (
-                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-                       embedding::DOUBLE[] AS cv
-                FROM (SELECT vec_id, embedding FROM embeddings
-                      WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 8)
-            ),
-            vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-            assign AS (
-                SELECT e.vec_id, c.cell,
-                       row_number() OVER (PARTITION BY e.vec_id
-                           ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
-                                    c.cell) AS rn
-                FROM vecs e CROSS JOIN icents c
-            ),
-            cellof AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
-            q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),
-            probe AS (
-                SELECT c.cell FROM icents c CROSS JOIN q
-                ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cell
-                LIMIT 2
-            ),
-            seeds AS (
-                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
-                       embedding::DOUBLE[] AS v
-                FROM (SELECT vec_id, embedding FROM embeddings
-                      WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)
-            ),
-            subs AS (SELECT unnest(range(8)) AS s),
-            cb AS (SELECT subs.s, seeds.code,
-                          seeds.v[subs.s*8+1 : subs.s*8+8] AS c
-                   FROM seeds CROSS JOIN subs),
-            pairs AS (SELECT vecs.vec_id, cb.s, cb.code, cb.c,
-                             vecs.v[cb.s*8+1 : cb.s*8+8] AS sub
-                      FROM vecs CROSS JOIN cb),
-            enc AS (SELECT vec_id, s, code FROM (
-                SELECT vec_id, s, code,
-                       row_number() OVER (PARTITION BY vec_id, s
-                         ORDER BY list_dot_product(sub, sub)
-                                  - 2*list_dot_product(sub, c)
-                                  + list_dot_product(c, c) ASC,
-                                  code ASC) AS rn
-                FROM pairs) WHERE rn = 1),
-            lut AS (SELECT cb.s, cb.code,
-                           list_dot_product(qs.sub, qs.sub)
-                           - 2*list_dot_product(qs.sub, cb.c)
-                           + list_dot_product(cb.c, cb.c) AS d2
-                    FROM cb JOIN (
-                      SELECT subs.s, q.qv[subs.s*8+1 : subs.s*8+8] AS sub
-                      FROM subs CROSS JOIN q
-                    ) qs ON qs.s = cb.s),
-            sc AS (SELECT enc.vec_id, sum(lut.d2) AS adist
-                   FROM enc JOIN lut ON lut.s = enc.s AND lut.code = enc.code
-                   GROUP BY enc.vec_id)
+        "ivf_pq_topk": _IVFPQ_BODY + """
             SELECT sc.vec_id, round(sc.adist, 6) AS adist
             FROM sc JOIN cellof USING (vec_id)
             WHERE cellof.cell IN (SELECT cell FROM probe) AND sc.vec_id <> 0
             ORDER BY sc.adist ASC, sc.vec_id ASC
             LIMIT 10
         """,
+        # three-stage twin: same body, ADC shortlist of 20, exact-cosine
+        # re-rank to 10
+        "ivf_pq_rerank": _IVFPQ_BODY + """,
+            shortlist AS (
+                SELECT sc.vec_id FROM sc JOIN cellof USING (vec_id)
+                WHERE cellof.cell IN (SELECT cell FROM probe)
+                  AND sc.vec_id <> 0
+                ORDER BY sc.adist ASC, sc.vec_id ASC LIMIT 20
+            )
+            SELECT v.vec_id,
+                   round(list_cosine_similarity(v.v, q.qv), 6) AS cos
+            FROM vecs v JOIN shortlist USING (vec_id) CROSS JOIN q
+            ORDER BY list_cosine_similarity(v.v, q.qv) DESC, v.vec_id
+            LIMIT 10
+        """,
+        
         # pipeline-audit twin: the staged composition of the quality_gates,
         # dedup_exact (keep min id), near_dedup_kept (LSH + verify +
         # components at 0.05, over exact survivors), and decontam (8-gram

@@ -339,7 +339,49 @@ def pq_index_topk(
     )
 
 
+def ivf_pq_rerank_topk(
+    emb: DataFrame,
+    query_id: int,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    shortlist: int = 20,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cos) — the full three-stage ANN pipeline: IVF cell routing →
+    ADC shortlist over PQ codes → EXACT cosine re-rank of the shortlist
+    (the standard recall-restoring refine step: quantization error only
+    has to keep true neighbors inside the `shortlist`, not order them).
+    At scale the re-rank is ``shortlist`` point lookups into the raw
+    vector table — here one semi-join against the shortlist ids."""
+    if shortlist < k:
+        raise ValueError(f"shortlist {shortlist} must be >= k {k}")
+    from letarette_spark.functions.similarity import cosine_expr
+
+    short = ivf_pq_topk(
+        emb, query_id, centroids, codebooks,
+        k=shortlist, nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+    ).select(id_col)
+    row = emb.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).cast("array<double>").alias("v")
+    ).first()
+    qv = F.array(*[F.lit(float(x)) for x in row["v"]])
+    return (
+        emb.join(short, id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("qv", qv)
+        .select(F.col(id_col), cosine_expr("v", "qv").alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 __all__ = [
     "pq_codebooks", "pq_encode", "pq_adc_lut", "pq_adc_topk", "ivf_pq_topk",
-    "pq_index_write", "pq_index_topk",
+    "pq_index_write", "pq_index_topk", "ivf_pq_rerank_topk",
 ]

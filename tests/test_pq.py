@@ -239,3 +239,43 @@ def test_pq_index_partition_pruning_and_equality(spark, tmp_path):
     assert files and all(
         any(f"cell={c}/" in f for c in probed) for f in files
     ), files
+
+
+def test_ivf_pq_rerank_matches_numpy_and_improves_order(spark):
+    """Shortlist by ADC, exact-cosine re-rank: matches the numpy
+    composition, and the final ordering is by TRUE cosine."""
+    from letarette_spark.functions.pq import ivf_pq_rerank_topk, ivf_pq_topk
+    from letarette_spark.functions.similarity import ivf_centroids
+
+    vecs = _vectors(60)
+    df = _df(spark, vecs)
+    cents = ivf_centroids(df, n_cells=5, n_iter=1)
+    books = pq_codebooks(df, m=M, k=K, n_iter=1)
+    got = [(r["vec_id"], r["cos"]) for r in
+           ivf_pq_rerank_topk(df, query_id=3, centroids=cents,
+                              codebooks=books, k=5, shortlist=12,
+                              nprobe=2).collect()]
+
+    short = [r["vec_id"] for r in
+             ivf_pq_topk(df, query_id=3, centroids=cents, codebooks=books,
+                         k=12, nprobe=2).collect()]
+
+    def cos(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y; na += x * x; nb += y * y
+        d = (na ** 0.5) * (nb ** 0.5)
+        return dot / d if d else float("-inf")
+
+    exp = sorted(
+        ((i, cos(list(vecs[i]), list(vecs[3]))) for i in short),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    assert [i for i, _ in got] == [i for i, _ in exp], (got, exp)
+    for (_, a), (_, b) in zip(got, exp):
+        assert abs(a - b) < 1e-9
+    # ordering is by true cosine, descending
+    assert all(got[i][1] >= got[i + 1][1] for i in range(len(got) - 1))
+
+    with pytest.raises(ValueError):
+        ivf_pq_rerank_topk(df, 3, cents, books, k=10, shortlist=5)
