@@ -581,6 +581,53 @@ def q_bpe_token_count(spark, sf_dir):
     )
 
 
+def q_bpe_word_counts(spark, sf_dir):
+    """BPE training stage 1: the corpus word-frequency table (one scan +
+    one partial-agg shuffle) every later merge round works from."""
+    from letarette_spark.functions.bpe import word_counts
+
+    return (
+        word_counts(_docs(spark, sf_dir))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(50)
+    )
+
+
+def q_bpe_top_pairs(spark, sf_dir):
+    """BPE training round 0: character-pair frequencies weighted by word
+    count — the candidate list the first merge is chosen from."""
+    from letarette_spark.functions.bpe import top_pairs
+
+    return top_pairs(_docs(spark, sf_dir), k=30)
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Learned BPE merge table (24 merges, symbol-disjoint batches of 4 —
+    6 vocab-table rounds). The iterative merge loop is not SQL-expressible
+    (the driver records the rows-only check); the schedule is pinned
+    exactly against an independent pure-Python implementation and the
+    classic batch=1 algorithm in tests/test_bpe.py."""
+    from letarette_spark.functions.bpe import bpe_train, merges_df
+
+    merges = bpe_train(_docs(spark, sf_dir), n_merges=24, batch=4)
+    return merges_df(spark, merges).orderBy("rank")
+
+
+def q_bpe_encoded(spark, sf_dir):
+    """Corpus re-tokenized with the learned merges (Arrow-batched encode,
+    one scan, zero shuffles). Rows-only gate; token-exact parity with the
+    pure-JVM fold-chain encoder is pinned in tests/test_bpe.py."""
+    from letarette_spark.functions.bpe import bpe_encode, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe_train(docs, n_merges=24, batch=4)
+    return (
+        bpe_encode(docs, merges)
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
 def q_knn_cosine(spark, sf_dir):
     from letarette_spark.functions.similarity import cosine_topk
 
@@ -811,6 +858,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dups": q_embedding_dups,
         "lsh_embedding_dups": q_lsh_embedding_dups,
         "bpe_token_count": q_bpe_token_count,
+        "bpe_word_counts": q_bpe_word_counts,
+        "bpe_top_pairs": q_bpe_top_pairs,
+        "bpe_merges": q_bpe_merges,
+        "bpe_encoded": q_bpe_encoded,
         "knn_cosine": q_knn_cosine,
         "ann_ivf": q_ann_ivf,
         "text_quality": q_text_quality,
@@ -1005,6 +1056,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_token_counts": f"""
             SELECT doc_id, len({_ARR})::BIGINT AS dl FROM documents
+        """,
+        "bpe_word_counts": f"""
+            WITH tok AS ({_TOK})
+            SELECT term AS word, count(*)::BIGINT AS cnt
+            FROM tok GROUP BY term ORDER BY cnt DESC, word LIMIT 50
+        """,
+        # adjacent character pairs of every word, weighted by word count —
+        # substr(word, i, 2) for i in 1..len-1 is exactly the zip of the
+        # Spark side's split-to-chars slices
+        "bpe_top_pairs": f"""
+            WITH wc AS (
+                SELECT term AS word, count(*)::BIGINT AS cnt
+                FROM ({_TOK}) GROUP BY term),
+            pr AS (
+                SELECT unnest(list_transform(range(1, length(word)),
+                              i -> substr(word, i, 2))) AS p, cnt
+                FROM wc)
+            SELECT substr(p, 1, 1) AS a, substr(p, 2, 1) AS b,
+                   sum(cnt)::BIGINT AS cnt
+            FROM pr GROUP BY 1, 2
+            ORDER BY cnt DESC, a, b LIMIT 30
         """,
         # bigram-LM perplexity twin: identical add-k=0.5 model (bigram
         # counts, context counts from the bigram table, vocab = distinct

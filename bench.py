@@ -201,6 +201,12 @@ def _bench_sf1(spark, cpus: int) -> dict:
         from letarette_spark.functions.lm_score import lm_perplexity
 
         timed("lm_perplexity", lambda: lm_perplexity(documents).count())
+        from letarette_spark.functions.bpe import bpe_train
+
+        timed(
+            "bpe_train_32",
+            lambda: bpe_train(documents, n_merges=32, batch=8),
+        )
         timed(
             "knn_cosine",
             lambda: cosine_topk(embeddings, query_id=0, k=5).collect(),
@@ -462,6 +468,20 @@ def main() -> None:
                 lambda: pack_sequences(
                     documents, budget=128, n_groups=cpus
                 ).count(),
+            )
+
+            # BPE tokenizer training (32 merges in symbol-disjoint batches
+            # of 8 -> 4 vocab-table rounds after the one corpus scan) and
+            # the Arrow-batched corpus re-encode with the learned merges
+            from letarette_spark.functions.bpe import bpe_encode, bpe_train
+
+            bpe_merges = timed(
+                "bpe_train_32",
+                lambda: bpe_train(documents, n_merges=32, batch=8),
+            )
+            timed(
+                "bpe_encode",
+                lambda: bpe_encode(documents, bpe_merges).count(),
             )
 
             # query-latency distribution over warm repeats (reference lrload
