@@ -747,6 +747,7 @@ def run_one_pipeops(cpus: int, corpus_dir: str) -> dict:
     expectation is near-linear core scaling up to the host ceiling."""
     from pyspark.sql import functions as F
 
+    from letarette_spark.functions.bpe import bpe_train
     from letarette_spark.functions.dedup import minhash_lsh_pairs
     from letarette_spark.functions.lm_score import lm_perplexity
     from letarette_spark.functions.packing import pack_sequences
@@ -778,6 +779,9 @@ def run_one_pipeops(cpus: int, corpus_dir: str) -> dict:
             docs, budget=512, n_groups=64
         ).count(),
         "span_dedup": lambda: strip_repeated_spans(docs, span_tokens=12).count(),
+        # BPE training: the corpus word-count scan is the data-bound part;
+        # the 4 merge rounds run over the vocab-sized table (near-constant)
+        "bpe_train": lambda: bpe_train(docs, n_merges=64, batch=16),
         "minhash_lsh": lambda: minhash_lsh_pairs(
             docs, bands=4, rows_per_band=2, n=3, threshold=0.05
         ).count(),
