@@ -773,6 +773,27 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_session_spans(spark, sf_dir):
+    """Per-session spans via the native session_window operator (the
+    streaming sessionizer's exact batch twin — streaming/pipeline.py);
+    the DuckDB oracle derives the same sessions with the lag+cumsum
+    formulation (split only when the gap strictly exceeds 30 min —
+    session_window's inclusive-boundary merge rule), proving the two
+    session algebras agree row-for-row."""
+    from letarette_spark.streaming.pipeline import sessionize
+
+    ev = _events(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return sessionize(ev, gap_minutes=30).select(
+        F.col("session_start").cast("string").alias("session_start"),
+        F.col("session_end").cast("string").alias("session_end"),
+        "user_id",
+        "n_events",
+        "total_value",
+    )
+
+
 def q_top_users_per_type(spark, sf_dir):
     """Top-3 users by total value per event type (rank window)."""
     from pyspark.sql import Window
@@ -872,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine": q_lsh_cosine,
         "event_hourly": q_event_hourly,
         "sessionize": q_sessionize,
+        "session_spans": q_session_spans,
         "top_users_per_type": q_top_users_per_type,
         "video_frame_features": q_video_frame_features,
     }
@@ -2002,6 +2024,35 @@ def oracle_sql() -> dict[str, str]:
                     AND frac_alpha >= 0.8 AND bullet_frac <= 0.9
                     AND ellipsis_frac <= 0.3 AND dup_frac <= 0.3) AS passes
             FROM m
+        """,
+        # lag+cumsum session derivation; split only when the microsecond
+        # gap strictly exceeds the 30-min session_window horizon (Spark
+        # merges an event exactly at last_ts + gap — inclusive boundary,
+        # pinned by tests/test_streaming_pipeline.py's boundary test);
+        # session_end = last event + gap, exactly as session_window.end
+        "session_spans": """
+            WITH m AS (
+                SELECT user_id, ts, value, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    > 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+                SELECT *, sum(new_s) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM m
+            )
+            SELECT CAST(min(ts) AS VARCHAR) AS session_start,
+                   CAST(max(ts) + INTERVAL 30 MINUTE AS VARCHAR)
+                     AS session_end,
+                   user_id,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value), 6) AS total_value
+            FROM s GROUP BY user_id, sid
         """,
         "event_hourly": """
             SELECT event_type,
