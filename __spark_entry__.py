@@ -759,10 +759,14 @@ def q_sessionize(spark, sf_dir):
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # events.ts is TIMESTAMP_NTZ; route through TIMESTAMP (session tz = UTC)
-    # for epoch seconds — matches DuckDB's epoch() on naive timestamps
-    secs = F.col("ts").cast("timestamp").cast("long")
-    gap = secs - F.lag(secs).over(w)
-    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # for epoch math — matches DuckDB's epoch_us() on naive timestamps.
+    # MICROSECOND precision, not floored seconds: session_window compares
+    # at full event-time precision, and all three session formulations
+    # (this one, q_session_spans, streaming sessionize) must agree even
+    # when timestamps gain sub-second parts
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = micros - F.lag(micros).over(w)
+    new_s = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     return (
         ev.withColumn("new_s", new_s)
         .groupBy("user_id")
@@ -2065,7 +2069,8 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS (
               SELECT user_id,
                      CASE WHEN lag(ts) OVER w IS NULL
-                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                               OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                  > 1800000000
                           THEN 1 ELSE 0 END AS new_s
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

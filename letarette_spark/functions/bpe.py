@@ -220,16 +220,30 @@ def bpe_train(
     while len(merges) < n_merges:
         take = min(batch, n_merges - len(merges))
         # over-collect so the disjointness filter can skip conflicts; the
-        # collect is O(batch) rows, never the table
+        # collect is O(batch) rows, never the table. If the batch doesn't
+        # fill because every collected candidate conflicted, escalate the
+        # pool — the twin scans the FULL ranking and the exact-equality
+        # contract requires the same here. Escalation stops once the
+        # ranking is exhausted (short collect) or the tail fell below
+        # min_pair_count (ranking is cnt-desc, so nothing below the last
+        # collected row is eligible either).
         pool = take * 8 + 8
-        ranked = [
-            (r["a"], r["b"], r["cnt"])
-            for r in pair_counts(words)
-            .orderBy(F.desc("cnt"), "a", "b")
-            .limit(pool)
-            .collect()
-        ]
-        chosen = _choose_disjoint(ranked, take, min_pair_count)
+        while True:
+            rows = (
+                pair_counts(words)
+                .orderBy(F.desc("cnt"), "a", "b")
+                .limit(pool)
+                .collect()
+            )
+            ranked = [(r["a"], r["b"], r["cnt"]) for r in rows]
+            chosen = _choose_disjoint(ranked, take, min_pair_count)
+            if (
+                len(chosen) >= take
+                or len(rows) < pool
+                or (ranked and ranked[-1][2] < min_pair_count)
+            ):
+                break
+            pool *= 4
         if not chosen:
             break
         merges.extend(chosen)

@@ -103,21 +103,28 @@ def pq_codebooks(
             _code_expr(_sub(F.col("v"), s, dsub), books[s]).alias(f"c{s}")
             for s in range(m)
         ]
-        assigned = train.select("v", *cols)
-        new = [list(b) for b in books]
-        for s in range(m):
-            means = (
-                assigned.groupBy(f"c{s}")
-                .agg(
-                    *[
-                        F.avg(F.element_at("v", s * dsub + i + 1)).alias(f"m{i}")
-                        for i in range(dsub)
-                    ]
+        # persist: the m-subspace assignment scan runs ONCE per round;
+        # the m per-subspace group-bys below read the cached frame
+        assigned = train.select("v", *cols).persist()
+        try:
+            new = [list(b) for b in books]
+            for s in range(m):
+                means = (
+                    assigned.groupBy(f"c{s}")
+                    .agg(
+                        *[
+                            F.avg(
+                                F.element_at("v", s * dsub + i + 1)
+                            ).alias(f"m{i}")
+                            for i in range(dsub)
+                        ]
+                    )
+                    .collect()
                 )
-                .collect()
-            )
-            for r in means:
-                new[s][r[f"c{s}"]] = [r[f"m{i}"] for i in range(dsub)]
+                for r in means:
+                    new[s][r[f"c{s}"]] = [r[f"m{i}"] for i in range(dsub)]
+        finally:
+            assigned.unpersist()
         if new == books:
             break
         books = new
@@ -132,14 +139,40 @@ def pq_encode(
 ) -> DataFrame:
     """(id, codes array<int>[m]) — one scan, zero shuffle, no Python.
     At m=8, k=16 the codes column is ~4 bytes/vector: the representation
-    a billion-vector corpus actually stores."""
+    a billion-vector corpus actually stores. NULL embeddings are dropped
+    (they have no meaningful code; without the filter a null vector
+    would tie-break to codes [0]*m and compete in ADC top-k)."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     v = F.col(vec_col).cast("array<double>")
     codes = F.array(
         *[_code_expr(_sub(v, s, dsub), codebooks[s]) for s in range(m)]
     )
-    return emb.select(F.col(id_col), codes.alias("codes"))
+    return (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), codes.alias("codes"))
+    )
+
+
+def _adist_expr(lut: list[list[float]]) -> Column:
+    """ADC distance of the ``codes`` column against a driver-side LUT
+    baked into the plan as a literal: adist = sum_s lut[s][codes[s]],
+    a left-fold over subspaces matching the twin's sequential sum.
+    The ONE definition both pq_adc_topk and pq_index_topk score with —
+    the cross-engine determinism contract depends on this exact fold
+    shape staying identical everywhere."""
+    lut_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in js]) for js in lut]
+    )
+    return F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            lut_lit,
+            lambda code, lutrow: F.element_at(lutrow, (code + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
 
 def pq_adc_lut(
@@ -192,23 +225,9 @@ def pq_adc_topk(
     lut = pq_adc_lut([float(x) for x in query_vec], codebooks)
     if codes_df is None:
         codes_df = pq_encode(emb, codebooks, id_col, vec_col)
-    lut_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in js]) for js in lut]
-    )
-    # adist = sum_s lut[s][codes[s]] — left-fold over subspaces, matching
-    # the twin's sequential sum over the per-subspace lookups
-    adist = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            lut_lit,
-            lambda code, lutrow: F.element_at(lutrow, (code + 1).cast("int")),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     return (
         codes_df.filter(F.col(id_col) != query_id)
-        .select(F.col(id_col), adist.alias("adist"))
+        .select(F.col(id_col), _adist_expr(lut).alias("adist"))
         .orderBy(F.asc("adist"), F.asc(id_col))
         .limit(k)
     )
@@ -273,32 +292,19 @@ def pq_index_write(
     ~nprobe/n_cells of the files) and each surviving row is ~4 bytes of
     codes instead of the full vector (reads ~1/100 of the bytes per
     file). Raw vectors live elsewhere for optional exact re-ranking."""
+    from letarette_spark.functions.similarity import _ivf_cell_expr
+
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     v = F.col(vec_col).cast("array<double>")
-    out = emb.select(
+    out = emb.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col),
         F.array(
             *[_code_expr(_sub(v, s, dsub), codebooks[s]) for s in range(m)]
         ).alias("codes"),
-        _ivf_cell_expr_on(v, centroids).alias("cell"),
+        _ivf_cell_expr(v, centroids).alias("cell"),
     )
     out.write.mode("overwrite").partitionBy("cell").parquet(path)
-
-
-def _ivf_cell_expr_on(vec: Column, centroids: list[list[float]]) -> Column:
-    """similarity._ivf_cell_expr accepts a column NAME; this variant
-    takes the column expression directly (the codes projection has no
-    named vector column to point at)."""
-    from letarette_spark.functions.similarity import _centroids_lit, _cosine_cols
-
-    scored = F.transform(
-        _centroids_lit(centroids),
-        lambda c, i: F.struct(
-            (-_cosine_cols(vec, c)).alias("negcos"), i.alias("cell")
-        ),
-    )
-    return F.array_min(scored)["cell"]
 
 
 def pq_index_topk(
@@ -319,21 +325,11 @@ def pq_index_topk(
 
     probes = ivf_probe_cells(query_vec, centroids, nprobe)
     lut = pq_adc_lut([float(x) for x in query_vec], codebooks)
-    lut_lit = F.array(*[F.array(*[F.lit(float(x)) for x in js]) for js in lut])
     df = spark.read.parquet(path).filter(F.col("cell").isin(probes))
     if exclude_id is not None:
         df = df.filter(F.col(id_col) != exclude_id)
-    adist = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            lut_lit,
-            lambda code, lutrow: F.element_at(lutrow, (code + 1).cast("int")),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     return (
-        df.select(F.col(id_col), adist.alias("adist"))
+        df.select(F.col(id_col), _adist_expr(lut).alias("adist"))
         .orderBy(F.asc("adist"), F.asc(id_col))
         .limit(k)
     )

@@ -273,7 +273,9 @@ def _centroids_lit(centroids: list[list[float]]) -> Column:
     )
 
 
-def _ivf_cell_expr(vec_col: str, centroids: list[list[float]]) -> Column:
+def _ivf_cell_expr(
+    vec_col: "str | Column", centroids: list[list[float]]
+) -> Column:
     """argmax_j cosine(v, centroid_j), ties to the lowest cell index.
     Pure JVM: one transform lambda over the nested centroid literal
     scores every cell (the cosine sub-expression appears ONCE in the
@@ -282,8 +284,11 @@ def _ivf_cell_expr(vec_col: str, centroids: list[list[float]]) -> Column:
     struct ordering is field-lexicographic, so min(−cos) then min(j),
     matching the SQL twin's ``ORDER BY cos DESC, cell ASC`` row_number.
     Per-element arithmetic (zip_with multiply, sequential left-fold sum)
-    is identical to the expanded form."""
-    v = F.col(vec_col)
+    is identical to the expanded form. Accepts a column name or a column
+    expression (pq.py assigns cells to a derived projection) — the ONE
+    definition of cell assignment everywhere, so indexes are encoded and
+    queried with the same rule."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     scored = F.transform(
         _centroids_lit(centroids),
         lambda c, i: F.struct(

@@ -399,6 +399,13 @@ def _ngram_array(arr, n: int):
     )
 
 
+def _tag_ngrams(ng, n: int):
+    """array<struct<n,ng>> tagging each n-gram with its n."""
+    return F.transform(
+        ng, lambda g: F.struct(F.lit(n).alias("n"), g.alias("ng"))
+    )
+
+
 def repetition_scores(
     df: DataFrame,
     ns: tuple[int, ...] = (2, 3, 4),
@@ -417,15 +424,20 @@ def repetition_scores(
 
     The top n-gram per doc needs a per-group argmax with a DETERMINISTIC
     tie-break (count desc, char length desc, n-gram text desc — mirrored
-    exactly by the DuckDB twin), so it runs as explode -> partial-agg
-    groupBy -> row_number window, both keyed by (doc, n-gram) / doc:
-    linear, skew-free (a doc contributes ~doc_len rows). The dup
-    fractions are pure per-row array math riding the same scan."""
+    exactly by the DuckDB twin). All |ns| signals ride ONE tokenize scan:
+    the per-n n-gram arrays are flattened into a single (n, ngram) struct
+    array, exploded ONCE (explode_outer, so n-gram-free docs survive),
+    counted by (doc, n, ngram) in one partial-agg shuffle, argmax'd by a
+    (doc, n) row_number window, and folded back to one row per doc in a
+    final groupBy — linear, skew-free (a doc contributes ~|ns|·doc_len
+    rows). The dup fractions are pure per-row array math carried through
+    the same rows (identical within a doc, so first() is exact)."""
     from pyspark.sql import Window
 
     arr = token_array(text_col)
     tok_chars = F.aggregate(arr, F.lit(0), lambda a, t: a + F.length(t))
     base_cols = [F.col(id_col), tok_chars.alias("__chars")]
+    pair_arrays = []
     for n in ns:
         ng = _ngram_array(arr, n)
         total = F.size(ng)
@@ -434,32 +446,57 @@ def repetition_scores(
             1.0 - F.size(F.array_distinct(ng)).cast("double") / total.cast("double"),
         ).otherwise(F.lit(0.0))
         base_cols.append(F.round(dup, 6).alias(f"dup_{n}gram_frac"))
-        base_cols.append(ng.alias(f"__ng_{n}"))
+        # single-arg lambda: a 2-arg transform lambda binds the array
+        # INDEX as the 2nd param (CLAUDE.md), clobbering a `_n=n` default
+        pair_arrays.append(_tag_ngrams(ng, n))
+    base_cols.append(F.flatten(F.array(*pair_arrays)).alias("__pairs"))
     base = df.select(*base_cols)
 
-    out = base.select(
-        id_col, "__chars", *[f"dup_{n}gram_frac" for n in ns]
+    dup_cols = [f"dup_{n}gram_frac" for n in ns]
+    flat = base.select(
+        id_col,
+        "__chars",
+        *dup_cols,
+        F.explode_outer("__pairs").alias("__p"),
+    ).select(
+        id_col,
+        "__chars",
+        *dup_cols,
+        F.col("__p.n").alias("__n"),
+        F.col("__p.ng").alias("__ng"),
     )
-    w = Window.partitionBy(id_col).orderBy(
+    grouped = (
+        flat.groupBy(id_col, "__n", "__ng")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.first("__chars").alias("__chars"),
+            *[F.first(c).alias(c) for c in dup_cols],
+        )
+        .withColumn(
+            "__nglen", F.length(F.regexp_replace(F.col("__ng"), " ", ""))
+        )
+    )
+    w = Window.partitionBy(id_col, "__n").orderBy(
         F.desc("__cnt"), F.desc("__nglen"), F.desc("__ng")
     )
-    for n in ns:
-        top = (
-            base.select(F.col(id_col), F.explode(f"__ng_{n}").alias("__ng"))
-            .groupBy(id_col, "__ng")
-            .agg(F.count(F.lit(1)).alias("__cnt"))
-            .withColumn(
-                "__nglen",
-                F.length(F.regexp_replace(F.col("__ng"), " ", "")),
-            )
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(
-                F.col(id_col),
-                (F.col("__cnt") * F.col("__nglen")).alias(f"__topchars_{n}"),
-            )
+    out = (
+        grouped.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .groupBy(id_col)
+        .agg(
+            F.first("__chars").alias("__chars"),
+            *[F.first(c).alias(c) for c in dup_cols],
+            *[
+                F.max(
+                    F.when(
+                        F.col("__n") == n,
+                        F.col("__cnt") * F.col("__nglen"),
+                    )
+                ).alias(f"__topchars_{n}")
+                for n in ns
+            ],
         )
-        out = out.join(top, [id_col], "left")
+    )
     sel = [F.col(id_col)] + [F.col(f"dup_{n}gram_frac") for n in ns]
     for n in ns:
         sel.append(

@@ -161,11 +161,11 @@ def run_stream(
     processed and only newly-closed windows are appended. That is the
     production shape; the memory sink refuses checkpoint recovery by
     design."""
-    w = df.writeStream
+    w = df.writeStream.queryName(queryName)
     if path is not None:
         w = w.format("parquet").option("path", path)
     else:
-        w = w.format("memory").queryName(queryName)
+        w = w.format("memory")
     q = (
         w.outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)

@@ -210,3 +210,24 @@ def test_top_pairs_weighted_by_count(spark):
         for r in bpe.top_pairs(df, k=10, id_col="doc_id").collect()
     ]
     assert rows == [("a", "b", 5), ("b", "c", 2)]
+
+
+def test_batched_pool_escalation_matches_python_twin(spark):
+    """A round whose collected candidate pool (take*8+8 rows) is ALL
+    conflicts after the first chosen pair must keep scanning the ranking
+    — the pure-Python twin scans it in full, and the exact-equality
+    contract holds only if the Spark trainer escalates its collect until
+    the batch fills or the ranking is exhausted. 24 pairs sharing 'a'
+    outrank the first disjoint pair 'xy', pushing it past the initial
+    pool of 24 at batch=2."""
+    import string
+
+    wc = {"ab": 100}
+    others = [c for c in string.ascii_lowercase if c not in "abxy"]
+    for i, c in enumerate(others[:23]):
+        wc["a" + c] = 99 - i
+    wc["xy"] = 10
+    m_py = bpe.py_bpe_train(wc, 2, batch=2)
+    assert m_py == [("a", "b"), ("x", "y")]  # the twin sees past rank 24
+    m_spark = bpe.bpe_train(_wc_df(spark, wc), n_merges=2, batch=2)
+    assert m_spark == m_py

@@ -279,3 +279,22 @@ def test_ivf_pq_rerank_matches_numpy_and_improves_order(spark):
 
     with pytest.raises(ValueError):
         ivf_pq_rerank_topk(df, 3, cents, books, k=10, shortlist=5)
+
+
+def test_null_embeddings_dropped_from_codes_and_topk(spark):
+    """A NULL embedding has no meaningful code: without the isNotNull
+    filter in pq_encode, every codebook distance is NULL, the struct
+    array_min tie-breaks to code 0, and the row competes in ADC top-k
+    with a finite distance. It must simply not appear."""
+    vecs = _vectors(12)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    rows.append((99, None))
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    books = pq_codebooks(emb, m=M, k=K)
+    codes = pq_encode(emb, books)
+    ids = {r["vec_id"] for r in codes.collect()}
+    assert 99 not in ids
+    assert ids == set(range(12))
+    top = pq_adc_topk(emb, 0, books, k=11).collect()
+    assert len(top) == 11
+    assert all(r["vec_id"] != 99 for r in top)

@@ -135,14 +135,17 @@ def test_session_window_agrees_with_lag_cumsum_rule(spark, static_events):
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_sessions"))
     )
-    secs = F.col("ts").cast("long")
+    # microsecond precision, exactly like q_sessionize and session_window
+    # (floored seconds would disagree on sub-second timestamps)
+    micros = F.unix_micros(F.col("ts"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = secs - F.lag(secs).over(w)
+    gap = micros - F.lag(micros).over(w)
     lagrule = (
         static_events.withColumn(
-            "new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+            "new_s",
+            F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0),
         )
         .groupBy("user_id")
         .agg(F.sum("new_s").alias("n_sessions"))
