@@ -837,6 +837,76 @@ def q_video_frame_features(spark, sf_dir):
     )
 
 
+def _synth_html_expr() -> "F.Column":
+    """Deterministic HTML wrapper around each documents row — the same
+    construction the DuckDB twin builds with || so the html gates
+    exercise extraction (script/style/comment stripping, quoted-'>'
+    attributes, entities, absolute/relative hrefs) on identical input
+    synthesized from the corpus itself (no external data)."""
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit("<html><head><title>Doc "),
+        did,
+        F.lit(
+            "</title><style>p{color:red}</style>"
+            '<script type="text/javascript">'
+            'if (a<b && c>d) { alert("x&y"); }</script></head>'
+            "<body><!-- comment <p>hidden</p> --><h1>Doc "
+        ),
+        did,
+        F.lit(' &amp; friends</h1><p class="lead" title="a>b">'),
+        F.substring(F.col("text"), 1, 120),
+        F.lit("</p><ul><li>lang: "),
+        F.col("lang"),
+        F.lit("</li><li>source: "),
+        F.col("source"),
+        F.lit('</li></ul><a href="https://www.Example.com/d/'),
+        did,
+        F.lit("?ref=1\">self</a><a href='http://Mirror"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(
+            ".org/x#frag'>m</a><a href=\"/relative/path\">rel</a>"
+            "<p>5 &lt; 6 &amp;&amp; 7 &gt; 3, &quot;quoted&quot;, "
+            "it&#39;s&nbsp;here</p></body></html>"
+        ),
+    )
+
+
+def q_html_text(spark, sf_dir):
+    """HTML -> main-text extraction (functions/html.py html_to_text):
+    pure-JVM regexp chain — script/style/comments out, block tags to
+    newlines, entities decoded, whitespace normalized. md5 of the
+    extracted text so the driver compares exact content."""
+    from letarette_spark.functions.html import html_to_text
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(html_to_text(_synth_html_expr())).alias("text_md5"),
+    ).orderBy("doc_id")
+
+
+def q_html_links(spark, sf_dir):
+    """Link harvest (functions/html.py doc_links): one row per href in
+    document order with its normalized host ('' for relative links)."""
+    from letarette_spark.functions.html import doc_links
+
+    df = _docs(spark, sf_dir).select(
+        "doc_id", _synth_html_expr().alias("html")
+    )
+    return doc_links(df).orderBy("doc_id", "pos")
+
+
+def q_html_host_counts(spark, sf_dir):
+    """Per-host link rollup (functions/html.py host_doc_counts) — the
+    aggregate URL filtering/sampling reads; one partial-agg shuffle."""
+    from letarette_spark.functions.html import host_doc_counts
+
+    df = _docs(spark, sf_dir).select(
+        "doc_id", _synth_html_expr().alias("html")
+    )
+    return host_doc_counts(df).orderBy("host")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "engine_bm25": q_engine_bm25,
@@ -900,6 +970,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_spans": q_session_spans,
         "top_users_per_type": q_top_users_per_type,
         "video_frame_features": q_video_frame_features,
+        "html_text": q_html_text,
+        "html_links": q_html_links,
+        "html_host_counts": q_html_host_counts,
     }
 
 
@@ -995,6 +1068,46 @@ def oracle_sql() -> dict[str, str]:
         f"len(regexp_extract_all(t, '{pat}'))::BIGINT AS n_{k}"
         for k, (pat, _r) in PII_PATTERNS.items()
     )
+
+    # html gates: the SAME deterministic HTML construction as
+    # _synth_html_expr (|| mirrors F.concat), extraction SQL generated
+    # from the pattern constants in functions/html.py — one source of
+    # truth for both engines
+    from letarette_spark.functions.html import (
+        RE_HREF,
+        _sql_pat,
+        html_to_text_sql,
+        url_host_sql,
+    )
+
+    _HTML = """
+        '<html><head><title>Doc ' || doc_id || '</title><style>p{color:red}</style>'
+        || '<script type="text/javascript">if (a<b && c>d) { alert("x&y"); }</script></head>'
+        || '<body><!-- comment <p>hidden</p> --><h1>Doc ' || doc_id || ' &amp; friends</h1>'
+        || '<p class="lead" title="a>b">' || substr(text, 1, 120) || '</p>'
+        || '<ul><li>lang: ' || lang || '</li><li>source: ' || source || '</li></ul>'
+        || '<a href="https://www.Example.com/d/' || doc_id || '?ref=1">self</a>'
+        || '<a href=''http://Mirror' || (doc_id % 7) || '.org/x#frag''>m</a>'
+        || '<a href="/relative/path">rel</a>'
+        || '<p>5 &lt; 6 &amp;&amp; 7 &gt; 3, &quot;quoted&quot;, it&#39;s&nbsp;here</p></body></html>'
+    """
+    _HREF_PAT = _sql_pat(RE_HREF)
+    # document-order picked hrefs: the alternation captures the
+    # double-quoted body in group 2 and the single-quoted body in group
+    # 3; per-match pick = CASE over the two aligned extract_all lists
+    _HTML_LINKS_CTE = f"""
+        WITH h AS (SELECT doc_id, ({_HTML}) AS html FROM documents),
+        l AS (SELECT doc_id,
+                     regexp_extract_all(html, {_HREF_PAT}, 2) AS dq,
+                     regexp_extract_all(html, {_HREF_PAT}, 3) AS sq
+              FROM h),
+        c AS (SELECT doc_id,
+                     list_filter(list_transform(range(1, len(dq)+1),
+                         i -> CASE WHEN dq[i] <> '' THEN dq[i]
+                              ELSE sq[i] END),
+                         x -> x <> '') AS fl
+              FROM l)
+    """
 
     terms_in = ", ".join(f"'{t}'" for t in QUERY_TERMS)
     phrase = " ".join(QUERY_TERMS)
@@ -2090,6 +2203,29 @@ def oracle_sql() -> dict[str, str]:
               )::BIGINT AS rank
               FROM agg
             ) WHERE rank <= 3
+        """,
+        "html_text": f"""
+            SELECT doc_id,
+                   md5({html_to_text_sql(f'({_HTML})')}) AS text_md5
+            FROM documents ORDER BY doc_id
+        """,
+        "html_links": f"""
+            {_HTML_LINKS_CTE},
+            x AS (SELECT doc_id,
+                         unnest(range(1, len(fl)+1)) - 1 AS pos,
+                         unnest(fl) AS link
+                  FROM c)
+            SELECT doc_id, pos::INT AS pos, link,
+                   {url_host_sql('link')} AS host
+            FROM x ORDER BY doc_id, pos
+        """,
+        "html_host_counts": f"""
+            {_HTML_LINKS_CTE},
+            x AS (SELECT doc_id, unnest(fl) AS link FROM c),
+            k AS (SELECT doc_id, {url_host_sql('link')} AS host FROM x)
+            SELECT host, count(*)::BIGINT AS n_links,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs
+            FROM k WHERE host <> '' GROUP BY host ORDER BY host
         """,
         "simhash": f"""
             WITH tok AS ({_TOK}),

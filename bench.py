@@ -201,6 +201,18 @@ def _bench_sf1(spark, cpus: int) -> dict:
         from letarette_spark.functions.lm_score import lm_perplexity
 
         timed("lm_perplexity", lambda: lm_perplexity(documents).count())
+        from letarette_spark.functions.html import html_to_text
+
+        # sum(length) forces the regex chain to actually run (a bare
+        # count() would let Catalyst prune the projection away)
+        timed(
+            "html_text",
+            lambda: documents.select(
+                html_to_text(
+                    F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>"))
+                ).alias("t")
+            ).agg(F.sum(F.length("t"))).collect(),
+        )
         from letarette_spark.functions.bpe import bpe_train
 
         timed(
@@ -423,6 +435,20 @@ def main() -> None:
                 ).count(),
             )
             timed("simhash", lambda: simhash64(documents).count())
+            from letarette_spark.functions.html import html_to_text
+
+            # sum(length) forces the regex chain to run (a bare count()
+            # would let Catalyst prune the projection away)
+            timed(
+                "html_text",
+                lambda: documents.select(
+                    html_to_text(
+                        F.concat(
+                            F.lit("<p>"), F.col("text"), F.lit("</p>")
+                        )
+                    ).alias("t")
+                ).agg(F.sum(F.length("t"))).collect(),
+            )
 
             # batch retrieval: 32 queries resolved in ONE job (the offline
             # fan-in path, query/batch.py) — compare against 32× the warm
