@@ -896,6 +896,28 @@ def q_html_links(spark, sf_dir):
     return doc_links(df).orderBy("doc_id", "pos")
 
 
+def q_html_anchors(spark, sf_dir):
+    """Anchor-element harvest (functions/html.py doc_anchors): one row
+    per <a href=...>text</a> with the anchor's plain text and host."""
+    from letarette_spark.functions.html import doc_anchors
+
+    df = _docs(spark, sf_dir).select(
+        "doc_id", _synth_html_expr().alias("html")
+    )
+    return doc_anchors(df).orderBy("doc_id", "pos")
+
+
+def q_html_anchor_agg(spark, sf_dir):
+    """Per-link-target anchor-text rollup (anchor_text_agg) — incoming
+    link text aggregated per href; one partial-agg shuffle."""
+    from letarette_spark.functions.html import anchor_text_agg
+
+    df = _docs(spark, sf_dir).select(
+        "doc_id", _synth_html_expr().alias("html")
+    )
+    return anchor_text_agg(df).orderBy("href")
+
+
 def q_html_host_counts(spark, sf_dir):
     """Per-host link rollup (functions/html.py host_doc_counts) — the
     aggregate URL filtering/sampling reads; one partial-agg shuffle."""
@@ -973,6 +995,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_text": q_html_text,
         "html_links": q_html_links,
         "html_host_counts": q_html_host_counts,
+        "html_anchors": q_html_anchors,
+        "html_anchor_agg": q_html_anchor_agg,
     }
 
 
@@ -1091,7 +1115,28 @@ def oracle_sql() -> dict[str, str]:
         || '<a href="/relative/path">rel</a>'
         || '<p>5 &lt; 6 &amp;&amp; 7 &gt; 3, &quot;quoted&quot;, it&#39;s&nbsp;here</p></body></html>'
     """
+    from letarette_spark.functions.html import RE_ANCHOR
+
     _HREF_PAT = _sql_pat(RE_HREF)
+    _ANCH_PAT = _sql_pat(RE_ANCHOR)
+    # anchor elements: href (group 2/3 by quote style) + inner HTML
+    # (group 4) run through the SAME generated text-extraction chain
+    _HTML_ANCHORS_CTE = f"""
+        WITH h AS (SELECT doc_id, ({_HTML}) AS html FROM documents),
+        a AS (SELECT doc_id,
+                     regexp_extract_all(html, {_ANCH_PAT}, 2) AS dq,
+                     regexp_extract_all(html, {_ANCH_PAT}, 3) AS sq,
+                     regexp_extract_all(html, {_ANCH_PAT}, 4) AS inr
+              FROM h),
+        z AS (SELECT doc_id,
+                     list_filter(list_transform(range(1, len(dq)+1),
+                         i -> struct_pack(
+                             href := CASE WHEN dq[i] <> '' THEN dq[i]
+                                     ELSE sq[i] END,
+                             anchor := {html_to_text_sql('inr[i]')})),
+                         s -> s.href <> '') AS arr
+              FROM a)
+    """
     # document-order picked hrefs: the alternation captures the
     # double-quoted body in group 2 and the single-quoted body in group
     # 3; per-match pick = CASE over the two aligned extract_all lists
@@ -2226,6 +2271,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT host, count(*)::BIGINT AS n_links,
                    count(DISTINCT doc_id)::BIGINT AS n_docs
             FROM k WHERE host <> '' GROUP BY host ORDER BY host
+        """,
+        "html_anchors": f"""
+            {_HTML_ANCHORS_CTE},
+            x AS (SELECT doc_id,
+                         unnest(range(1, len(arr)+1)) - 1 AS pos,
+                         unnest(arr) AS s
+                  FROM z)
+            SELECT doc_id, pos::INT AS pos, s.href AS href,
+                   s.anchor AS anchor, {url_host_sql('s.href')} AS host
+            FROM x ORDER BY doc_id, pos
+        """,
+        "html_anchor_agg": f"""
+            {_HTML_ANCHORS_CTE},
+            x AS (SELECT doc_id, unnest(arr) AS s FROM z)
+            SELECT s.href AS href, count(*)::BIGINT AS n_anchors,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs,
+                   min(CASE WHEN s.anchor <> '' THEN s.anchor END)
+                     AS sample_anchor
+            FROM x GROUP BY s.href ORDER BY href
         """,
         "simhash": f"""
             WITH tok AS ({_TOK}),

@@ -76,6 +76,15 @@ RE_EDGE_NL = "^\\n+|\\n+$"
 # Link harvest: href in single or double quotes (group 2 = the URL).
 RE_HREF = "(?i)href\\s*=\\s*(\"([^\"]*)\"|'([^']*)')"
 
+# Full anchor element: href (group 2 double-quoted / group 3 single-
+# quoted) + inner HTML (group 4). [^>]* in the attribute tail is the
+# documented fast-path boundary (quoted '>' inside OTHER attributes of
+# an <a> tag truncates); non-greedy inner never crosses a real </a>.
+RE_ANCHOR = (
+    "(?is)<a\\b[^>]*?href\\s*=\\s*(\"([^\"]*)\"|'([^']*)')[^>]*>"
+    "(.*?)</a\\s*>"
+)
+
 # Host of an absolute http(s) URL (group 1); empty string for relative
 # links. Lowercased; a leading www. is stripped for host rollups.
 RE_URL_HOST = "(?i)^https?://([^/:?#]+)"
@@ -115,6 +124,71 @@ def extract_links(col) -> Column:
             dq, sq, lambda a, b: F.when(a != "", a).otherwise(b)
         ),
         lambda x: x != "",
+    )
+
+
+def extract_anchors(col) -> Column:
+    """array<struct<href,anchor>> of anchor elements in document order:
+    href plus the PLAIN TEXT of the anchor body (inner tags stripped,
+    entities decoded — the same html_to_text rule). Anchor text is the
+    classic relevance/quality signal web pipelines aggregate per link
+    target. Empty hrefs are dropped; empty anchor text is kept (image
+    links legitimately have none)."""
+    c = F.col(col) if isinstance(col, str) else col
+    dq = F.regexp_extract_all(c, F.lit(RE_ANCHOR), 2)
+    sq = F.regexp_extract_all(c, F.lit(RE_ANCHOR), 3)
+    inner = F.regexp_extract_all(c, F.lit(RE_ANCHOR), 4)
+    zipped = F.arrays_zip(
+        dq.alias("dq"), sq.alias("sq"), inner.alias("inner")
+    )
+    return F.filter(
+        F.transform(
+            zipped,
+            lambda z: F.struct(
+                F.when(z["dq"] != "", z["dq"])
+                .otherwise(z["sq"])
+                .alias("href"),
+                html_to_text(z["inner"]).alias("anchor"),
+            ),
+        ),
+        lambda s: s["href"] != "",
+    )
+
+
+def doc_anchors(
+    df: DataFrame, id_col: str = "doc_id", html_col: str = "html"
+) -> DataFrame:
+    """(id, pos, href, anchor, host) — one row per anchor element.
+    One scan + no shuffle (posexplode of a per-row expression)."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(extract_anchors(html_col)).alias("pos", "a"),
+    ).select(
+        id_col,
+        "pos",
+        F.col("a.href").alias("href"),
+        F.col("a.anchor").alias("anchor"),
+        url_host(F.col("a.href")).alias("host"),
+    )
+
+
+def anchor_text_agg(
+    df: DataFrame, id_col: str = "doc_id", html_col: str = "html"
+) -> DataFrame:
+    """(href, n_anchors, n_docs, sample_anchor) per link target — the
+    anchor-text rollup (incoming link text is a quality/relevance
+    signal per URL). One partial-agg shuffle keyed by href;
+    sample_anchor = lexicographic min non-empty anchor (deterministic)."""
+    return (
+        doc_anchors(df, id_col, html_col)
+        .groupBy("href")
+        .agg(
+            F.count(F.lit(1)).alias("n_anchors"),
+            F.countDistinct(id_col).alias("n_docs"),
+            F.min(F.when(F.col("anchor") != "", F.col("anchor"))).alias(
+                "sample_anchor"
+            ),
+        )
     )
 
 
@@ -189,7 +263,8 @@ def url_host_sql(expr: str) -> str:
 
 
 __all__ = [
-    "html_to_text", "extract_links", "url_host", "doc_links",
-    "host_doc_counts", "html_to_text_sql", "url_host_sql",
-    "RE_HREF",
+    "html_to_text", "extract_links", "extract_anchors", "url_host",
+    "doc_links", "doc_anchors", "anchor_text_agg", "host_doc_counts",
+    "html_to_text_sql", "url_host_sql",
+    "RE_HREF", "RE_ANCHOR",
 ]

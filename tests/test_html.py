@@ -145,3 +145,39 @@ def test_never_raises_on_malformed_markup(spark, s):
     ).first()
     assert isinstance(r["t"], str)
     assert isinstance(r["l"], list)
+
+
+def test_extract_anchors(spark):
+    from letarette_spark.functions.html import extract_anchors
+
+    html = (
+        '<a href="http://a.com/1"><b>Bold</b> link &amp; more</a>'
+        "<a href='http://b.com/2'></a>"          # empty anchor text kept
+        '<a name="no-href">skip</a>'             # no href -> dropped
+        '<a href="">empty href dropped</a>'
+        '<a class="x" href="http://c.com/3" rel="nofollow">c</a>'
+    )
+    df = spark.createDataFrame([(html,)], "h string")
+    rows = df.select(extract_anchors("h").alias("a")).first()["a"]
+    assert [(r["href"], r["anchor"]) for r in rows] == [
+        ("http://a.com/1", "Bold link & more"),
+        ("http://b.com/2", ""),
+        ("http://c.com/3", "c"),
+    ]
+
+
+def test_anchor_text_agg(spark):
+    from letarette_spark.functions.html import anchor_text_agg
+
+    df = spark.createDataFrame(
+        [
+            (1, '<a href="http://t.com/p">zeta</a><a href="http://t.com/p">alpha</a>'),
+            (2, '<a href="http://t.com/p"></a><a href="http://u.com/q">u</a>'),
+        ],
+        "doc_id int, html string",
+    )
+    rows = {r["href"]: r for r in anchor_text_agg(df).collect()}
+    t = rows["http://t.com/p"]
+    assert (t["n_anchors"], t["n_docs"], t["sample_anchor"]) == (3, 2, "alpha")
+    u = rows["http://u.com/q"]
+    assert (u["n_anchors"], u["n_docs"], u["sample_anchor"]) == (1, 1, "u")
