@@ -918,6 +918,24 @@ def q_html_anchor_agg(spark, sf_dir):
     return anchor_text_agg(df).orderBy("href")
 
 
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-document TF-IDF keywords (functions/keywords.py): top-5
+    distinctive terms by tf * ln(N/df), ties to term ascending."""
+    from letarette_spark.functions.keywords import tfidf_keywords
+
+    return tfidf_keywords(_docs(spark, sf_dir), k=5).orderBy(
+        "doc_id", "rank"
+    )
+
+
+def q_pmi_collocations(spark, sf_dir):
+    """Adjacent-token PMI collocations (functions/keywords.py): top-30
+    pairs by pointwise mutual information, min bigram count 5."""
+    from letarette_spark.functions.keywords import pmi_collocations
+
+    return pmi_collocations(_docs(spark, sf_dir), k=30, min_count=5)
+
+
 def q_html_host_counts(spark, sf_dir):
     """Per-host link rollup (functions/html.py host_doc_counts) — the
     aggregate URL filtering/sampling reads; one partial-agg shuffle."""
@@ -997,6 +1015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_host_counts": q_html_host_counts,
         "html_anchors": q_html_anchors,
         "html_anchor_agg": q_html_anchor_agg,
+        "tfidf_keywords": q_tfidf_keywords,
+        "pmi_collocations": q_pmi_collocations,
     }
 
 
@@ -2290,6 +2310,41 @@ def oracle_sql() -> dict[str, str]:
                    min(CASE WHEN s.anchor <> '' THEN s.anchor END)
                      AS sample_anchor
             FROM x GROUP BY s.href ORDER BY href
+        """,
+        "tfidf_keywords": f"""
+            WITH tok AS ({_TOK}),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM tok GROUP BY doc_id, term),
+            dfq AS (SELECT term, count(*)::BIGINT AS df
+                    FROM tf GROUP BY term),
+            nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+            SELECT doc_id, term, tf, score, rank FROM (
+              SELECT doc_id, term, tf,
+                     round(tf * ln(n::DOUBLE / df::DOUBLE), 6) AS score,
+                     row_number() OVER (PARTITION BY doc_id
+                         ORDER BY round(tf * ln(n::DOUBLE / df::DOUBLE), 6)
+                                  DESC, term)::INT AS rank
+              FROM tf JOIN dfq USING(term) CROSS JOIN nd
+            ) WHERE rank <= 5 ORDER BY doc_id, rank
+        """,
+        "pmi_collocations": f"""
+            WITH t AS (SELECT doc_id, {_ARR} AS toks FROM documents),
+            bi0 AS (SELECT unnest(list_transform(
+                        range(1, greatest(len(toks)-1, 0)+1),
+                        i -> struct_pack(a := toks[i], b := toks[i+1])))
+                        AS p FROM t),
+            bi AS (SELECT p.a AS a, p.b AS b, count(*)::BIGINT AS n_ab
+                   FROM bi0 GROUP BY p.a, p.b HAVING count(*) >= 5),
+            uni AS (SELECT unnest(toks) AS t2 FROM t),
+            uc AS (SELECT t2, count(*)::BIGINT AS c FROM uni GROUP BY t2),
+            tt AS (SELECT sum(c)::DOUBLE AS tot_t FROM uc),
+            tb AS (SELECT sum(n_ab)::DOUBLE AS tot_b FROM bi)
+            SELECT a, b, n_ab,
+                   round(ln((n_ab / tot_b) /
+                            ((ca.c / tot_t) * (cb.c / tot_t))), 6) AS pmi
+            FROM bi JOIN uc ca ON ca.t2 = bi.a
+                    JOIN uc cb ON cb.t2 = bi.b, tt, tb
+            ORDER BY pmi DESC, a, b LIMIT 30
         """,
         "simhash": f"""
             WITH tok AS ({_TOK}),

@@ -749,6 +749,7 @@ def run_one_pipeops(cpus: int, corpus_dir: str) -> dict:
 
     from letarette_spark.functions.bpe import bpe_train
     from letarette_spark.functions.dedup import minhash_lsh_pairs
+    from letarette_spark.functions.html import html_to_text
     from letarette_spark.functions.lm_score import lm_perplexity
     from letarette_spark.functions.packing import pack_sequences
     from letarette_spark.functions.spandedup import strip_repeated_spans
@@ -785,6 +786,14 @@ def run_one_pipeops(cpus: int, corpus_dir: str) -> dict:
         "minhash_lsh": lambda: minhash_lsh_pairs(
             docs, bands=4, rows_per_band=2, n=3, threshold=0.05
         ).count(),
+        # HTML->text: a pure per-row regexp-chain projection — the
+        # embarrassingly-parallel end of the spectrum; sum(length)
+        # forces the chain to run (count() would prune it)
+        "html_text": lambda: docs.select(
+            html_to_text(
+                F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>"))
+            ).alias("t")
+        ).agg(F.sum(F.length("t"))).collect(),
     }
     timings: dict[str, list[float]] = {k: [] for k in ops}
     for _trial in range(2):  # interleaved: one noisy window can't take both
