@@ -867,7 +867,8 @@ def _synth_html_expr() -> "F.Column":
         F.lit(
             ".org/x#frag'>m</a><a href=\"/relative/path\">rel</a>"
             "<p>5 &lt; 6 &amp;&amp; 7 &gt; 3, &quot;quoted&quot;, "
-            "it&#39;s&nbsp;here</p></body></html>"
+            "it&#39;s&nbsp;here caf&#233; &#x2019;q&#x2019; "
+            "&#1114112; &amp;#65;</p></body></html>"
         ),
     )
 
@@ -1133,14 +1134,18 @@ def oracle_sql() -> dict[str, str]:
         || '<a href="https://www.Example.com/d/' || doc_id || '?ref=1">self</a>'
         || '<a href=''http://Mirror' || (doc_id % 7) || '.org/x#frag''>m</a>'
         || '<a href="/relative/path">rel</a>'
-        || '<p>5 &lt; 6 &amp;&amp; 7 &gt; 3, &quot;quoted&quot;, it&#39;s&nbsp;here</p></body></html>'
+        || '<p>5 &lt; 6 &amp;&amp; 7 &gt; 3, &quot;quoted&quot;, it&#39;s&nbsp;here caf&#233; &#x2019;q&#x2019; &#1114112; &amp;#65;</p></body></html>'
     """
     from letarette_spark.functions.html import RE_ANCHOR
 
     _HREF_PAT = _sql_pat(RE_HREF)
     _ANCH_PAT = _sql_pat(RE_ANCHOR)
     # anchor elements: href (group 2/3 by quote style) + inner HTML
-    # (group 4) run through the SAME generated text-extraction chain
+    # (group 4) run through the SAME generated text-extraction chain.
+    # The aligned lists are unnested to ROWS before the text chain runs
+    # — the chain itself contains list_transform lambdas (numeric
+    # character references), and DuckDB lambdas cannot close over an
+    # outer lambda's variable, so it must not be nested inside one.
     _HTML_ANCHORS_CTE = f"""
         WITH h AS (SELECT doc_id, ({_HTML}) AS html FROM documents),
         a AS (SELECT doc_id,
@@ -1148,14 +1153,20 @@ def oracle_sql() -> dict[str, str]:
                      regexp_extract_all(html, {_ANCH_PAT}, 3) AS sq,
                      regexp_extract_all(html, {_ANCH_PAT}, 4) AS inr
               FROM h),
-        z AS (SELECT doc_id,
-                     list_filter(list_transform(range(1, len(dq)+1),
-                         i -> struct_pack(
-                             href := CASE WHEN dq[i] <> '' THEN dq[i]
-                                     ELSE sq[i] END,
-                             anchor := {html_to_text_sql('inr[i]')})),
-                         s -> s.href <> '') AS arr
-              FROM a)
+        z0 AS (SELECT doc_id,
+                      unnest(range(1, len(dq)+1)) AS ord,
+                      unnest(dq) AS dqv,
+                      unnest(sq) AS sqv,
+                      unnest(inr) AS inrv
+               FROM a),
+        zf AS (SELECT doc_id, ord,
+                      CASE WHEN dqv <> '' THEN dqv ELSE sqv END AS href,
+                      {html_to_text_sql('inrv')} AS anchor
+               FROM z0),
+        f AS (SELECT doc_id, href, anchor,
+                     (row_number() OVER (
+                         PARTITION BY doc_id ORDER BY ord) - 1) AS pos
+              FROM zf WHERE href <> '')
     """
     # document-order picked hrefs: the alternation captures the
     # double-quoted body in group 2 and the single-quoted body in group
@@ -2293,23 +2304,18 @@ def oracle_sql() -> dict[str, str]:
             FROM k WHERE host <> '' GROUP BY host ORDER BY host
         """,
         "html_anchors": f"""
-            {_HTML_ANCHORS_CTE},
-            x AS (SELECT doc_id,
-                         unnest(range(1, len(arr)+1)) - 1 AS pos,
-                         unnest(arr) AS s
-                  FROM z)
-            SELECT doc_id, pos::INT AS pos, s.href AS href,
-                   s.anchor AS anchor, {url_host_sql('s.href')} AS host
-            FROM x ORDER BY doc_id, pos
+            {_HTML_ANCHORS_CTE}
+            SELECT doc_id, pos::INT AS pos, href, anchor,
+                   {url_host_sql('href')} AS host
+            FROM f ORDER BY doc_id, pos
         """,
         "html_anchor_agg": f"""
-            {_HTML_ANCHORS_CTE},
-            x AS (SELECT doc_id, unnest(arr) AS s FROM z)
-            SELECT s.href AS href, count(*)::BIGINT AS n_anchors,
+            {_HTML_ANCHORS_CTE}
+            SELECT href, count(*)::BIGINT AS n_anchors,
                    count(DISTINCT doc_id)::BIGINT AS n_docs,
-                   min(CASE WHEN s.anchor <> '' THEN s.anchor END)
+                   min(CASE WHEN anchor <> '' THEN anchor END)
                      AS sample_anchor
-            FROM x GROUP BY s.href ORDER BY href
+            FROM f GROUP BY href ORDER BY href
         """,
         "tfidf_keywords": f"""
             WITH tok AS ({_TOK}),

@@ -21,9 +21,11 @@ Extraction grade: this is the fast regex path (the same trade as WET
 files / resiliparse's cheap mode), NOT a DOM parser. Documented
 boundaries: attribute values containing an unescaped '>' inside an
 UNQUOTED attribute can truncate a tag early (quoted attributes are
-handled); numeric character references (&#8217;) are not decoded (the
-six named entities + nbsp are); CDATA sections are treated as text.
-Malformed input never raises — every step is a total string function.
+handled); numeric character references decode for BMP codepoints
+(decimal + hex; astral/surrogate/control refs are left verbatim —
+Spark has no full-unicode chr, BMP covers the web's overwhelming
+majority); CDATA sections are treated as text. Malformed input never
+raises — every step is a total string function.
 """
 
 from __future__ import annotations
@@ -53,8 +55,9 @@ _BLOCK_NAMES = (
 RE_BLOCK_TAG = f"(?is)</?(?:{_BLOCK_NAMES})\\b{_TAG_BODY}>"
 RE_ANY_TAG = f"(?s)<{_TAG_BODY}>"
 
-# Entity decode order matters: named non-amp first, amp LAST, so the
-# literal text "&amp;lt;" round-trips to "&lt;" (not "<").
+# Entity decode order matters: named non-amp first, then NUMERIC
+# character references, amp LAST, so the literal text "&amp;lt;"
+# round-trips to "&lt;" (not "<") and "&amp;#65;" to "&#65;" (not "A").
 ENTITIES = [
     ("&lt;", "<"),
     ("&gt;", ">"),
@@ -64,6 +67,15 @@ ENTITIES = [
     ("&nbsp;", " "),
     ("&amp;", "&"),
 ]
+
+# Numeric character references: decimal &#8217; and hex &#x2019;.
+# Decoded for BMP codepoints 32..65535 excluding the surrogate range —
+# Spark has no full-unicode chr(), but any BMP codepoint is exactly one
+# UTF-16BE code unit, so hex -> unhex -> decode('UTF-16BE') is total.
+# Out-of-range/astral refs are reconstructed verbatim (documented
+# boundary; both engines apply the identical rule).
+RE_NUMREF_DEC = "&#([0-9]{1,7});"
+RE_NUMREF_HEX = "&#[xX]([0-9a-fA-F]{1,6});"
 
 # Whitespace normalization: spaces/tabs collapse, newline-adjacent
 # spaces trim, 3+ newlines squeeze to a paragraph break, outer trim.
@@ -90,19 +102,65 @@ RE_ANCHOR = (
 RE_URL_HOST = "(?i)^https?://([^/:?#]+)"
 
 
+def _bmp_ok(code: Column) -> Column:
+    """Decodable BMP codepoint: 32..65535, not a surrogate."""
+    return (
+        (code >= 32)
+        & (code <= 65535)
+        & ~((code >= 55296) & (code <= 57343))
+    )
+
+
+def _decode_numrefs(c: Column, pat: str, hex_: bool) -> Column:
+    """Decode numeric character references matching *pat* (one capture
+    group = the digits): split the string on the pattern, decode each
+    match, interleave. split(limit=-1) keeps trailing empties, so
+    len(segments) == len(codes) + 1 always."""
+    segs = F.split(c, pat, -1)
+    digits = F.regexp_extract_all(c, F.lit(pat), 1)
+    n = F.size(digits)
+
+    def dec(k: Column) -> Column:
+        code = (
+            F.conv(k, 16, 10).cast("long") if hex_ else k.cast("long")
+        )
+        rebuilt = F.concat(
+            F.lit("&#x" if hex_ else "&#"), k, F.lit(";")
+        )
+        return F.when(
+            _bmp_ok(code),
+            F.decode(F.unhex(F.lpad(F.hex(code), 4, "0")), "UTF-16BE"),
+        ).otherwise(rebuilt)
+
+    return F.concat(
+        F.aggregate(
+            F.zip_with(
+                F.slice(segs, 1, n), digits, lambda s, k: F.concat(s, dec(k))
+            ),
+            F.lit(""),
+            lambda acc, x: F.concat(acc, x),
+        ),
+        F.element_at(segs, -1),
+    )
+
+
 def html_to_text(col) -> Column:
     """Plain text of an HTML column: script/style/comments dropped,
     block tags -> newline, inline tags removed, the six named entities
-    + nbsp decoded, whitespace normalized. Total function — never null
-    on non-null input, malformed HTML degrades to best-effort text."""
+    + nbsp + numeric character references (BMP) decoded, whitespace
+    normalized. Total function — never null on non-null input,
+    malformed HTML degrades to best-effort text."""
     c = F.col(col) if isinstance(col, str) else col
     c = F.regexp_replace(c, RE_COMMENT, "")
     c = F.regexp_replace(c, RE_SCRIPT, " ")
     c = F.regexp_replace(c, RE_STYLE, " ")
     c = F.regexp_replace(c, RE_BLOCK_TAG, "\n")
     c = F.regexp_replace(c, RE_ANY_TAG, "")
-    for ent, rep in ENTITIES:
+    for ent, rep in ENTITIES[:-1]:
         c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = _decode_numrefs(c, RE_NUMREF_HEX, hex_=True)
+    c = _decode_numrefs(c, RE_NUMREF_DEC, hex_=False)
+    c = F.replace(c, F.lit("&amp;"), F.lit("&"))  # amp LAST
     c = F.regexp_replace(c, RE_HSPACE, " ")
     c = F.regexp_replace(c, RE_LINE_EDGE, "\n")
     c = F.regexp_replace(c, RE_MANY_NL, "\n\n")
@@ -238,6 +296,31 @@ def _sql_pat(pat: str) -> str:
     return "'" + pat.replace("'", "''") + "'"
 
 
+def _decode_numrefs_sql(e: str, pat: str, hex_: bool) -> str:
+    """DuckDB twin of _decode_numrefs. Lambda var __nri is deliberately
+    obscure: this expression nests inside other list_transform lambdas
+    (the anchors twin), and an `i` would be captured by the wrong
+    scope."""
+    p = _sql_pat(pat)
+    segs = f"regexp_split_to_array({e}, {p})"
+    ks = f"regexp_extract_all({e}, {p}, 1)"
+    k = f"({ks})[__nri]"
+    code = f"('0x' || lower({k}))::BIGINT" if hex_ else f"({k})::BIGINT"
+    prefix = "'&#x'" if hex_ else "'&#'"
+    # coalesce: DuckDB's array_to_string([], '') is NULL, not '' — a
+    # no-match string must pass through; NULL INPUT still propagates
+    # through the || with the (NULL) tail segment
+    return (
+        f"coalesce(array_to_string(list_transform(range(1, len({ks})+1), "
+        f"__nri -> ({segs})[__nri] || "
+        f"CASE WHEN ({code}) BETWEEN 32 AND 65535 "
+        f"AND NOT (({code}) BETWEEN 55296 AND 57343) "
+        f"THEN chr(({code})::INT) "
+        f"ELSE {prefix} || {k} || ';' END), ''), '') "
+        f"|| ({segs})[len({ks})+1]"
+    )
+
+
 def html_to_text_sql(expr: str) -> str:
     """DuckDB expression computing html_to_text(expr) with the SAME
     pattern constants — the oracle-twin generator (single source of
@@ -247,8 +330,11 @@ def html_to_text_sql(expr: str) -> str:
     c = f"regexp_replace({c}, {_sql_pat(RE_STYLE)}, ' ', 'g')"
     c = f"regexp_replace({c}, {_sql_pat(RE_BLOCK_TAG)}, chr(10), 'g')"
     c = f"regexp_replace({c}, {_sql_pat(RE_ANY_TAG)}, '', 'g')"
-    for ent, rep in ENTITIES:
+    for ent, rep in ENTITIES[:-1]:
         c = f"replace({c}, {_sql_pat(ent)}, {_sql_pat(rep)})"
+    c = f"({_decode_numrefs_sql(c, RE_NUMREF_HEX, hex_=True)})"
+    c = f"({_decode_numrefs_sql(c, RE_NUMREF_DEC, hex_=False)})"
+    c = f"replace({c}, '&amp;', '&')"
     c = f"regexp_replace({c}, {_sql_pat(RE_HSPACE)}, ' ', 'g')"
     c = f"regexp_replace({c}, {_sql_pat(RE_LINE_EDGE)}, chr(10), 'g')"
     c = f"regexp_replace({c}, {_sql_pat(RE_MANY_NL)}, chr(10)||chr(10), 'g')"

@@ -181,3 +181,21 @@ def test_anchor_text_agg(spark):
     assert (t["n_anchors"], t["n_docs"], t["sample_anchor"]) == (3, 2, "alpha")
     u = rows["http://u.com/q"]
     assert (u["n_anchors"], u["n_docs"], u["sample_anchor"]) == (1, 1, "u")
+
+
+def test_numeric_character_references(spark):
+    t = _text_of(
+        spark,
+        "<p>caf&#233; &#x2019;q&#X41; it&#8217;s &#1114112; &#x110000; "
+        "&#8; &#xD800; &amp;#65;</p>",
+    )
+    # BMP decimal + hex decode (either x case); out-of-range, control,
+    # and surrogate refs reconstructed; &amp;#65; stays a literal &#65;
+    assert t == "café ’qA it’s &#1114112; &#x110000; &#8; &#xD800; &#65;"
+
+
+def test_numeric_ref_at_string_edges(spark):
+    assert _text_of(spark, "&#65;") == "A"
+    assert _text_of(spark, "&#65;tail") == "Atail"
+    assert _text_of(spark, "head&#65;") == "headA"
+    assert _text_of(spark, "&#65;&#66;") == "AB"
