@@ -199,3 +199,37 @@ def test_numeric_ref_at_string_edges(spark):
     assert _text_of(spark, "&#65;tail") == "Atail"
     assert _text_of(spark, "head&#65;") == "headA"
     assert _text_of(spark, "&#65;&#66;") == "AB"
+
+
+def test_html_to_text_zero_shuffle_plan(spark):
+    df = spark.createDataFrame([("<p>x</p>",)], "h string")
+    plan = (
+        df.select(html_to_text("h").alias("t"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_duckdb_twin_parity_rowwise(spark):
+    """html_to_text and its generated DuckDB twin must agree byte-for-
+    byte on adversarial inputs — the precondition for the hash gates."""
+    import duckdb
+
+    from letarette_spark.functions.html import html_to_text_sql
+
+    samples = [
+        "<p>caf&#233; &#x2019;q&#X41; &#1114112; &amp;#65;</p>",
+        '<style>p{}</style><script>if(a<b){}</script><h1>T</h1>ok',
+        '<p title="a>b">q</p><a href="http://A.com/x">t &amp;&amp; u</a>',
+        "plain text, no markup",
+        "",
+        "&#65;&#66;tail",
+        "broken <a href= <p>deep</p",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "h string")
+    got = [r["t"] for r in df.select(html_to_text("h").alias("t")).collect()]
+    con = duckdb.connect()
+    for s, g in zip(samples, got):
+        lit = "'" + s.replace("'", "''") + "'"
+        want = con.sql("SELECT " + html_to_text_sql(lit)).fetchone()[0]
+        assert g == want, (s, g, want)

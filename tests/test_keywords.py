@@ -97,3 +97,19 @@ def test_pmi_min_count_and_empty(spark):
     )
     # every bigram occurs once -> min_count=2 filters all
     assert pmi_collocations(df, k=5, min_count=2).count() == 0
+
+
+def test_keyword_plans(spark):
+    """tfidf joins the corpus-size frame as a BROADCAST (never a
+    shuffled join of a 1-row table); pmi broadcasts both totals."""
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    p1 = (
+        tfidf_keywords(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in p1 or "BroadcastExchange" in p1
+    assert "CartesianProduct" not in p1
+    p2 = (
+        pmi_collocations(df, min_count=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in p2
