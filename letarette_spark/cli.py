@@ -15,6 +15,7 @@ command set over the parquet index:
     python -m letarette_spark load [-m N] [-a] [--shard I/G] <space> <json>
     python -m letarette_spark synonyms [<json>]
     python -m letarette_spark spelling update <mincount>
+    python -m letarette_spark pipeline <docs.parquet> [-o out] [--benchmark p]
 
 All index-bound commands take `-d <index_root>` (or the
 LETARETTE_SPARK_INDEX env var) — the analog of lrcli's `-d <db>`.
@@ -385,6 +386,46 @@ def cmd_sql(args) -> int:
     return 0
 
 
+def cmd_pipeline(args) -> int:
+    """Run the one-call training-data pipeline over a parquet docs
+    table: quality gates -> exact dedup -> near dedup (MinHash LSH) ->
+    optional benchmark decontamination. Writes the per-doc (id, kept,
+    reason) audit and prints drop-reason counts. Beyond-ref: the
+    reference indexes corpora, this prepares them (functions/pipeline.py
+    prepare_training_data)."""
+    from pyspark.sql import functions as F
+
+    from letarette_spark.functions.pipeline import prepare_training_data
+
+    spark = _spark("pipeline")
+    docs = spark.read.parquet(args.docs)
+    bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+    audit = prepare_training_data(
+        docs,
+        benchmark=bench,
+        threshold=args.threshold,
+        id_col=args.id_col,
+        text_col=args.text_col,
+    )
+    if args.output:
+        audit.write.mode("overwrite").parquet(args.output)
+        audit = spark.read.parquet(args.output)
+    rows = (
+        audit.groupBy("kept", "reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("kept", "reason")
+        .collect()
+    )
+    total = sum(r["n"] for r in rows)
+    print(f"documents: {total}")
+    for r in rows:
+        label = "kept" if r["kept"] else f"dropped ({r['reason']})"
+        print(f"  {label:24s} {r['n']}")
+    if args.output:
+        print(f"audit written to {args.output}")
+    return 0
+
+
 def cmd_env(args) -> int:
     """Effective settings (lrcli env, main.go:102-107)."""
     import pyspark
@@ -469,6 +510,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tables", help="dir of <name>.parquet to register as views")
     p.add_argument("--limit", type=int, default=50)
     p.set_defaults(fn=cmd_sql)
+
+    p = sub.add_parser("pipeline")
+    p.add_argument("docs", help="parquet path of the input docs table")
+    p.add_argument("-o", "--output", help="parquet path for the audit")
+    p.add_argument("--benchmark", help="parquet path of an eval set to "
+                   "decontaminate against")
+    p.add_argument("--threshold", type=float, default=0.2)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.set_defaults(fn=cmd_pipeline)
 
     p = sub.add_parser("env")
     p.add_argument("-v", "--verbose", action="store_true")

@@ -190,3 +190,25 @@ class TestSnapshotCLI:
         assert out.startswith("retained: [2]")
         with pytest.raises(FileNotFoundError):
             main(["search", "-d", root, "--snapshot", "1", "docs", "value"])
+
+
+def test_pipeline_command(spark, tmp_path_factory, capsys):
+    """`pipeline` runs prepare_training_data end-to-end: audit parquet
+    written, summary printed, drop reasons surfaced."""
+    base = tmp_path_factory.mktemp("cli_pipe")
+    src = str(base / "docs.parquet")
+    body = "spark shuffle join window value table scan " * 12
+    rows = [{"doc_id": i, "text": body + f" unique{i}"} for i in range(30)]
+    rows.append({"doc_id": 97, "text": rows[0]["text"]})   # exact dup
+    rows.append({"doc_id": 98, "text": "short"})            # quality drop
+    spark.createDataFrame(rows).write.parquet(src)
+    out = str(base / "audit.parquet")
+    rc = main(["pipeline", src, "-o", out, "--threshold", "0.9"])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "documents: 32" in printed
+    assert "exact_dup" in printed and "quality" in printed
+    audit = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert audit[97]["kept"] is False and audit[97]["reason"] == "exact_dup"
+    assert audit[98]["kept"] is False and audit[98]["reason"] == "quality"
+    assert audit[0]["kept"] is True
