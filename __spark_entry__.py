@@ -396,6 +396,19 @@ def q_decontam_pairs(spark, sf_dir):
     )
 
 
+def q_training_shards(spark, sf_dir):
+    """Deterministic global shuffle manifest (functions/sampling.py
+    shard_positions): every doc's (shard, within-shard position) for an
+    8-shard training write — integer-md5 shard assignment + digest-order
+    positions, bit-identical at any partitioning or cluster size. The
+    write itself (write_training_shards) pays ONE hash shuffle."""
+    from letarette_spark.functions.sampling import shard_positions
+
+    return shard_positions(_docs(spark, sf_dir), 8, seed=7).orderBy(
+        "shard", "pos"
+    )
+
+
 # Batch-retrieval gate queries (query/batch.py): analyzed under the simple
 # mode (no stemming/stopwords/synonyms) these become exactly the qterms
 # VALUES literal in the oracle twin — keep the two in lockstep.
@@ -978,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_split": q_cluster_split,
         "decontam_report": q_decontam_report,
         "decontam_pairs": q_decontam_pairs,
+        "training_shards": q_training_shards,
         "match_and": q_match_and,
         "match_not": q_match_not,
         "match_prefix": q_match_prefix,
@@ -1811,6 +1825,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT * FROM sh WHERE doc_id % 20 = 0) b USING (shingle)
             GROUP BY d.doc_id, b.doc_id
             ORDER BY d.doc_id, bench_id
+        """,
+        # training_shards: shard = first-8-md5-hex-digits int % n (pure
+        # integer math, same identity as sampling.assign_shards); pos =
+        # row_number within shard ordered by full digest then key
+        "training_shards": """
+            WITH h AS (
+              SELECT doc_id, md5('7:' || doc_id::VARCHAR) AS d
+              FROM documents
+            )
+            SELECT doc_id,
+                   ('0x' || substr(d, 1, 8))::BIGINT % 8 AS shard,
+                   CAST(row_number() OVER (
+                       PARTITION BY ('0x' || substr(d, 1, 8))::BIGINT % 8
+                       ORDER BY d ASC, doc_id::VARCHAR ASC
+                   ) AS BIGINT) AS pos
+            FROM h
+            ORDER BY shard, pos
         """,
         # batch_bm25: mirror of search_batch's relational plan. qterms is
         # the simple-mode analysis of BATCH_QUERIES (keep in lockstep);

@@ -201,3 +201,72 @@ def take_deterministic(
     return df.orderBy(
         unit_hash(key_col, seed).asc(), F.col(key_col).cast("string").asc()
     ).limit(k)
+
+
+def assign_shards(
+    df: DataFrame, n_shards: int, key_col: str = "doc_id", seed: int = 42
+) -> DataFrame:
+    """Deterministic global shuffle for training output: adds ``shard``
+    (long in [0, n_shards)) and ``sort_key`` (the full md5 hex digest of
+    '<seed>:<key>'; within-shard order = digest asc, ties by key).
+    shard = first-8-hex-digits-as-int % n_shards — pure integer math, so
+    the assignment is exact in any SQL engine (no float-boundary flips).
+
+    Pure projection: ZERO shuffle here; every row gets the SAME
+    (shard, position) at any partitioning, cluster size, or rerun —
+    ``df.orderBy(rand())``-style shuffles are none of those. This is the
+    last pipeline stage before training: a global pseudo-random order,
+    materialized as n_shards independent streams."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = F.col(key_col)
+    h = F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string")))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(n_shards)
+    ).alias("shard")
+    return df.select("*", shard, h.alias("sort_key"))
+
+
+def shard_positions(
+    df: DataFrame, n_shards: int, key_col: str = "doc_id", seed: int = 42
+) -> DataFrame:
+    """(key, shard, pos): the manifest of the deterministic shuffle —
+    ``pos`` is the row's 1-based position within its shard file as
+    write_training_shards lays it out. One shuffle (the per-shard
+    window); shards are uniform by construction, so the window never
+    sees a skewed partition."""
+    w = Window.partitionBy("shard").orderBy(
+        F.col("sort_key").asc(), F.col(key_col).cast("string").asc()
+    )
+    return (
+        assign_shards(df, n_shards, key_col, seed)
+        .select(key_col, "shard", F.row_number().over(w).cast("long").alias("pos"))
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    fmt: str = "parquet",
+) -> None:
+    """Materialize the deterministic shuffle as exactly n_shards ordered
+    files under ``path/shard=i/`` — the conventional final write of a
+    training-data pipeline (fixed shard count, global pseudo-random
+    order, bit-identical across reruns and cluster sizes).
+
+    Plan: ONE hash shuffle (repartition on the shard id co-locates each
+    whole shard in one task) + a within-partition sort; partitionBy then
+    writes one file per shard directory because no shard spans tasks.
+    Shard sizes are uniform (md5), so tasks are balanced at any scale."""
+    out = (
+        assign_shards(df, n_shards, key_col, seed)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions(
+            "shard", F.col("sort_key").asc(), F.col(key_col).cast("string").asc()
+        )
+        .drop("sort_key")
+    )
+    out.write.partitionBy("shard").format(fmt).mode("overwrite").save(path)

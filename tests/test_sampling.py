@@ -164,3 +164,78 @@ def test_filter_plans_have_no_exchange(df):
     ):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, "sampling filters must not shuffle"
+
+
+# ---- deterministic shard shuffle (assign_shards / shard_positions /
+# ---- write_training_shards): the final pipeline stage before training
+
+
+def _py_shard(doc_id, n=8, seed=7):
+    import hashlib
+
+    h = hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()
+    return int(h[:8], 16) % n, h
+
+
+def test_assign_shards_zero_shuffle_and_partition_independent(df):
+    from letarette_spark.functions.sampling import assign_shards, shard_positions
+
+    plan = assign_shards(df, 8, seed=7)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "shard assignment must be a pure projection"
+
+    a = sorted(map(tuple, shard_positions(df, 8, seed=7).collect()))
+    b = sorted(map(tuple, shard_positions(df.repartition(13), 8, seed=7).collect()))
+    assert a == b and len(a) == 400
+    assert {t[1] for t in a} == set(range(8))  # every shard populated
+
+
+def test_shard_positions_match_python_oracle(df):
+    from letarette_spark.functions.sampling import shard_positions
+
+    per_shard = {}
+    for r in df.select("doc_id").collect():
+        s, h = _py_shard(r["doc_id"])
+        per_shard.setdefault(s, []).append((h, str(r["doc_id"]), r["doc_id"]))
+    expected = {
+        (did, s, pos)
+        for s, lst in per_shard.items()
+        for pos, (_, _, did) in enumerate(sorted(lst), 1)
+    }
+    got = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in shard_positions(df, 8, seed=7).collect()
+    }
+    assert got == expected
+
+
+def test_write_training_shards_ordered_files(df, tmp_path):
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from letarette_spark.functions.sampling import write_training_shards
+
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, 8, seed=7)
+    dirs = sorted(glob.glob(os.path.join(out, "shard=*")))
+    assert len(dirs) == 8
+    seq = {}
+    for d in dirs:
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        assert len(files) == 1, "each shard must be ONE ordered file"
+        s = int(d.rsplit("=", 1)[1])
+        t = pq.read_table(files[0])
+        assert "sort_key" not in t.column_names  # helper column dropped
+        seq[s] = t.column("doc_id").to_pylist()
+    assert sum(len(v) for v in seq.values()) == 400
+    # in-file order == digest order (the python oracle), shard == md5 % 8
+    for s, ids in seq.items():
+        assert all(_py_shard(i)[0] == s for i in ids)
+        assert ids == sorted(ids, key=lambda i: (_py_shard(i)[1], str(i)))
+    # bit-identical rewrite from a different input partitioning
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(df.repartition(5), out2, 8, seed=7)
+    for s, ids in seq.items():
+        f2 = glob.glob(os.path.join(out2, f"shard={s}", "*.parquet"))
+        assert pq.read_table(f2[0]).column("doc_id").to_pylist() == ids
