@@ -16,6 +16,7 @@ command set over the parquet index:
     python -m letarette_spark synonyms [<json>]
     python -m letarette_spark spelling update <mincount>
     python -m letarette_spark pipeline <docs.parquet> [-o out] [--benchmark p]
+                                       [--shards-out dir [--n-shards N]]
 
 All index-bound commands take `-d <index_root>` (or the
 LETARETTE_SPARK_INDEX env var) — the analog of lrcli's `-d <db>`.
@@ -423,6 +424,20 @@ def cmd_pipeline(args) -> int:
         print(f"  {label:24s} {r['n']}")
     if args.output:
         print(f"audit written to {args.output}")
+    if args.shards_out:
+        from letarette_spark.functions.sampling import write_training_shards
+
+        kept = docs.join(
+            audit.filter(F.col("kept")).select(args.id_col), args.id_col
+        )
+        write_training_shards(
+            kept, args.shards_out, args.n_shards,
+            key_col=args.id_col, seed=args.shard_seed,
+        )
+        print(
+            f"kept docs written as {args.n_shards} deterministic shards "
+            f"to {args.shards_out}"
+        )
     return 0
 
 
@@ -519,6 +534,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--threshold", type=float, default=0.2)
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
+    p.add_argument("--shards-out", help="also write the KEPT docs as "
+                   "n deterministically shuffled shard files")
+    p.add_argument("--n-shards", type=int, default=8)
+    p.add_argument("--shard-seed", type=int, default=42)
     p.set_defaults(fn=cmd_pipeline)
 
     p = sub.add_parser("env")

@@ -212,3 +212,29 @@ def test_pipeline_command(spark, tmp_path_factory, capsys):
     assert audit[97]["kept"] is False and audit[97]["reason"] == "exact_dup"
     assert audit[98]["kept"] is False and audit[98]["reason"] == "quality"
     assert audit[0]["kept"] is True
+
+
+def test_pipeline_command_writes_shards(spark, tmp_path_factory, capsys):
+    """`pipeline --shards-out` ends the run with the deterministic
+    shard-shuffle write of the KEPT documents (one file per shard)."""
+    import glob
+
+    base = tmp_path_factory.mktemp("cli_pipe_sh")
+    src = str(base / "docs.parquet")
+    body = "spark shuffle join window value table scan " * 12
+    rows = [{"doc_id": i, "text": body + f" unique{i}"} for i in range(30)]
+    rows.append({"doc_id": 97, "text": rows[0]["text"]})   # exact dup
+    spark.createDataFrame(rows).write.parquet(src)
+    shards = str(base / "shards")
+    rc = main([
+        "pipeline", src, "--threshold", "0.9",
+        "--shards-out", shards, "--n-shards", "4",
+    ])
+    assert rc == 0
+    assert "4 deterministic shards" in capsys.readouterr().out
+    dirs = glob.glob(shards + "/shard=*")
+    assert len(dirs) == 4
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(shards).collect()
+    )
+    assert got == sorted(range(30))  # kept set only (97 deduped away)
