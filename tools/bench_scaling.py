@@ -739,6 +739,19 @@ def weakq_mode(args) -> None:
     )
 
 
+def _shard_write_tmp(docs) -> None:
+    import shutil
+    import tempfile
+
+    from letarette_spark.functions.sampling import write_training_shards
+
+    out = tempfile.mkdtemp(prefix="pipeops_shards_")
+    try:
+        write_training_shards(docs, out + "/s", 32, key_col="doc_id")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def run_one_pipeops(cpus: int, corpus_dir: str) -> dict:
     """One process at local[cpus]: wall time for each training-pipeline
     operator over the same corpus parquet — 2 interleaved trials per op,
@@ -794,6 +807,10 @@ def run_one_pipeops(cpus: int, corpus_dir: str) -> dict:
                 F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>"))
             ).alias("t")
         ).agg(F.sum(F.length("t"))).collect(),
+        # shard-shuffle write: md5 projection + ONE hash shuffle +
+        # within-partition sort + parquet write — the final pipeline
+        # stage; shard count fixed across levels (same job both sides)
+        "shard_write": lambda: _shard_write_tmp(docs),
     }
     timings: dict[str, list[float]] = {k: [] for k in ops}
     for _trial in range(2):  # interleaved: one noisy window can't take both
