@@ -1204,17 +1204,21 @@ def oracle_sql() -> dict[str, str]:
     sw = {k: ", ".join(f"'{w}'" for w in v) for k, v in LANG_PROFILES.items()}
     # weighted trigram tiers injected from the SAME tables the Spark
     # operator uses (single source of truth — the twin stays in
-    # lockstep): score = sum over tiers of count-hits-in-tier
+    # lockstep). Weighting = multiplicity: a trigram in k tiers of a
+    # language contributes k rows, so a hash JOIN counts it k times per
+    # occurrence — identical to the old sum-over-tiers list_filter form
+    # but O(|tris|) instead of O(|tris| x 15k profile scans), which kept
+    # the twin from finishing at sf0.1.
     langs = sorted(LANG_TRIGRAM_TIERS)  # ties resolve to the first in order
-    lang_hits = ",\n                     ".join(
-        "("
-        + " + ".join(
-            "len(list_filter(tris, t -> list_contains(["
-            + ", ".join(f"'{t}'" for t in tier)
-            + "], t)))"
-            for tier in LANG_TRIGRAM_TIERS[lg]
-        )
-        + f")::BIGINT AS h_{lg}"
+    lang_prof_rows = ", ".join(
+        f"('{lg}', '{t}')"
+        for lg in langs
+        for tier in LANG_TRIGRAM_TIERS[lg]
+        for t in tier
+    )
+    lang_hit_cols = ",\n                     ".join(
+        f"coalesce(max(CASE WHEN hits.lg = '{lg}' THEN hits.c END), 0)"
+        f"::BIGINT AS h_{lg}"
         for lg in langs
     )
     gmax = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
@@ -2189,15 +2193,25 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, text, {_ARR} AS arr FROM documents)
         """,
         "lang_id": f"""
-            WITH h AS (
+            WITH tr AS (
               SELECT doc_id,
-                     {lang_hits}
-              FROM (SELECT doc_id,
-                           flatten(list_transform(arr,
-                             w -> list_transform(range(length(w)),
-                                    i -> substr('_' || w || '_', (i + 1)::INT, 3))))
-                             AS tris
-                    FROM (SELECT doc_id, {_ARR} AS arr FROM documents))
+                     unnest(flatten(list_transform(arr,
+                       w -> list_transform(range(length(w)),
+                              i -> substr('_' || w || '_', (i + 1)::INT, 3)))))
+                       AS t
+              FROM (SELECT doc_id, {_ARR} AS arr FROM documents)
+            ),
+            prof(lg, tri) AS (SELECT * FROM (VALUES {lang_prof_rows})),
+            hits AS (
+              SELECT tr.doc_id, prof.lg, count(*)::BIGINT AS c
+              FROM tr JOIN prof ON tr.t = prof.tri
+              GROUP BY tr.doc_id, prof.lg
+            ),
+            h AS (
+              SELECT d.doc_id,
+                     {lang_hit_cols}
+              FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
+              GROUP BY d.doc_id
             )
             SELECT doc_id,
                    CASE WHEN {gmax} = 0 THEN 'und'
