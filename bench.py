@@ -510,6 +510,22 @@ def main() -> None:
                 lambda: bpe_encode(documents, bpe_merges).count(),
             )
 
+            # deterministic shard-shuffle training write (the final
+            # pipeline stage): one hash shuffle + in-partition sort +
+            # 32 ordered parquet shard files
+            from letarette_spark.functions.sampling import (
+                write_training_shards,
+            )
+
+            def _shard_write():
+                out = tempfile.mkdtemp(prefix="bench_shards_")
+                try:
+                    write_training_shards(documents, out + "/s", 32)
+                finally:
+                    shutil.rmtree(out, ignore_errors=True)
+
+            timed("shard_write_32", _shard_write)
+
             # query-latency distribution over warm repeats (reference lrload
             # reports mean/median/p90/p95/p99 — cmd/lrload/main.go:317-358)
             for _ in range(3):
