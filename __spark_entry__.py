@@ -961,6 +961,125 @@ def q_html_host_counts(spark, sf_dir):
     return host_doc_counts(df).orderBy("host")
 
 
+def q_semdedup_pairs(spark, sf_dir):
+    """SemDeDup semantic-duplicate pairs (functions/semdedup.py, Abbas et
+    al. 2023): IVF-cell clustering + within-cell cosine — the join key is
+    the cell, never a cross join."""
+    from letarette_spark.functions.semdedup import semdedup_pairs
+
+    return semdedup_pairs(_emb(spark, sf_dir), n_cells=8, threshold=0.3).select(
+        "a", "b", "cell", F.round("cos", 6).alias("cos")
+    ).orderBy("a", "b")
+
+
+def q_semdedup_kept(spark, sf_dir):
+    """SemDeDup survivors under the paper keep rule (keep the pair member
+    LESS similar to its cluster centroid, ties to the lower id)."""
+    from letarette_spark.functions.semdedup import semdedup_kept
+
+    return semdedup_kept(_emb(spark, sf_dir), n_cells=8, threshold=0.3).select(
+        "vec_id"
+    ).orderBy("vec_id")
+
+
+def _dsir_frames(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs, docs.filter(F.col("lang") == "en")
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance log-weights (functions/dsir.py, Xie et al. 2023):
+    hashed unigram+bigram buckets (256, md5), add-1-smoothed target
+    (lang='en') vs raw distributions, one broadcast log-ratio join."""
+    from letarette_spark.functions.dsir import dsir_log_weights
+
+    raw, target = _dsir_frames(spark, sf_dir)
+    return dsir_log_weights(raw, target, n_buckets=256).select(
+        "doc_id", F.round("log_w", 6).alias("log_w")
+    ).orderBy("doc_id")
+
+
+def q_dsir_sample(spark, sf_dir):
+    """DSIR Gumbel top-k resampling: the 50 docs with the largest
+    log_w - ln(-ln u) keys, u an md5-derived deterministic uniform."""
+    from letarette_spark.functions.dsir import dsir_sample
+
+    raw, target = _dsir_frames(spark, sf_dir)
+    return dsir_sample(raw, target, k=50, n_buckets=256, seed=42).select(
+        "doc_id",
+        F.round("log_w", 6).alias("log_w"),
+        F.round("gumbel", 6).alias("gumbel"),
+    )
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Denoised hard-negative mining (functions/similarity.py,
+    RocketQA-style margin rule): per query, top-5 most-similar examples
+    strictly below 0.95 * nearest-neighbor cosine."""
+    from letarette_spark.functions.similarity import hard_negatives
+
+    return hard_negatives(
+        _emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5, margin=0.95
+    ).select(
+        "query_id", "neg_id", F.round("cos", 6).alias("cos"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+def _synth_url_expr() -> "F.Column":
+    """Deterministic messy-URL synthesis from the documents row — mixed
+    scheme/host case, trailing-dot host, default ports, duplicate
+    slashes, tracker params in varying order, fragments, surrounding
+    whitespace — so the url gates exercise every canonicalization rule on
+    input derived from the corpus itself (the DuckDB twin builds the
+    identical string with ||)."""
+    did = F.col("doc_id")
+    scheme = F.when(did % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    host = (
+        F.when(did % 3 == 0, F.lit("WWW.Example.COM."))
+        .when(did % 3 == 1, F.lit("www.example.com"))
+        .otherwise(F.lit("www.EXAMPLE.com"))
+    )
+    port = F.when(did % 2 == 0, F.lit(":80")).otherwise(
+        F.when(did % 4 == 1, F.lit(":443")).otherwise(F.lit(""))
+    )
+    path = F.concat(
+        F.when(did % 5 == 0, F.lit("//d//")).otherwise(F.lit("/d/")),
+        (did % 50).cast("string"),
+    )
+    query = (
+        F.when(did % 3 == 0, F.lit("?b=2&utm_source=feed&a=1&gclid=g1"))
+        .when(did % 3 == 1, F.lit("?a=1&utm_campaign=x&b=2"))
+        .otherwise(F.lit("?b=2&a=1&ref=abc"))
+    )
+    frag = F.when(did % 4 == 0, F.concat(F.lit("#sec-"), F.col("lang"))).otherwise(
+        F.lit("")
+    )
+    return F.concat(
+        F.lit(" "), scheme, F.lit("://"), host, port, path, query, frag, F.lit(" ")
+    )
+
+
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization (functions/urls.py): scheme/host lowercase,
+    trailing-dot + default-port + fragment stripped, slashes collapsed,
+    tracker params dropped, remaining params sorted."""
+    from letarette_spark.functions.urls import canonicalize
+
+    return canonicalize(
+        _docs(spark, sf_dir).select("doc_id", _synth_url_expr().alias("url"))
+    ).orderBy("doc_id")
+
+
+def q_url_dup_groups(spark, sf_dir):
+    """URL-level dup groups: distinct surface spellings per canonical
+    URL + the deterministic survivor (min doc_id)."""
+    from letarette_spark.functions.urls import url_dup_groups
+
+    return url_dup_groups(
+        _docs(spark, sf_dir).select("doc_id", _synth_url_expr().alias("url"))
+    ).orderBy("canon")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "engine_bm25": q_engine_bm25,
@@ -1032,6 +1151,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_anchor_agg": q_html_anchor_agg,
         "tfidf_keywords": q_tfidf_keywords,
         "pmi_collocations": q_pmi_collocations,
+        "semdedup_pairs": q_semdedup_pairs,
+        "semdedup_kept": q_semdedup_kept,
+        "dsir_weights": q_dsir_weights,
+        "dsir_sample": q_dsir_sample,
+        "hard_negatives": q_hard_negatives,
+        "url_canonical": q_url_canonical,
+        "url_dup_groups": q_url_dup_groups,
     }
 
 
@@ -1107,6 +1233,131 @@ _IVFPQ_BODY = """
             sc AS (SELECT enc.vec_id, sum(lut.d2) AS adist
                    FROM enc JOIN lut ON lut.s = enc.s AND lut.code = enc.code
                    GROUP BY enc.vec_id)"""
+
+
+# SemDeDup twin: centroids = the 8 lowest-id vectors (ivf_centroids
+# n_iter=0 seeding), cell = argmax cosine (ties low cell), ccos = cosine
+# to own centroid — the same assignment CTE shape the ann_ivf gate pins.
+_SEMDEDUP_ASSIGN = """
+    WITH cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+               embedding::DOUBLE[] AS cv
+        FROM (SELECT vec_id, embedding FROM embeddings
+              WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 8)
+    ),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE embedding IS NOT NULL),
+    scored AS (
+        SELECT v.vec_id, c.cell, list_cosine_similarity(v.v, c.cv) AS ccos,
+               row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY list_cosine_similarity(v.v, c.cv) DESC,
+                            c.cell ASC) AS rn
+        FROM v CROSS JOIN cents c
+    ),
+    assign AS (SELECT vec_id, cell, ccos FROM scored WHERE rn = 1)
+"""
+
+# DSIR twin: hashed unigram+bigram buckets (256, md5), add-1-smoothed
+# target (lang='en') vs raw bucket distributions, per-doc
+# sum(cnt * log-ratio); zero-feature docs get log_w 0.
+_DSIR_WEIGHTS = f"""
+    WITH t AS (SELECT doc_id, {_ARR} AS toks FROM documents),
+    uni AS (SELECT doc_id, unnest(toks) AS gram FROM t),
+    ex AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t),
+    bi AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram FROM ex),
+    grams AS (SELECT doc_id, gram FROM uni
+              UNION ALL SELECT doc_id, gram FROM bi),
+    bk AS (SELECT doc_id,
+                  ('0x' || substr(md5(gram), 1, 8))::BIGINT % 256 AS bucket
+           FROM grams),
+    per_doc AS (SELECT doc_id, bucket, count(*)::DOUBLE AS cnt
+                FROM bk GROUP BY doc_id, bucket),
+    tgt_doc AS (SELECT p.* FROM per_doc p JOIN documents d USING (doc_id)
+                WHERE d.lang = 'en'),
+    buckets AS (SELECT unnest(range(256)) AS bucket),
+    rawt AS (SELECT sum(cnt) AS t FROM per_doc),
+    tgtt AS (SELECT sum(cnt) AS t FROM tgt_doc),
+    p_raw AS (SELECT b.bucket,
+                     (coalesce(s.c, 0) + 1.0) / (rawt.t + 256.0) AS p
+              FROM buckets b
+              LEFT JOIN (SELECT bucket, sum(cnt) AS c FROM per_doc
+                         GROUP BY bucket) s USING (bucket)
+              CROSS JOIN rawt),
+    p_tgt AS (SELECT b.bucket,
+                     (coalesce(s.c, 0) + 1.0) / (tgtt.t + 256.0) AS p
+              FROM buckets b
+              LEFT JOIN (SELECT bucket, sum(cnt) AS c FROM tgt_doc
+                         GROUP BY bucket) s USING (bucket)
+              CROSS JOIN tgtt),
+    ratio AS (SELECT p_tgt.bucket, ln(p_tgt.p) - ln(p_raw.p) AS log_ratio
+              FROM p_tgt JOIN p_raw USING (bucket)),
+    w AS (SELECT d.doc_id, coalesce(s.log_w, 0.0) AS log_w
+          FROM documents d
+          LEFT JOIN (SELECT doc_id, sum(cnt * log_ratio) AS log_w
+                     FROM per_doc JOIN ratio USING (bucket)
+                     GROUP BY doc_id) s USING (doc_id))
+"""
+
+# url gates: synthesize the messy URL exactly as _synth_url_expr, then
+# the canonicalization chain of functions/urls.py canonical_url.
+_URL_SYNTH = """
+    ' ' || (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+    || '://'
+    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM.'
+             WHEN doc_id % 3 = 1 THEN 'www.example.com'
+             ELSE 'www.EXAMPLE.com' END)
+    || (CASE WHEN doc_id % 2 = 0 THEN ':80'
+             WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN '//d//' ELSE '/d/' END)
+    || (doc_id % 50)::VARCHAR
+    || (CASE WHEN doc_id % 3 = 0 THEN '?b=2&utm_source=feed&a=1&gclid=g1'
+             WHEN doc_id % 3 = 1 THEN '?a=1&utm_campaign=x&b=2'
+             ELSE '?b=2&a=1&ref=abc' END)
+    || (CASE WHEN doc_id % 4 = 0 THEN '#sec-' || lang ELSE '' END)
+    || ' '
+"""
+
+_URL_CANON = f"""
+    WITH raw AS (SELECT doc_id, {_URL_SYNTH} AS url FROM documents),
+    s1 AS (SELECT doc_id, url,
+                  regexp_replace(trim(url), '#.*$', '') AS nofrag
+           FROM raw),
+    s2 AS (SELECT *,
+                  lower(regexp_extract(nofrag,
+                      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                  regexp_extract(nofrag,
+                      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1) AS authority,
+                  regexp_extract(nofrag,
+                      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1) AS raw_path,
+                  regexp_extract(nofrag, '\\?(.*)$', 1) AS query
+           FROM s1),
+    s3 AS (SELECT *,
+                  regexp_replace(lower(regexp_extract(authority,
+                      '^([^:]*)', 1)), '[.]$', '') AS host,
+                  regexp_extract(authority, ':([0-9]+)$', 1) AS port
+           FROM s2),
+    s4 AS (SELECT *,
+                  CASE WHEN (scheme = 'http' AND port = '80')
+                         OR (scheme = 'https' AND port = '443')
+                         OR port = '' THEN ''
+                       ELSE ':' || port END AS port_part,
+                  regexp_replace(CASE WHEN raw_path = '' THEN '/'
+                                      ELSE raw_path END,
+                                 '/{{2,}}', '/', 'g') AS path,
+                  list_sort(list_filter(string_split(query, '&'),
+                      p -> p <> '' AND NOT regexp_matches(p,
+                          '^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|ref)=')))
+                      AS params
+           FROM s3),
+    s5 AS (SELECT doc_id, url,
+                  CASE WHEN scheme = '' THEN trim(url)
+                       ELSE scheme || '://' || host || port_part || path ||
+                            CASE WHEN len(params) > 0
+                                 THEN '?' || array_to_string(params, '&')
+                                 ELSE '' END
+                  END AS canon
+           FROM s4)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2573,5 +2824,88 @@ def oracle_sql() -> dict[str, str]:
               FROM m CROSS JOIN stats
               ORDER BY score, rowid LIMIT 10
             ) ORDER BY score, rowid
+        """,
+        "semdedup_pairs": f"""
+            {_SEMDEDUP_ASSIGN}
+            SELECT a.vec_id AS a, b.vec_id AS b, a.cell,
+                   round(list_cosine_similarity(va.v, vb.v), 6) AS cos
+            FROM assign a
+            JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            JOIN v va ON va.vec_id = a.vec_id
+            JOIN v vb ON vb.vec_id = b.vec_id
+            WHERE list_cosine_similarity(va.v, vb.v) >= 0.3
+            ORDER BY a, b
+        """,
+        "semdedup_kept": f"""
+            {_SEMDEDUP_ASSIGN},
+            dup AS (
+                SELECT a.vec_id AS xa, a.ccos AS ca,
+                       b.vec_id AS xb, b.ccos AS cb
+                FROM assign a
+                JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+                JOIN v va ON va.vec_id = a.vec_id
+                JOIN v vb ON vb.vec_id = b.vec_id
+                WHERE list_cosine_similarity(va.v, vb.v) >= 0.3
+            ),
+            losers AS (
+                SELECT DISTINCT xa AS vec_id FROM dup
+                WHERE cb < ca OR (cb = ca AND xb < xa)
+            )
+            SELECT a.vec_id FROM assign a
+            WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.vec_id = a.vec_id)
+            ORDER BY a.vec_id
+        """,
+        "dsir_weights": f"""
+            {_DSIR_WEIGHTS}
+            SELECT doc_id, round(log_w, 6) AS log_w FROM w ORDER BY doc_id
+        """,
+        "dsir_sample": f"""
+            {_DSIR_WEIGHTS},
+            g AS (
+                SELECT doc_id, log_w,
+                       log_w - ln(-ln(
+                           (('0x' || substr(md5(doc_id::VARCHAR || '#42'), 1, 8))::BIGINT
+                            + 1.0) / 4294967297.0)) AS gumbel
+                FROM w
+            )
+            SELECT doc_id, round(log_w, 6) AS log_w, round(gumbel, 6) AS gumbel
+            FROM g ORDER BY gumbel DESC, doc_id LIMIT 50
+        """,
+        "hard_negatives": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+            ),
+            s AS (
+                SELECT q.query_id, e.vec_id AS neg_id,
+                       list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cos
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id <> q.query_id AND e.embedding IS NOT NULL
+            ),
+            r AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neg_id) AS rn,
+                       max(cos) OVER (PARTITION BY query_id) AS pos_cos
+                FROM s
+            ),
+            n AS (
+                SELECT query_id, neg_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neg_id) AS rank
+                FROM r WHERE rn > 1 AND cos < pos_cos * 0.95
+            )
+            SELECT query_id, neg_id, round(cos, 6) AS cos, rank
+            FROM n WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "url_canonical": f"""
+            {_URL_CANON}
+            SELECT doc_id, url, canon FROM s5 ORDER BY doc_id
+        """,
+        "url_dup_groups": f"""
+            {_URL_CANON}
+            SELECT canon, count(DISTINCT url) AS n_variants,
+                   count(*) AS n_docs, min(doc_id) AS keep_id
+            FROM s5 GROUP BY canon ORDER BY canon
         """,
     }

@@ -1,0 +1,188 @@
+"""DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169): score every raw document by how target-like its hashed
+n-gram distribution is, then resample the raw pool toward the target
+distribution with Gumbel top-k.
+
+Pipeline (all relational, all linear in corpus size):
+  1. ``hashed_ngram_counts`` — per-doc feature counts: unigrams + bigrams
+     of the simple analyzer, hashed into ``n_buckets`` via md5 (the same
+     engine-portable hash every other gate uses). One scan + one
+     partial-aggregable groupBy.
+  2. ``bucket_distribution`` — the global bucket histogram of a corpus,
+     add-alpha smoothed over the full bucket space. Output is n_buckets
+     rows — broadcast-sized by construction.
+  3. ``dsir_log_weights`` — per-doc log importance weight
+     log w(d) = sum_b cnt_d[b] * (ln p_target[b] - ln p_raw[b])
+     via ONE broadcast join of the tiny log-ratio table onto the per-doc
+     bucket counts and a groupBy(doc). The raw pool is scanned once.
+  4. ``dsir_sample`` — sampling WITHOUT replacement as Gumbel top-k
+     (Kool et al. 2019): key(d) = log w(d) - ln(-ln u_d) with u_d a
+     deterministic md5-derived uniform in (0,1), take the k largest keys.
+     Deterministic => exact ANSI-SQL twin (driver gates ``dsir_weights``,
+     ``dsir_sample``).
+
+Scale notes: the only shuffles are the two bucket-histogram groupBys
+(n_buckets cardinality — trivially small) and the per-doc groupBy (keyed
+on doc_id, partial-agg combine). The distribution join is broadcast. No
+Python anywhere; everything stays in whole-stage codegen.
+
+Reference relation: beyond-reference training-data operator (the
+letarette reference has no selection machinery); companions:
+functions/sampling.py (quota/temperature) selects by metadata, DSIR
+selects by content distribution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from letarette_spark.functions.simple_text import token_array
+
+
+def _bucket_expr(gram: Column, n_buckets: int) -> Column:
+    """md5-derived bucket id in [0, n_buckets): the first 8 hex chars of
+    md5(gram) as an unsigned 32-bit int, mod n_buckets — engine-portable
+    (DuckDB: ('0x' || substr(md5(g),1,8))::BIGINT % n)."""
+    return (
+        F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    )
+
+
+def _grams(text_col: str) -> Column:
+    """array<string> of unigrams + space-joined bigrams, document order."""
+    toks = token_array(text_col)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    return F.concat(toks, bigrams)
+
+
+def hashed_ngram_counts(
+    df: DataFrame,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, bucket, cnt) — hashed unigram+bigram bucket counts per doc."""
+    return (
+        df.select(
+            F.col(id_col), F.explode(_grams(text_col)).alias("gram")
+        )
+        .select(F.col(id_col), _bucket_expr(F.col("gram"), n_buckets).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def bucket_distribution(
+    bucketed: DataFrame,
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """(bucket, p) — smoothed global distribution over the FULL bucket
+    space: p[b] = (cnt[b] + alpha) / (total + alpha * n_buckets). Emits a
+    row for every bucket, including empty ones (n_buckets rows total)."""
+    spark = bucketed.sparkSession
+    counts = bucketed.groupBy("bucket").agg(F.sum("cnt").alias("c"))
+    full = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    filled = full.join(F.broadcast(counts), "bucket", "left").select(
+        "bucket", F.coalesce(F.col("c"), F.lit(0)).cast("double").alias("c")
+    )
+    total = filled.agg(F.sum("c").alias("t"))
+    return filled.crossJoin(F.broadcast(total)).select(
+        "bucket",
+        (
+            (F.col("c") + F.lit(float(alpha)))
+            / (F.col("t") + F.lit(float(alpha) * n_buckets))
+        ).alias("p"),
+    )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, log_w) — per-raw-doc log importance weight under the hashed
+    n-gram bag-of-words model: sum_b cnt_d[b] * ln(p_target[b]/p_raw[b]).
+
+    Docs with zero features get log_w = 0.0 (weight 1) so the output has
+    one row per raw doc."""
+    raw_b = hashed_ngram_counts(raw, n_buckets, id_col, text_col)
+    tgt_b = hashed_ngram_counts(target, n_buckets, id_col, text_col)
+    p_raw = bucket_distribution(raw_b, n_buckets, alpha).select(
+        "bucket", F.col("p").alias("p_raw")
+    )
+    p_tgt = bucket_distribution(tgt_b, n_buckets, alpha).select(
+        "bucket", F.col("p").alias("p_tgt")
+    )
+    ratio = p_tgt.join(p_raw, "bucket").select(
+        "bucket", (F.log("p_tgt") - F.log("p_raw")).alias("log_ratio")
+    )
+    scored = (
+        raw_b.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("cnt") * F.col("log_ratio")).alias("log_w"))
+    )
+    # keep zero-feature docs (empty text): weight 1 => log_w 0
+    return (
+        raw.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("log_w"), F.lit(0.0)).alias("log_w"),
+        )
+    )
+
+
+def _gumbel_key(log_w: Column, id_col: Column, seed: int) -> Column:
+    """log_w - ln(-ln u) with u = (md5-derived 32-bit int + 1) / (2^32 + 1)
+    in (0, 1) — deterministic per (id, seed), identical in any engine."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", id_col.cast("string"), F.lit(str(seed)))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967297.0)
+    return log_w - F.log(-F.log(u))
+
+
+def dsir_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int = 100,
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, log_w, gumbel) — the k raw docs DSIR selects: largest
+    ``log_w + Gumbel(0,1)`` keys = a weighted sample without replacement
+    from softmax(log_w) (Gumbel top-k). Ties broken by id.
+
+    Scale: weights are linear (see dsir_log_weights); the top-k is
+    Spark's global TakeOrdered — no full sort materialization."""
+    w = dsir_log_weights(raw, target, n_buckets, alpha, id_col, text_col)
+    return (
+        w.select(
+            id_col,
+            "log_w",
+            _gumbel_key(F.col("log_w"), F.col(id_col), seed).alias("gumbel"),
+        )
+        .orderBy(F.desc("gumbel"), F.asc(id_col))
+        .limit(k)
+    )

@@ -420,3 +420,53 @@ def ivf_index_topk(
         .orderBy(F.desc("cos"), F.asc(id_col))
         .limit(k)
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    margin: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neg_id, cos, rank) — denoised hard-negative mining for
+    contrastive training (RocketQA, Qu et al. 2021; SBERT mining
+    practice): for each query vector, the corpus nearest neighbor
+    (excluding self) is the presumed positive; hard negatives are the
+    next-most-similar examples whose cosine is STRICTLY below
+    ``margin * pos_cos`` — the margin skips near-ties that are likely
+    unlabeled positives (false negatives poison the contrastive loss).
+
+    Deterministic (ties to the lower id), so an exact SQL twin exists
+    (driver gate ``hard_negatives``).
+
+    Scale: the query set is broadcast against one corpus scan; per-query
+    top-k is a window over the scored rows keyed by query_id — the same
+    shape as cosine_topk_per_query, linear in |corpus| * |queries|. For
+    huge query batches route candidates through the IVF/LSH indexes first
+    and apply the same margin rule on the shortlist."""
+    q = emb.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    scored = (
+        emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neg_id"), cosine_expr("v", "qv").alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neg_id"))
+    wq = Window.partitionBy("query_id")
+    ranked = scored.withColumn("rn", F.row_number().over(w)).withColumn(
+        "pos_cos", F.max("cos").over(wq)
+    )
+    negs = ranked.filter(
+        (F.col("rn") > 1) & (F.col("cos") < F.col("pos_cos") * F.lit(margin))
+    )
+    wn = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neg_id"))
+    return (
+        negs.withColumn("rank", F.row_number().over(wn))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neg_id", "cos", "rank")
+    )
