@@ -526,6 +526,47 @@ def main() -> None:
 
             timed("shard_write_32", _shard_write)
 
+            # data-selection ops: SemDeDup cell-scoped semantic dedup,
+            # DSIR importance resampling, margin-denoised hard negatives,
+            # URL canonicalization + URL-keyed dedup
+            from letarette_spark.functions.dsir import dsir_sample
+            from letarette_spark.functions.semdedup import semdedup_kept
+            from letarette_spark.functions.similarity import hard_negatives
+            from letarette_spark.functions.urls import url_dedup
+
+            timed(
+                "semdedup_kept",
+                lambda: semdedup_kept(
+                    embeddings, n_cells=16, threshold=0.3
+                ).count(),
+            )
+            timed(
+                "dsir_sample",
+                lambda: dsir_sample(
+                    documents, documents.filter(F.col("lang") == "en"),
+                    k=min(ndocs // 10, 1000),
+                ).count(),
+            )
+            timed(
+                "hard_negatives",
+                lambda: hard_negatives(
+                    embeddings, query_ids=[0, 1, 2, 3, 4], k=5
+                ).count(),
+            )
+            timed(
+                "url_dedup",
+                lambda: url_dedup(
+                    documents.select(
+                        "doc_id",
+                        F.concat(
+                            F.lit("https://example.com/d/"),
+                            (F.col("doc_id") % (ndocs // 2)).cast("string"),
+                            F.lit("?utm_source=x&a=1"),
+                        ).alias("url"),
+                    )
+                ).count(),
+            )
+
             # query-latency distribution over warm repeats (reference lrload
             # reports mean/median/p90/p95/p99 — cmd/lrload/main.go:317-358)
             for _ in range(3):
