@@ -1080,6 +1080,22 @@ def q_url_dup_groups(spark, sf_dir):
     ).orderBy("canon")
 
 
+def q_bloom_dedup_kept(spark, sf_dir):
+    """Bloom-filter incremental dedup (functions/bloom.py): the rows of a
+    'new crawl batch' (doc_id % 3 == 0) whose text never appears in the
+    'seen corpus' (doc_id % 2 == 0). The bloom prefilter is a physical
+    optimization — the result is EXACTLY new-anti-join-seen by text, so
+    the DuckDB twin is a plain anti-join."""
+    from letarette_spark.functions.bloom import incremental_dedup
+
+    docs = _docs(spark, sf_dir)
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    return incremental_dedup(new, seen, "text").select("doc_id").orderBy(
+        "doc_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "engine_bm25": q_engine_bm25,
@@ -1158,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "url_canonical": q_url_canonical,
         "url_dup_groups": q_url_dup_groups,
+        "bloom_dedup_kept": q_bloom_dedup_kept,
     }
 
 
@@ -2907,5 +2924,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT canon, count(DISTINCT url) AS n_variants,
                    count(*) AS n_docs, min(doc_id) AS keep_id
             FROM s5 GROUP BY canon ORDER BY canon
+        """,
+        "bloom_dedup_kept": """
+            SELECT n.doc_id FROM documents n
+            WHERE n.doc_id % 3 = 0
+              AND NOT EXISTS (
+                  SELECT 1 FROM documents s
+                  WHERE s.doc_id % 2 = 0 AND s.text = n.text
+              )
+            ORDER BY n.doc_id
         """,
     }

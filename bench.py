@@ -553,6 +553,16 @@ def main() -> None:
                     embeddings, query_ids=[0, 1, 2, 3, 4], k=5
                 ).count(),
             )
+            from letarette_spark.functions.bloom import incremental_dedup
+
+            timed(
+                "bloom_incr_dedup",
+                lambda: incremental_dedup(
+                    documents.filter(F.col("doc_id") % 3 == 0),
+                    documents.filter(F.col("doc_id") % 2 == 0),
+                    "text",
+                ).count(),
+            )
             timed(
                 "url_dedup",
                 lambda: url_dedup(

@@ -1,0 +1,122 @@
+"""Bloom-filter incremental dedup (functions/bloom.py): bit-exact build
+vs a Python reference bloom, no false negatives ever, end-to-end result
+identity with the exact anti-join, and the zero-shuffle prefilter plan.
+
+The driver gate ``bloom_dedup_kept`` additionally pins value-identity
+against a plain DuckDB anti-join twin at sf0.01."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from letarette_spark.functions.bloom import (
+    bloom_build,
+    bloom_fill_ratio,
+    bloom_might_contain,
+    bloom_params,
+    incremental_dedup,
+)
+
+
+def _py_positions(s: str, n_bits: int, n_hashes: int) -> list[int]:
+    d = hashlib.md5(s.encode()).hexdigest()
+    h1 = int(d[:8], 16)
+    h2 = int(d[8:16], 16) | 1
+    return [(h1 + i * h2) % n_bits for i in range(n_hashes)]
+
+
+def _py_bloom(keys, n_bits: int, n_hashes: int) -> list[int]:
+    words = [0] * (n_bits // 64)
+    for s in keys:
+        for p in _py_positions(s, n_bits, n_hashes):
+            words[p // 64] |= 1 << (p % 64)
+    # to signed longs (Spark's bit_or aggregates signed)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    seen = spark.createDataFrame(
+        [(i, f"doc body number {i} with words") for i in range(0, 400, 2)],
+        "doc_id int, text string",
+    )
+    # new overlaps seen on multiples of 6, plus fresh odd ids
+    new = spark.createDataFrame(
+        [(i, f"doc body number {i} with words") for i in range(0, 300, 3)],
+        "doc_id int, text string",
+    )
+    return seen, new
+
+
+def test_params_sizing():
+    n_bits, n_hashes = bloom_params(1000, 0.01)
+    assert n_bits % 64 == 0
+    # ~9.6 bits/item at 1% fpp
+    assert 9 * 1000 <= n_bits <= 11 * 1000
+    assert 5 <= n_hashes <= 9
+    assert bloom_params(0) == (64, 1)
+
+
+def test_build_bit_exact_vs_python(spark, frames):
+    seen, _ = frames
+    n_bits, n_hashes = bloom_params(200, 0.01)
+    words = bloom_build(seen, "text", n_bits, n_hashes)
+    keys = [r["text"] for r in seen.select("text").collect()]
+    assert words == _py_bloom(keys, n_bits, n_hashes)
+    assert 0.0 < bloom_fill_ratio(words) < 1.0
+
+
+def test_no_false_negatives(spark, frames):
+    seen, _ = frames
+    n_bits, n_hashes = bloom_params(200, 0.01)
+    words = bloom_build(seen, "text", n_bits, n_hashes)
+    misses = seen.filter(~bloom_might_contain("text", words, n_bits, n_hashes))
+    assert misses.count() == 0
+
+
+def test_incremental_dedup_equals_exact_anti_join(spark, frames):
+    seen, new = frames
+    got = incremental_dedup(new, seen, "text")
+    exact = new.join(seen.select("text").distinct(), "text", "left_anti")
+    a = sorted(r["doc_id"] for r in got.collect())
+    b = sorted(r["doc_id"] for r in exact.collect())
+    assert a == b
+    # overlap keys are multiples of 6 in [0, 300): exactly 50 dups dropped
+    assert len(a) == new.count() - 50
+
+
+def test_prefilter_plan_zero_shuffle_zero_python(spark, frames):
+    seen, new = frames
+    n_bits, n_hashes = bloom_params(200, 0.01)
+    words = bloom_build(seen, "text", n_bits, n_hashes)
+    plan = (
+        new.filter(~bloom_might_contain("text", words, n_bits, n_hashes))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_result_partitioning_independent(spark, frames):
+    seen, new = frames
+    a = sorted(
+        r["doc_id"]
+        for r in incremental_dedup(new.repartition(7), seen, "text").collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in incremental_dedup(new.coalesce(1), seen.repartition(5), "text").collect()
+    )
+    assert a == b
+
+
+def test_empty_seen_keeps_everything(spark, frames):
+    _, new = frames
+    empty = new.filter(F.lit(False))
+    got = incremental_dedup(new, empty, "text")
+    assert got.count() == new.count()
