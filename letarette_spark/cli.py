@@ -389,7 +389,8 @@ def cmd_sql(args) -> int:
 
 def cmd_pipeline(args) -> int:
     """Run the one-call training-data pipeline over a parquet docs
-    table: quality gates -> exact dedup -> near dedup (MinHash LSH) ->
+    table: optional URL dedup -> optional seen-corpus Bloom dedup ->
+    quality gates -> exact dedup -> near dedup (MinHash LSH) ->
     optional benchmark decontamination. Writes the per-doc (id, kept,
     reason) audit and prints drop-reason counts. Beyond-ref: the
     reference indexes corpora, this prepares them (functions/pipeline.py
@@ -407,6 +408,8 @@ def cmd_pipeline(args) -> int:
         threshold=args.threshold,
         id_col=args.id_col,
         text_col=args.text_col,
+        url_col=args.url_col,
+        seen=spark.read.parquet(args.seen) if args.seen else None,
     )
     if args.output:
         audit.write.mode("overwrite").parquet(args.output)
@@ -538,6 +541,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "n deterministically shuffled shard files")
     p.add_argument("--n-shards", type=int, default=8)
     p.add_argument("--shard-seed", type=int, default=42)
+    p.add_argument("--url-col", help="URL column: dedup by canonical "
+                   "URL before the content stages")
+    p.add_argument("--seen", help="parquet path of the already-ingested "
+                   "corpus: drop rows whose text appears there (Bloom "
+                   "prefilter + exact confirm)")
     p.set_defaults(fn=cmd_pipeline)
 
     p = sub.add_parser("env")

@@ -36,13 +36,22 @@ def prepare_training_data(
     decontam_n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    url_col: str | None = None,
+    seen: DataFrame | None = None,
 ) -> DataFrame:
     """(id, kept, reason) for every input document.
 
-    reason ∈ {'quality', 'exact_dup', 'near_dup', 'contaminated'} (NULL
-    when kept); a document gets the reason of the FIRST stage that drops
-    it. Exact/near dedup keep each group's minimum id. ``benchmark``
-    None skips decontamination.
+    reason ∈ {'url_dup', 'already_seen', 'quality', 'exact_dup',
+    'near_dup', 'contaminated'} (NULL when kept); a document gets the
+    reason of the FIRST stage that drops it. Exact/near dedup keep each
+    group's minimum id. ``benchmark`` None skips decontamination.
+
+    Two optional incremental-ingest stages run FIRST (crawl order:
+    metadata before content): ``url_col`` names a URL column to dedup by
+    canonical form (functions/urls.py, keep min id), and ``seen`` is the
+    already-ingested corpus — this batch drops rows whose ``text_col``
+    appears there, via the Bloom prefilter + exact confirm
+    (functions/bloom.py: zero-shuffle for the fresh majority).
 
     Survivor-id frames are persisted for the audit assembly (each is
     consumed 2-3 times: by the next stage and by the reason diff) and
@@ -50,6 +59,31 @@ def prepare_training_data(
     narrow (id, kept, reason) frame, linear in corpus size."""
     ids = docs.select(id_col)
     persisted = []
+    reasons: list[str] = []
+    survived: dict[str, DataFrame] = {}
+    stage_in = docs
+
+    # stage 0a: URL-keyed dedup (cheapest — metadata only)
+    if url_col is not None:
+        from letarette_spark.functions.urls import url_dedup
+
+        s0a = url_dedup(stage_in, url_col=url_col, id_col=id_col).persist()
+        persisted.append(s0a)
+        reasons.append("url_dup")
+        survived["url_dup"] = s0a
+        stage_in = s0a
+
+    # stage 0b: cross-batch dedup against the already-ingested corpus
+    if seen is not None:
+        from letarette_spark.functions.bloom import incremental_dedup
+
+        s0b = incremental_dedup(stage_in, seen, key_col=text_col).persist()
+        persisted.append(s0b)
+        reasons.append("already_seen")
+        survived["already_seen"] = s0b
+        stage_in = s0b
+
+    docs = stage_in
 
     # stage 1: quality gates (one scan, pure column exprs)
     passed = gopher_quality_flags(docs, id_col=id_col, text_col=text_col).select(
@@ -99,13 +133,14 @@ def prepare_training_data(
     def _mark(stage_ids: DataFrame, name: str) -> DataFrame:
         return stage_ids.select(id_col).withColumn("__r", F.lit(name))
 
-    survived = {
-        "quality": s1, "exact_dup": s2, "near_dup": s3, "contaminated": s4,
-    }
+    survived.update(
+        {"quality": s1, "exact_dup": s2, "near_dup": s3, "contaminated": s4}
+    )
+    reasons.extend(REASONS)
     prev = ids
     # successive survivor-set differences: each doc lands in at most one
     marks = []
-    for name in REASONS:
+    for name in reasons:
         cur = survived[name].select(id_col)
         dropped_here = prev.join(cur, id_col, "left_anti")
         marks.append(_mark(dropped_here, name))

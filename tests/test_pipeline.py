@@ -105,3 +105,50 @@ def test_every_input_id_accounted_once(spark):
     assert sorted(ids) == [1, 2, 3, 4, 5, 6]
     for r in out:
         assert r["kept"] == (r["reason"] is None)
+
+
+def test_url_and_seen_stages_run_first(spark):
+    """Optional incremental-ingest stages: url_dup then already_seen
+    precede every content stage, and their reasons win precedence."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark).withColumn(
+        "url",
+        F.when(
+            F.col("doc_id") == 3,
+            # same canonical URL as doc 1 (tracker param + case differ)
+            F.lit("HTTP://example.com/a?utm_source=x"),
+        ).otherwise(
+            F.concat(F.lit("http://example.com/"), F.col("doc_id").cast("string"))
+        ),
+    )
+    docs = docs.withColumn(
+        "url",
+        F.when(F.col("doc_id") == 1, F.lit("http://EXAMPLE.com/a")).otherwise(
+            F.col("url")
+        ),
+    )
+    # seen corpus already contains doc 6's text
+    seen = spark.createDataFrame([{"doc_id": 999, "text": _CLEAN2}])
+    out = prepare_training_data(
+        docs, _bench(spark), url_col="url", seen=seen
+    ).collect()
+    got = {r["doc_id"]: (r["kept"], r["reason"]) for r in out}
+    # doc 3 is BOTH a url-dup (of 1) and an exact content dup — the
+    # url stage runs first and wins
+    assert got[3] == (False, "url_dup")
+    assert got[6] == (False, "already_seen")
+    assert got[1] == (True, None)
+    assert got[2] == (False, "quality")
+    assert sorted(got) == [1, 2, 3, 4, 5, 6]
+
+
+def test_seen_stage_without_url(spark):
+    seen = spark.createDataFrame([{"doc_id": 999, "text": _WORDS}])
+    out = prepare_training_data(_docs(spark), None, seen=seen).collect()
+    got = {r["doc_id"]: (r["kept"], r["reason"]) for r in out}
+    # docs 1 and 3 share _WORDS with the seen corpus: both drop as seen
+    # (the already_seen stage precedes exact dedup)
+    assert got[1] == (False, "already_seen")
+    assert got[3] == (False, "already_seen")
+    assert got[6] == (True, None)

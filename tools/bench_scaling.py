@@ -752,7 +752,7 @@ def _shard_write_tmp(docs) -> None:
         shutil.rmtree(out, ignore_errors=True)
 
 
-def run_one_pipeops(cpus: int, corpus_dir: str) -> dict:
+def run_one_pipeops(cpus: int, corpus_dir: str, only: str = "") -> dict:
     """One process at local[cpus]: wall time for each training-pipeline
     operator over the same corpus parquet — 2 interleaved trials per op,
     min is the steady-state statistic (CLAUDE.md noise protocol). These
@@ -811,7 +811,30 @@ def run_one_pipeops(cpus: int, corpus_dir: str) -> dict:
         # within-partition sort + parquet write — the final pipeline
         # stage; shard count fixed across levels (same job both sides)
         "shard_write": lambda: _shard_write_tmp(docs),
+        # DSIR: tokenize+hash both corpus scans (the data-bound part)
+        # + broadcast ratio join + TakeOrdered — target is an md5-keyed
+        # ~1/4 slice so both levels run the identical job
+        "dsir": lambda: __import__(
+            "letarette_spark.functions.dsir", fromlist=["dsir_sample"]
+        ).dsir_sample(
+            docs,
+            docs.filter(F.substring(F.md5("doc_id"), 1, 1).isin("0", "1", "2", "3")),
+            k=1000,
+        ).count(),
+        # Bloom incremental dedup: seen = md5-keyed half, new = md5-keyed
+        # ~1/4; the build's explode+groupBy scan dominates (the word-index
+        # Exchange is constant-size), the prefilter is one codegen scan
+        "bloom_dedup": lambda: __import__(
+            "letarette_spark.functions.bloom", fromlist=["incremental_dedup"]
+        ).incremental_dedup(
+            docs.filter(F.substring(F.md5("doc_id"), 2, 1).isin("0", "1", "2", "3")),
+            docs.filter(F.substring(F.md5("doc_id"), 1, 1) < "8"),
+            "text",
+        ).count(),
     }
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        ops = {k: v for k, v in ops.items() if k in keep}
     timings: dict[str, list[float]] = {k: [] for k in ops}
     for _trial in range(2):  # interleaved: one noisy window can't take both
         for name, fn in ops.items():
@@ -851,7 +874,7 @@ def pipeops_mode(args) -> None:
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      "--run-one-pipeops", "--cpus", str(cpus),
-                     "--corpus", corpus_dir],
+                     "--corpus", corpus_dir, "--ops", args.ops],
                     capture_output=True, text=True, timeout=7200,
                     env=dict(os.environ, SPARK_DRIVER_MEM="48g"),
                 )
@@ -939,6 +962,8 @@ def main() -> None:
     ap.add_argument("--passes", type=int, default=3)
     ap.add_argument("--shards", type=int, default=4)
     ap.add_argument("--base-cpus", type=int, default=4)
+    ap.add_argument("--ops", default="",
+                    help="pipeops: comma list restricting which ops run")
     args = ap.parse_args()
 
     if args.run_one:
@@ -952,7 +977,8 @@ def main() -> None:
             run_one_shardq(args.cpus, args.index, args.passes)))
         return
     if args.run_one_pipeops:
-        print("RESULT " + json.dumps(run_one_pipeops(args.cpus, args.corpus)))
+        print("RESULT " + json.dumps(
+            run_one_pipeops(args.cpus, args.corpus, args.ops)))
         return
     if args.mode == "pipeops":
         pipeops_mode(args)
