@@ -16,6 +16,7 @@ command set over the parquet index:
     python -m letarette_spark synonyms [<json>]
     python -m letarette_spark spelling update <mincount>
     python -m letarette_spark pipeline <docs.parquet> [-o out] [--benchmark p]
+                                       [--url-col c] [--seen seen.parquet]
                                        [--shards-out dir [--n-shards N]]
 
 All index-bound commands take `-d <index_root>` (or the
