@@ -66,14 +66,23 @@ def hashed_ngram_counts(
     n_buckets: int = 256,
     id_col: str = "doc_id",
     text_col: str = "text",
+    carry: list[str] = (),
 ) -> DataFrame:
-    """(id, bucket, cnt) — hashed unigram+bigram bucket counts per doc."""
+    """(id, [*carry,] bucket, cnt) — hashed unigram+bigram bucket counts
+    per doc. ``carry`` columns (functionally dependent on the id, e.g. a
+    target-membership flag) ride the groupBy key — same grouping, no
+    extra join."""
+    carry = list(carry)
     return (
         df.select(
-            F.col(id_col), F.explode(_grams(text_col)).alias("gram")
+            F.col(id_col), *carry, F.explode(_grams(text_col)).alias("gram")
         )
-        .select(F.col(id_col), _bucket_expr(F.col("gram"), n_buckets).alias("bucket"))
-        .groupBy(id_col, "bucket")
+        .select(
+            F.col(id_col),
+            *carry,
+            _bucket_expr(F.col("gram"), n_buckets).alias("bucket"),
+        )
+        .groupBy(id_col, *carry, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
@@ -104,19 +113,39 @@ def bucket_distribution(
 
 def dsir_log_weights(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     n_buckets: int = 256,
     alpha: float = 1.0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    target_filter: Column | None = None,
 ) -> DataFrame:
     """(id, log_w) — per-raw-doc log importance weight under the hashed
     n-gram bag-of-words model: sum_b cnt_d[b] * ln(p_target[b]/p_raw[b]).
 
     Docs with zero features get log_w = 0.0 (weight 1) so the output has
-    one row per raw doc."""
-    raw_b = hashed_ngram_counts(raw, n_buckets, id_col, text_col)
-    tgt_b = hashed_ngram_counts(target, n_buckets, id_col, text_col)
+    one row per raw doc.
+
+    When the target is a SUBSET of raw (the common in-corpus case, e.g.
+    "resample toward the wiki-like slice"), pass ``target_filter`` (a
+    boolean Column over raw's columns) instead of a separate frame: the
+    heavy tokenize+hash scan then runs ONCE and both histograms aggregate
+    from the same per-doc counts — identical results to the two-frame
+    path (test-pinned), half the dominant cost."""
+    if (target is None) == (target_filter is None):
+        raise ValueError("pass exactly one of target / target_filter")
+    if target_filter is not None:
+        flagged = raw.select(
+            F.col(id_col), F.col(text_col), target_filter.alias("__tgt")
+        )
+        both = hashed_ngram_counts(
+            flagged, n_buckets, id_col, text_col, carry=["__tgt"]
+        )
+        tgt_b = both.filter(F.col("__tgt")).drop("__tgt")
+        raw_b = both.drop("__tgt")
+    else:
+        raw_b = hashed_ngram_counts(raw, n_buckets, id_col, text_col)
+        tgt_b = hashed_ngram_counts(target, n_buckets, id_col, text_col)
     p_raw = bucket_distribution(raw_b, n_buckets, alpha).select(
         "bucket", F.col("p").alias("p_raw")
     )
@@ -162,13 +191,14 @@ def _gumbel_key(log_w: Column, id_col: Column, seed: int) -> Column:
 
 def dsir_sample(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     k: int = 100,
     n_buckets: int = 256,
     alpha: float = 1.0,
     seed: int = 42,
     id_col: str = "doc_id",
     text_col: str = "text",
+    target_filter: Column | None = None,
 ) -> DataFrame:
     """(id, log_w, gumbel) — the k raw docs DSIR selects: largest
     ``log_w + Gumbel(0,1)`` keys = a weighted sample without replacement
@@ -176,7 +206,10 @@ def dsir_sample(
 
     Scale: weights are linear (see dsir_log_weights); the top-k is
     Spark's global TakeOrdered — no full sort materialization."""
-    w = dsir_log_weights(raw, target, n_buckets, alpha, id_col, text_col)
+    w = dsir_log_weights(
+        raw, target, n_buckets, alpha, id_col, text_col,
+        target_filter=target_filter,
+    )
     return (
         w.select(
             id_col,

@@ -145,6 +145,37 @@ class TestDSIR:
         keys = [r["gumbel"] for r in s1]
         assert keys == sorted(keys, reverse=True)
 
+
+    def test_target_filter_fast_path_identical(self, dsir_docs):
+        """The single-scan target_filter path must produce EXACTLY the
+        two-frame path's weights (and reject ambiguous arguments)."""
+        import pytest as _pytest
+
+        from letarette_spark.functions.dsir import dsir_log_weights
+
+        target = dsir_docs.filter(F.col("lang") == "en")
+        two = {
+            r["doc_id"]: r["log_w"]
+            for r in dsir_log_weights(dsir_docs, target, n_buckets=64).collect()
+        }
+        one = {
+            r["doc_id"]: r["log_w"]
+            for r in dsir_log_weights(
+                dsir_docs, n_buckets=64, target_filter=F.col("lang") == "en"
+            ).collect()
+        }
+        assert set(one) == set(two)
+        for d in two:
+            # same algebra, different float summation order
+            assert one[d] == _pytest.approx(two[d], rel=1e-9, abs=1e-12)
+        with _pytest.raises(ValueError):
+            dsir_log_weights(dsir_docs, n_buckets=64)
+        with _pytest.raises(ValueError):
+            dsir_log_weights(
+                dsir_docs, target, n_buckets=64,
+                target_filter=F.col("lang") == "en",
+            )
+
     def test_bigrams_contribute(self, spark):
         """Two docs with identical unigram bags but different orderings
         must get different bucket profiles (bigrams are real features)."""
