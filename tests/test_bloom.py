@@ -120,3 +120,30 @@ def test_empty_seen_keeps_everything(spark, frames):
     empty = new.filter(F.lit(False))
     got = incremental_dedup(new, empty, "text")
     assert got.count() == new.count()
+
+
+def test_big_filter_frame_path(spark, frames):
+    """Above _LIT_WORDS_MAX the words ride a broadcast 1-row frame, not a
+    plan literal (a 72k-word literal costs ~30s of SERIAL driver time —
+    the same at any parallelism level). Same results, no data shuffle, no
+    Python."""
+    from letarette_spark.functions.bloom import with_bloom_flag
+
+    seen, new = frames
+    # force the frame path: size the filter for 5M expected items
+    n_bits, n_hashes = bloom_params(5_000_000, 0.01)
+    assert n_bits // 64 > 4096
+    words = bloom_build(seen, "text", n_bits, n_hashes)
+    flagged = with_bloom_flag(new, "text", words, n_bits, n_hashes)
+    # no false negatives through the frame path either
+    seen_flagged = with_bloom_flag(seen, "text", words, n_bits, n_hashes)
+    assert seen_flagged.filter(~F.col("__bloom_hit")).count() == 0
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "Python" not in plan
+    # end-to-end result identical to the exact anti-join at this sizing
+    got = incremental_dedup(new, seen, "text", expected_items=5_000_000)
+    exact = new.join(seen.select("text").distinct(), "text", "left_anti")
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+        r["doc_id"] for r in exact.collect()
+    )
