@@ -811,14 +811,17 @@ def run_one_pipeops(cpus: int, corpus_dir: str, only: str = "") -> dict:
         # within-partition sort + parquet write — the final pipeline
         # stage; shard count fixed across levels (same job both sides)
         "shard_write": lambda: _shard_write_tmp(docs),
-        # DSIR: tokenize+hash both corpus scans (the data-bound part)
-        # + broadcast ratio join + TakeOrdered — target is an md5-keyed
-        # ~1/4 slice so both levels run the identical job
+        # DSIR: ONE tokenize+hash corpus scan (target_filter fast path —
+        # the in-corpus-target production shape) + broadcast ratio join
+        # + TakeOrdered — target is an md5-keyed ~1/4 slice so both
+        # levels run the identical job
         "dsir": lambda: __import__(
             "letarette_spark.functions.dsir", fromlist=["dsir_sample"]
         ).dsir_sample(
             docs,
-            docs.filter(F.substring(F.md5("doc_id"), 1, 1).isin("0", "1", "2", "3")),
+            target_filter=F.substring(F.md5("doc_id"), 1, 1).isin(
+                "0", "1", "2", "3"
+            ),
             k=1000,
         ).count(),
         # Bloom incremental dedup: seen = md5-keyed half, new = md5-keyed
