@@ -860,14 +860,16 @@ def pipeops_mode(args) -> None:
     from letarette_spark.session import get_spark
     from letarette_spark.sources.corpus import generate_corpus
 
-    corpus_dir = tempfile.mkdtemp(prefix="pipeops_corpus_")
-    spark = get_spark(app_name="pipeops_gen", master="local[32]",
-                      shuffle_partitions=32)
-    spark.sparkContext.setLogLevel("ERROR")
-    generate_corpus(spark, args.ndocs, seed=42, partitions=128).write.mode(
-        "overwrite"
-    ).parquet(corpus_dir)
-    spark.stop()
+    own_corpus = not args.corpus_dir
+    corpus_dir = args.corpus_dir or tempfile.mkdtemp(prefix="pipeops_corpus_")
+    if own_corpus:
+        spark = get_spark(app_name="pipeops_gen", master="local[32]",
+                          shuffle_partitions=32)
+        spark.sparkContext.setLogLevel("ERROR")
+        generate_corpus(spark, args.ndocs, seed=42, partitions=128).write.mode(
+            "overwrite"
+        ).parquet(corpus_dir)
+        spark.stop()
 
     cpus_list = [int(c) for c in args.cpus_list.split(",")]
     acc: dict[int, list[dict]] = {c: [] for c in cpus_list}
@@ -889,7 +891,8 @@ def pipeops_mode(args) -> None:
                     raise RuntimeError(f"pipeops run at local[{cpus}] failed")
                 acc[cpus].append(json.loads(line[-1][len("RESULT "):]))
     finally:
-        shutil.rmtree(corpus_dir, ignore_errors=True)
+        if own_corpus:
+            shutil.rmtree(corpus_dir, ignore_errors=True)
 
     op_names = list(acc[cpus_list[0]][0]["best"].keys())
     results = []
@@ -967,6 +970,9 @@ def main() -> None:
     ap.add_argument("--base-cpus", type=int, default=4)
     ap.add_argument("--ops", default="",
                     help="pipeops: comma list restricting which ops run")
+    ap.add_argument("--corpus-dir", default="",
+                    help="pipeops: reuse an existing corpus parquet dir "
+                         "(skips generation; not deleted afterwards)")
     args = ap.parse_args()
 
     if args.run_one:
