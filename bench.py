@@ -543,7 +543,7 @@ def main() -> None:
             timed(
                 "dsir_sample",
                 lambda: dsir_sample(
-                    documents, documents.filter(F.col("lang") == "en"),
+                    documents, target_filter=F.col("lang") == "en",
                     k=min(ndocs // 10, 1000),
                 ).count(),
             )

@@ -128,38 +128,91 @@ def dsir_log_weights(
 
     When the target is a SUBSET of raw (the common in-corpus case, e.g.
     "resample toward the wiki-like slice"), pass ``target_filter`` (a
-    boolean Column over raw's columns) instead of a separate frame: the
-    heavy tokenize+hash scan then runs ONCE and both histograms aggregate
-    from the same per-doc counts — identical results to the two-frame
-    path (test-pinned), half the dominant cost."""
+    boolean Column over raw's columns) instead of a separate frame. That
+    path runs two shuffle-light jobs instead of the two-frame path's
+    (doc, bucket)-materializing plan: an eager map-side-combined
+    histogram of BOTH distributions at once (exchange = n_buckets rows
+    per partition; the 256-entry log-ratio vector is collected here, so
+    calling this runs a job), then a lazy scoring scan that folds
+    ``element_at(ratio_literal, bucket(gram))`` directly into
+    ``groupBy(id)`` — one exchanged row per doc, never a gram- or
+    (doc, bucket)-level shuffle. Results match the two-frame path to
+    float association order (test-pinned at 1e-9; the driver gates pin
+    the two-frame path exactly)."""
     if (target is None) == (target_filter is None):
         raise ValueError("pass exactly one of target / target_filter")
     if target_filter is not None:
+        # Shuffle-light shape. The intermediate the naive form shuffles —
+        # per-(doc, bucket) counts, ~n_buckets rows PER DOC — is never
+        # needed as a distributed table: the only global state is the
+        # 256-entry log-ratio vector, and the per-doc weight is just the
+        # sum of log_ratio[bucket(gram)] over the doc's gram occurrences.
+        # So: job 1 (eager, here) aggregates BOTH histograms map-side to
+        # n_buckets rows (conditional agg on the target flag; the
+        # exchange moves n_partitions * n_buckets tiny rows) and collects
+        # the ratio vector; job 2 (lazy, returned) re-scans the text once
+        # and folds element_at(ratio_literal, bucket) straight into
+        # groupBy(id) — its exchange carries ONE row per doc. Neither job
+        # shuffles gram-level data; the tokenize scan runs exactly twice
+        # and nothing anywhere materializes (doc, bucket) pairs.
+        import math
+
         flagged = raw.select(
             F.col(id_col), F.col(text_col), target_filter.alias("__tgt")
         )
-        both = hashed_ngram_counts(
-            flagged, n_buckets, id_col, text_col, carry=["__tgt"]
+        g = flagged.select(
+            F.col(id_col), F.col("__tgt"), F.explode(_grams(text_col)).alias("gram")
+        ).select(
+            F.col(id_col),
+            F.col("__tgt"),
+            _bucket_expr(F.col("gram"), n_buckets).alias("bucket"),
         )
-        tgt_b = both.filter(F.col("__tgt")).drop("__tgt")
-        raw_b = both.drop("__tgt")
+        hist = (
+            g.groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("c_raw"),
+                F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("c_tgt"),
+            )
+            .collect()
+        )
+        c_raw = [0] * n_buckets
+        c_tgt = [0] * n_buckets
+        for r in hist:
+            c_raw[r["bucket"]] = int(r["c_raw"])
+            c_tgt[r["bucket"]] = int(r["c_tgt"])
+        t_raw, t_tgt = sum(c_raw), sum(c_tgt)
+        lr = [
+            math.log((c_tgt[b] + alpha) / (t_tgt + alpha * n_buckets))
+            - math.log((c_raw[b] + alpha) / (t_raw + alpha * n_buckets))
+            for b in range(n_buckets)
+        ]
+        scored = (
+            g.select(
+                F.col(id_col),
+                F.element_at(
+                    F.lit(lr), F.col("bucket").cast("int") + 1
+                ).alias("r"),
+            )
+            .groupBy(id_col)
+            .agg(F.sum("r").alias("log_w"))
+        )
     else:
         raw_b = hashed_ngram_counts(raw, n_buckets, id_col, text_col)
         tgt_b = hashed_ngram_counts(target, n_buckets, id_col, text_col)
-    p_raw = bucket_distribution(raw_b, n_buckets, alpha).select(
-        "bucket", F.col("p").alias("p_raw")
-    )
-    p_tgt = bucket_distribution(tgt_b, n_buckets, alpha).select(
-        "bucket", F.col("p").alias("p_tgt")
-    )
-    ratio = p_tgt.join(p_raw, "bucket").select(
-        "bucket", (F.log("p_tgt") - F.log("p_raw")).alias("log_ratio")
-    )
-    scored = (
-        raw_b.join(F.broadcast(ratio), "bucket")
-        .groupBy(id_col)
-        .agg(F.sum(F.col("cnt") * F.col("log_ratio")).alias("log_w"))
-    )
+        p_raw = bucket_distribution(raw_b, n_buckets, alpha).select(
+            "bucket", F.col("p").alias("p_raw")
+        )
+        p_tgt = bucket_distribution(tgt_b, n_buckets, alpha).select(
+            "bucket", F.col("p").alias("p_tgt")
+        )
+        ratio = p_tgt.join(p_raw, "bucket").select(
+            "bucket", (F.log("p_tgt") - F.log("p_raw")).alias("log_ratio")
+        )
+        scored = (
+            raw_b.join(F.broadcast(ratio), "bucket")
+            .groupBy(id_col)
+            .agg(F.sum(F.col("cnt") * F.col("log_ratio")).alias("log_w"))
+        )
     # keep zero-feature docs (empty text): weight 1 => log_w 0
     return (
         raw.select(id_col)

@@ -146,6 +146,23 @@ class TestDSIR:
         assert keys == sorted(keys, reverse=True)
 
 
+    def test_target_filter_plan_is_shuffle_light(self, dsir_docs):
+        """The fast path's scoring job tokenizes once (ONE Generate) and
+        never exchanges gram- or (doc, bucket)-level rows: every hash
+        exchange keys on the doc id alone (PLANS.md §13). The histogram
+        job is eager inside the call and map-side by construction."""
+        from letarette_spark.functions.dsir import dsir_log_weights
+
+        df = dsir_log_weights(
+            dsir_docs, n_buckets=64, target_filter=F.col("lang") == "en"
+        )
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Generate") == 1
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "bucket" not in line
+
     def test_target_filter_fast_path_identical(self, dsir_docs):
         """The single-scan target_filter path must produce EXACTLY the
         two-frame path's weights (and reject ambiguous arguments)."""

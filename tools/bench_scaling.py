@@ -811,10 +811,11 @@ def run_one_pipeops(cpus: int, corpus_dir: str, only: str = "") -> dict:
         # within-partition sort + parquet write — the final pipeline
         # stage; shard count fixed across levels (same job both sides)
         "shard_write": lambda: _shard_write_tmp(docs),
-        # DSIR: ONE tokenize+hash corpus scan (target_filter fast path —
-        # the in-corpus-target production shape) + broadcast ratio join
-        # + TakeOrdered — target is an md5-keyed ~1/4 slice so both
-        # levels run the identical job
+        # DSIR target_filter fast path: eager map-side 256-row histogram
+        # job + per-doc scoring scan folding the ratio literal into
+        # groupBy(id) (one exchanged row per doc — never a (doc,bucket)
+        # shuffle) + TakeOrdered; target is an md5-keyed ~1/4 slice so
+        # both levels run the identical job
         "dsir": lambda: __import__(
             "letarette_spark.functions.dsir", fromlist=["dsir_sample"]
         ).dsir_sample(
