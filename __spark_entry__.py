@@ -1368,6 +1368,8 @@ _URL_CANON = f"""
            FROM s3),
     s5 AS (SELECT doc_id, url,
                   CASE WHEN scheme = '' THEN trim(url)
+                       WHEN regexp_extract(authority, '([^@]*)$', 1)
+                            LIKE '[%' THEN trim(url)
                        ELSE scheme || '://' || host || port_part || path ||
                             CASE WHEN len(params) > 0
                                  THEN '?' || array_to_string(params, '&')
@@ -2652,12 +2654,15 @@ def oracle_sql() -> dict[str, str]:
                         range(1, greatest(len(toks)-1, 0)+1),
                         i -> struct_pack(a := toks[i], b := toks[i+1])))
                         AS p FROM t),
-            bi AS (SELECT p.a AS a, p.b AS b, count(*)::BIGINT AS n_ab
-                   FROM bi0 GROUP BY p.a, p.b HAVING count(*) >= 5),
+            bi_all AS (SELECT p.a AS a, p.b AS b, count(*)::BIGINT AS n_ab
+                       FROM bi0 GROUP BY p.a, p.b),
+            bi AS (SELECT * FROM bi_all WHERE n_ab >= 5),
             uni AS (SELECT unnest(toks) AS t2 FROM t),
             uc AS (SELECT t2, count(*)::BIGINT AS c FROM uni GROUP BY t2),
             tt AS (SELECT sum(c)::DOUBLE AS tot_t FROM uc),
-            tb AS (SELECT sum(n_ab)::DOUBLE AS tot_b FROM bi)
+            -- p(a,b) normalizes over ALL bigram events, not just the
+            -- min_count survivors (matches keywords.pmi_collocations)
+            tb AS (SELECT sum(n_ab)::DOUBLE AS tot_b FROM bi_all)
             SELECT a, b, n_ab,
                    round(ln((n_ab / tot_b) /
                             ((ca.c / tot_t) * (cb.c / tot_t))), 6) AS pmi
@@ -2910,7 +2915,10 @@ def oracle_sql() -> dict[str, str]:
                 SELECT query_id, neg_id, cos,
                        row_number() OVER (PARTITION BY query_id
                                           ORDER BY cos DESC, neg_id) AS rank
-                FROM r WHERE rn > 1 AND cos < pos_cos * 0.95
+                -- 0.0500…44 is repr(1.0 - 0.95): the exact double the
+                -- Spark side folds, so borderline rows cannot diverge
+                FROM r WHERE rn > 1
+                  AND cos < pos_cos - 0.050000000000000044 * abs(pos_cos)
             )
             SELECT query_id, neg_id, round(cos, 6) AS cos, rank
             FROM n WHERE rank <= 5 ORDER BY query_id, rank
@@ -2923,7 +2931,7 @@ def oracle_sql() -> dict[str, str]:
             {_URL_CANON}
             SELECT canon, count(DISTINCT url) AS n_variants,
                    count(*) AS n_docs, min(doc_id) AS keep_id
-            FROM s5 GROUP BY canon ORDER BY canon
+            FROM s5 WHERE url IS NOT NULL GROUP BY canon ORDER BY canon
         """,
         "bloom_dedup_kept": """
             SELECT n.doc_id FROM documents n

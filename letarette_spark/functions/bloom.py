@@ -94,11 +94,16 @@ def bloom_build(
 
     Scale: one scan of `seen`; the only shuffle is the groupBy on the word
     index — at most n_bits/64 distinct keys, so the exchange is tiny no
-    matter how large `seen` is; the collect is n_bits/8 bytes."""
+    matter how large `seen` is; the collect is n_bits/8 bytes.
+
+    NULL keys are skipped: NULL never equals any key under SQL
+    semantics, so setting bits for it could only create false
+    positives (and a NULL probe row would crash the word assembly)."""
     k = F.col(key) if isinstance(key, str) else key
     n_words = n_bits // 64
     rows = (
-        seen.select(F.explode(_positions(k, n_bits, n_hashes)).alias("pos"))
+        seen.filter(k.isNotNull())
+        .select(F.explode(_positions(k, n_bits, n_hashes)).alias("pos"))
         .select(
             (F.col("pos") / 64).cast("int").alias("word"),
             _bit_value(F.col("pos") % 64).alias("bit"),
@@ -116,7 +121,14 @@ def bloom_build(
 def _might_expr(
     key: Column, words_col: Column, n_bits: int, n_hashes: int
 ) -> Column:
-    """AND over the k probe bits against `words_col` (array<long>)."""
+    """AND over the k probe bits against `words_col` (array<long>).
+
+    NULL keys return False outright: the build skips NULLs, so the
+    filter definitely does not contain one — and the guard is REQUIRED
+    for correctness, not just clarity, because PySpark's Column-API
+    ``element_at`` treats a NULL index as -1 (returns the LAST element,
+    unlike SQL element_at which returns NULL), so an unguarded NULL key
+    would probe the final word's sign bit and could flag true."""
     h1, h2 = _h1_h2(key)
     out = None
     for i in range(n_hashes):
@@ -124,7 +136,7 @@ def _might_expr(
         word = F.element_at(words_col, (pos / 64).cast("int") + 1)
         check = word.bitwiseAND(_bit_value(pos % 64)) != 0
         out = check if out is None else out & check
-    return out
+    return F.when(key.isNull(), F.lit(False)).otherwise(out)
 
 
 def bloom_might_contain(
@@ -195,22 +207,31 @@ def incremental_dedup(
 ) -> DataFrame:
     """Rows of `new` whose `key_col` never appears in `seen` — exactly
     ``new ∖ seen`` by key (the driver gate pins value-identity against a
-    plain anti-join twin).
+    plain anti-join twin). NULL keys follow SQL join semantics: NULL
+    never equals anything, so NULL-key rows of `new` are always kept
+    (the anti-join twin keeps them too) and NULL-key rows of `seen`
+    can't mark anything as dup.
 
     Physical plan: bloom MISSES (the overwhelming majority of a mostly-
     fresh batch) are accepted by the zero-shuffle prefilter alone and
     never touch `seen`; only bloom HITS (true dups + ~fpp false
     positives) pay the exact left_anti join, whose left side is now tiny.
-    `seen` is scanned exactly once (filter build) plus once more over the
-    candidate join's right side — at 100 TB make `seen` a key-bucketed
-    table so the confirm join prunes to matching buckets."""
+    With ``expected_items`` given, `seen` is scanned exactly once
+    (filter build) plus once more over the candidate join's right side;
+    the ``expected_items=None`` default adds a third scan for the sizing
+    count — callers holding a persisted `seen` (or table stats) should
+    pass the count. At 100 TB make `seen` a key-bucketed table so the
+    confirm join prunes to matching buckets."""
     if expected_items is None:
         expected_items = seen.count()
     n_bits, n_hashes = bloom_params(expected_items, fpp)
     words = bloom_build(seen, key_col, n_bits, n_hashes)
     flagged = with_bloom_flag(new, key_col, words, n_bits, n_hashes)
-    fresh = flagged.filter(~F.col("__bloom_hit")).drop("__bloom_hit")
-    candidates = flagged.filter(F.col("__bloom_hit")).drop("__bloom_hit")
+    # NULL key -> NULL probe -> NULL hit flag; those rows are fresh by
+    # SQL equality semantics and must not vanish between the two filters
+    hit = F.coalesce(F.col("__bloom_hit"), F.lit(False))
+    fresh = flagged.filter(~hit).drop("__bloom_hit")
+    candidates = flagged.filter(hit).drop("__bloom_hit")
     confirmed_fresh = candidates.join(
         seen.select(key_col).distinct(), key_col, "left_anti"
     )

@@ -97,13 +97,16 @@ def pmi_collocations(
         .agg(F.count(F.lit(1)).alias("c"))
     )
     tot_t = uni.select(F.sum("c").cast("double").alias("T"))
-    bi = (
+    bi_all = (
         df.select(F.explode(bigrams).alias("p"))
         .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("n_ab"))
-        .filter(F.col("n_ab") >= min_count)
     )
-    tot_b = bi.select(F.sum("n_ab").cast("double").alias("B"))
+    # p(a,b) normalizes over ALL bigram events (Church & Hanks): summing
+    # only the min_count survivors would inflate every pmi by
+    # ln(B_all/B_frequent) and make scores depend on the cutoff
+    tot_b = bi_all.select(F.sum("n_ab").cast("double").alias("B"))
+    bi = bi_all.filter(F.col("n_ab") >= min_count)
     ua = uni.select(F.col("t").alias("a"), F.col("c").alias("c_a"))
     ub = uni.select(F.col("t").alias("b"), F.col("c").alias("c_b"))
     # tot_t/tot_b share lineage with uni/bi (self-join): qualify every

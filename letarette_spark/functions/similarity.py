@@ -435,8 +435,13 @@ def hard_negatives(
     practice): for each query vector, the corpus nearest neighbor
     (excluding self) is the presumed positive; hard negatives are the
     next-most-similar examples whose cosine is STRICTLY below
-    ``margin * pos_cos`` — the margin skips near-ties that are likely
-    unlabeled positives (false negatives poison the contrastive loss).
+    ``pos_cos - (1 - margin) * |pos_cos|`` — the margin skips near-ties
+    that are likely unlabeled positives (false negatives poison the
+    contrastive loss). The gap is scaled by ``|pos_cos|`` rather than
+    multiplying ``pos_cos`` directly so the exclusion zone still sits
+    BELOW the positive when ``pos_cos <= 0`` (a plain product flips the
+    inequality there and would admit exactly the near-ties it exists to
+    drop); for ``pos_cos > 0`` the two forms are identical.
 
     Deterministic (ties to the lower id), so an exact SQL twin exists
     (driver gate ``hard_negatives``).
@@ -462,7 +467,12 @@ def hard_negatives(
         "pos_cos", F.max("cos").over(wq)
     )
     negs = ranked.filter(
-        (F.col("rn") > 1) & (F.col("cos") < F.col("pos_cos") * F.lit(margin))
+        (F.col("rn") > 1)
+        & (
+            F.col("cos")
+            < F.col("pos_cos")
+            - F.lit(1.0 - margin) * F.abs(F.col("pos_cos"))
+        )
     )
     wn = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neg_id"))
     return (

@@ -23,7 +23,9 @@ Everything is pure JVM column arithmetic (regexp + array ops inside
 whole-stage codegen — zero Python, zero UDF), with an exact ANSI-SQL twin
 (driver gates ``url_canonical`` / ``url_dup_groups``). userinfo
 (user:pass@) and %-encoding re-normalization are out of scope and pass
-through untouched (documented boundary).
+through untouched, as do bracketed IPv6-literal hosts (documented
+boundaries). NULL URLs canonicalize to NULL and are never grouped or
+deduplicated — a row without a URL is not a duplicate of anything.
 
 Reference relation: beyond-reference training-data operator; companions
 functions/html.py (link harvest produces the URLs this canonicalizes) and
@@ -80,7 +82,14 @@ def canonical_url(url: Column | str) -> Column:
     canon = F.concat(
         scheme, F.lit("://"), userinfo, host, port_part, path, query_part
     )
-    return F.when(scheme == "", u).otherwise(canon)
+    # bracketed (IPv6-literal) hosts would be mangled by the ':'-based
+    # host/port split — pass them through untouched (same never-destroy
+    # policy as non-URLs; documented boundary)
+    return (
+        F.when(scheme == "", u)
+        .when(hostport.startswith("["), u)
+        .otherwise(canon)
+    )
 
 
 def canonicalize(
@@ -98,9 +107,10 @@ def url_dup_groups(
     """(canon, n_variants, n_docs, keep_id) — groups of rows whose URLs
     canonicalize identically: distinct surface spellings, total rows, and
     the deterministic survivor (min id). One partial-aggregable groupBy
-    on the canonical string."""
+    on the canonical string. NULL-URL rows are excluded — groupBy would
+    otherwise collapse every URL-less doc into one bogus group."""
     return (
-        canonicalize(df, url_col)
+        canonicalize(df.filter(F.col(url_col).isNotNull()), url_col)
         .groupBy("canon")
         .agg(
             F.countDistinct(url_col).alias("n_variants"),
@@ -117,8 +127,11 @@ def url_dedup(
 ) -> DataFrame:
     """Keep exactly one row per canonical URL (the min id) — the URL-level
     dedup pass that precedes content-level dedup in a crawl pipeline.
-    Same keep-first shape as dedup.exact_duplicates."""
+    Same keep-first shape as dedup.exact_duplicates. Rows with a NULL
+    URL are all kept: no URL means nothing to be a duplicate of."""
     keep = url_dup_groups(df, url_col, id_col).select(
         F.col("keep_id").alias(id_col)
     )
-    return df.join(keep, id_col, "left_semi")
+    return df.filter(F.col(url_col).isNotNull()).join(
+        keep, id_col, "left_semi"
+    ).unionByName(df.filter(F.col(url_col).isNull()))

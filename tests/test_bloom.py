@@ -122,6 +122,31 @@ def test_empty_seen_keeps_everything(spark, frames):
     assert got.count() == new.count()
 
 
+def test_null_keys_follow_sql_semantics(spark):
+    """NULL never equals anything: NULL-key rows of `new` are always
+    kept (they used to vanish — NULL bloom flag failed both filters) and
+    NULL-key rows of `seen` mark nothing as dup (they used to crash the
+    word assembly with a NULL position row). Matches the anti-join twin."""
+    seen = spark.createDataFrame(
+        [{"doc_id": 0, "text": "shared text"}, {"doc_id": 1, "text": None}]
+    )
+    new = spark.createDataFrame(
+        [
+            {"doc_id": 10, "text": "shared text"},  # true dup -> dropped
+            {"doc_id": 11, "text": None},           # NULL key -> kept
+            {"doc_id": 12, "text": "fresh"},        # fresh -> kept
+        ]
+    )
+    kept = sorted(r["doc_id"] for r in incremental_dedup(new, seen, "text").collect())
+    assert kept == [11, 12]
+    # the exact anti-join twin agrees
+    twin = sorted(
+        r["doc_id"]
+        for r in new.join(seen.select("text").distinct(), "text", "left_anti").collect()
+    )
+    assert kept == twin
+
+
 def test_big_filter_frame_path(spark, frames):
     """Above _LIT_WORDS_MAX the words ride a broadcast 1-row frame, not a
     plan literal (a 72k-word literal costs ~30s of SERIAL driver time —

@@ -77,9 +77,11 @@ def test_pmi_matches_bruteforce(spark):
         ts = _toks(text)
         uni.update(ts)
         bi.update(zip(ts, ts[1:]))
-    bi = Counter({p: c for p, c in bi.items() if c >= 2})
     T = sum(uni.values())
+    # p(a,b) normalizes over ALL bigram events; min_count only gates
+    # which pairs are reported
     B = sum(bi.values())
+    bi = Counter({p: c for p, c in bi.items() if c >= 2})
     want = sorted(
         (
             (a, b, c, round(math.log((c / B) / ((uni[a] / T) * (uni[b] / T))), 6))

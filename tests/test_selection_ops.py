@@ -231,7 +231,8 @@ class TestHardNegatives:
                 (
                     (v, c)
                     for v, c in cand.items()
-                    if v != pos_id and c < 0.95 * pos_cos
+                    if v != pos_id
+                    and c < pos_cos - (1.0 - 0.95) * abs(pos_cos)
                 ),
                 key=lambda vc: (-vc[1], vc[0]),
             )[:3]
@@ -240,7 +241,29 @@ class TestHardNegatives:
             assert pos_id not in {r["neg_id"] for r in rows}
             for r, (_, c) in zip(rows, expected):
                 assert r["cos"] == pytest.approx(c, abs=1e-9)
-                assert r["cos"] < 0.95 * pos_cos
+                assert r["cos"] < pos_cos - (1.0 - 0.95) * abs(pos_cos)
+
+    def test_margin_holds_when_pos_cos_negative(self, spark):
+        """When the best corpus cosine is negative, the exclusion zone
+        must still sit BELOW the positive: a near-tie of the (negative)
+        positive is skipped, a clearly-worse candidate is admitted. The
+        old multiplicative rule (cos < 0.95 * pos_cos) inverted here and
+        admitted the near-tie."""
+        from letarette_spark.functions.similarity import hard_negatives
+
+        rows = [
+            (0, [1.0, 0.0]),            # query
+            (1, [-0.1, 0.9949874371]),  # positive, cos ~= -0.1
+            (2, [-0.1002, 0.9949]),     # near-tie, cos ~= -0.1002
+            (3, [-0.9, 0.4358898944]),  # real negative, cos = -0.9
+        ]
+        emb = spark.createDataFrame(
+            [{"vec_id": i, "embedding": v} for i, v in rows]
+        )
+        got = hard_negatives(emb, query_ids=[0], k=3, margin=0.95).collect()
+        neg_ids = [r["neg_id"] for r in got]
+        assert 2 not in neg_ids  # within the margin of the positive
+        assert neg_ids == [3]
 
 
 class TestUrls:
@@ -284,6 +307,44 @@ class TestUrls:
         )
         kept = sorted(r["doc_id"] for r in url_dedup(df).collect())
         assert kept == [1, 3]
+
+    def test_null_urls_are_never_dups(self, spark):
+        """Rows without a URL are not duplicates of anything: url_dedup
+        keeps ALL of them (the old groupBy collapsed every NULL into one
+        bogus group and kept only the min id), and url_dup_groups never
+        reports a NULL-canon group."""
+        from letarette_spark.functions.urls import url_dedup, url_dup_groups
+
+        df = spark.createDataFrame(
+            [
+                {"doc_id": 1, "url": "http://a.com/x"},
+                {"doc_id": 2, "url": None},
+                {"doc_id": 3, "url": None},
+                {"doc_id": 4, "url": "HTTP://A.com/x"},  # dup of 1
+            ]
+        )
+        kept = sorted(r["doc_id"] for r in url_dedup(df).collect())
+        assert kept == [1, 2, 3]
+        groups = url_dup_groups(df).collect()
+        assert all(r["canon"] is not None for r in groups)
+        assert len(groups) == 1 and groups[0]["n_docs"] == 2
+
+    def test_ipv6_literal_hosts_pass_through(self, spark):
+        """Bracketed IPv6 hosts would be mangled by the ':' host/port
+        split — they pass through untouched (never-destroy policy), so
+        distinct IPv6 URLs cannot collide in url_dedup."""
+        from letarette_spark.functions.urls import canonical_url, url_dedup
+
+        urls = ["http://[::1]:8080/x", "http://[2001:db8::1]/x"]
+        df = spark.createDataFrame(
+            [{"doc_id": i, "url": u} for i, u in enumerate(urls)]
+        )
+        got = {
+            r["url"]: r["c"]
+            for r in df.select("url", canonical_url("url").alias("c")).collect()
+        }
+        assert got == {u: u for u in urls}
+        assert url_dedup(df).count() == 2
 
     def test_zero_shuffle_plan(self, spark):
         """Canonicalization itself is one scan: no Exchange in the plan."""

@@ -760,8 +760,10 @@ def run_one_pipeops(cpus: int, corpus_dir: str, only: str = "") -> dict:
     expectation is near-linear core scaling up to the host ceiling."""
     from pyspark.sql import functions as F
 
+    from letarette_spark.functions.bloom import incremental_dedup
     from letarette_spark.functions.bpe import bpe_train
     from letarette_spark.functions.dedup import minhash_lsh_pairs
+    from letarette_spark.functions.dsir import dsir_sample
     from letarette_spark.functions.html import html_to_text
     from letarette_spark.functions.lm_score import lm_perplexity
     from letarette_spark.functions.packing import pack_sequences
@@ -816,9 +818,7 @@ def run_one_pipeops(cpus: int, corpus_dir: str, only: str = "") -> dict:
         # groupBy(id) (one exchanged row per doc — never a (doc,bucket)
         # shuffle) + TakeOrdered; target is an md5-keyed ~1/4 slice so
         # both levels run the identical job
-        "dsir": lambda: __import__(
-            "letarette_spark.functions.dsir", fromlist=["dsir_sample"]
-        ).dsir_sample(
+        "dsir": lambda: dsir_sample(
             docs,
             target_filter=F.substring(F.md5("doc_id"), 1, 1).isin(
                 "0", "1", "2", "3"
@@ -828,9 +828,7 @@ def run_one_pipeops(cpus: int, corpus_dir: str, only: str = "") -> dict:
         # Bloom incremental dedup: seen = md5-keyed half, new = md5-keyed
         # ~1/4; the build's explode+groupBy scan dominates (the word-index
         # Exchange is constant-size), the prefilter is one codegen scan
-        "bloom_dedup": lambda: __import__(
-            "letarette_spark.functions.bloom", fromlist=["incremental_dedup"]
-        ).incremental_dedup(
+        "bloom_dedup": lambda: incremental_dedup(
             docs.filter(F.substring(F.md5("doc_id"), 2, 1).isin("0", "1", "2", "3")),
             docs.filter(F.substring(F.md5("doc_id"), 1, 1) < "8"),
             "text",
