@@ -233,6 +233,15 @@ def _sample_ranges_inner(data: bytes, track_index: int, kind: str):
         if fc == "stsz":
             uniform, count = struct.unpack_from(">II", data, b + 4)
             if uniform:
+                # uniform-size branch has no per-sample table to bounds-
+                # check against the box, so sanity-cap the 32-bit count
+                # against the whole file: count samples of size `uniform`
+                # (or even 1 byte each) cannot exceed the payload — a
+                # hostile count would otherwise allocate a multi-GB list
+                # (MemoryError escapes the never-raise net) or send the
+                # chunk walk through 4G iterations
+                if count * max(uniform, 1) > len(data):
+                    return []
                 sizes = [uniform] * count
             else:
                 if b + 12 + 4 * count > e:

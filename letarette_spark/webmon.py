@@ -119,7 +119,12 @@ class MonitorServer:
 
     # ---------------------------------------------------------- feeding
     def feed_status(self, status, now: float | None = None) -> None:
-        self.monitor.update(status, now=now)
+        # serialized against status_payload: the StatusMonitor's dict is
+        # plain (no lock of its own) and the ThreadingHTTPServer reads it
+        # from request threads while the driver feeds it — an unlocked
+        # insert during iteration raises RuntimeError mid-request
+        with self._lock:
+            self.monitor.update(status, now=now)
 
     def feed_metrics(
         self, index_id: str, packed: str, now: float | None = None
@@ -152,6 +157,13 @@ class MonitorServer:
     ) -> str:
         if method not in ("sum", "delta", "avg"):
             raise ValueError(f"unknown method {method!r}")
+        # a plot with period <= 0 (or NaN/inf bounds) would persist and
+        # make its data/SVG endpoints 500 forever (ZeroDivisionError in
+        # the bucket index) — reject at creation like the method check
+        if not (period > 0 and period < float("inf")):
+            raise ValueError(f"period must be a positive finite number, got {period!r}")
+        if not (window > 0 and window < float("inf")):
+            raise ValueError(f"window must be a positive finite number, got {window!r}")
         plot_id = f"{index}:{metric}:{method}:{period}:{window}:{plot_type}"
         with self._lock:
             self._plots[plot_id] = _Plot(
@@ -249,15 +261,16 @@ class MonitorServer:
         return asdict(res)
 
     def status_payload(self, now: float | None = None) -> dict:
-        code = self.monitor.checkpoint(now=now)
-        return {
-            "version": VERSION,
-            "checkpoint": code,
-            "checkpoint_name": STATUS_NAMES.get(code, "?"),
-            "indexes": {
-                s.index_id: asdict(s) for s in self.monitor._status.values()
-            },
-        }
+        with self._lock:
+            code = self.monitor.checkpoint(now=now)
+            return {
+                "version": VERSION,
+                "checkpoint": code,
+                "checkpoint_name": STATUS_NAMES.get(code, "?"),
+                "indexes": {
+                    s.index_id: asdict(s) for s in self.monitor._status.values()
+                },
+            }
 
     def metrics_payload(self) -> dict:
         with self._lock:

@@ -68,6 +68,22 @@ class TestSampleRanges:
         assert video_sample_ranges(b"") == []
         assert video_sample_ranges(b"\x00" * 100) == []
 
+    def test_hostile_uniform_stsz_count_gives_empty(self):
+        """A uniform-size stsz with sample_count=0xFFFFFFFF must be
+        rejected by the payload-size sanity cap, not expand into a
+        multi-GB list (MemoryError is not in the never-raise net) or a
+        4-billion-iteration chunk walk."""
+        samples = [b"ab" * 8, b"cd" * 8, b"ef" * 8]  # uniform sizes
+        data = bytearray(write_minimal_mp4(samples=samples, samples_per_chunk=99))
+        idx = bytes(data).index(b"stsz")
+        # content layout after the fourcc: 4B version/flags, 4B uniform
+        # size, 4B sample_count
+        data[idx + 12 : idx + 16] = (0xFFFFFFFF).to_bytes(4, "big")
+        assert video_sample_ranges(bytes(data)) == []
+        # zero uniform size with a huge count is equally hostile
+        data[idx + 8 : idx + 12] = (0).to_bytes(4, "big")
+        assert video_sample_ranges(bytes(data)) == []
+
     def test_truncated_mdat_keeps_in_bounds_samples(self):
         frames = [jp for _px, jp in _frames(5)]
         data = write_minimal_mp4(samples=frames, samples_per_chunk=2)

@@ -143,6 +143,61 @@ def test_plot_lifecycle_and_aggregation(server):
     assert code == 500
 
 
+def test_plot_rejects_degenerate_period_and_window(server):
+    """period<=0 / NaN / inf would create a persistent plot whose data
+    and SVG endpoints ZeroDivisionError forever — rejected at creation
+    like an unknown method."""
+    import pytest as _pytest
+
+    for period, window in [(0.0, 60.0), (-5.0, 60.0), (10.0, 0.0),
+                           (float("nan"), 60.0), (10.0, float("inf"))]:
+        with _pytest.raises(ValueError):
+            server.add_plot("idx-a", "queryqueue", "avg", period, window)
+    # via HTTP: errorResponse, not a poisoned dashboard
+    code, body, _ = _get(
+        server.url + "/plot/add?index=idx-a&metric=m&method=avg"
+        "&period=0&window=60", expect=500,
+    )
+    assert code == 500 and "period" in body
+
+
+def test_status_feed_concurrent_with_reads(server):
+    """feed_status inserts into the status dict while request threads
+    iterate it — both sides now hold the server lock, so a feed storm
+    during payload reads never raises 'dict changed size'."""
+    import threading
+
+    from letarette_spark.monitoring import IndexStatus
+
+    stop = threading.Event()
+    errs = []
+
+    def feeder():
+        i = 0
+        while not stop.is_set():
+            i += 1
+            try:
+                server.feed_status(
+                    IndexStatus(index_id=f"dyn-{i % 50}", shard_group="1/1",
+                                doc_count=i, last_update=float(i),
+                                status=43),
+                    now=float(i),
+                )
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+    t = threading.Thread(target=feeder)
+    t.start()
+    try:
+        for _ in range(300):
+            payload = server.status_payload()
+            assert "indexes" in payload
+    finally:
+        stop.set()
+        t.join()
+    assert errs == []
+
+
 def test_plot_add_via_http_redirects(server):
     req = urllib.request.Request(
         server.url + "/plot/add?index=idx-a&metric=serveddocs&method=sum"
