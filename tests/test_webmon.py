@@ -178,8 +178,9 @@ def test_status_feed_concurrent_with_reads(server):
             i += 1
             try:
                 server.feed_status(
-                    IndexStatus(index_id=f"dyn-{i % 50}", shard_group="1/1",
+                    IndexStatus(index_id=f"dyn-{i % 50}", version="v1",
                                 doc_count=i, last_update=float(i),
+                                shardgroup_size=1, shard_index=0,
                                 status=43),
                     now=float(i),
                 )
