@@ -226,7 +226,13 @@ def incremental_dedup(
         expected_items = seen.count()
     n_bits, n_hashes = bloom_params(expected_items, fpp)
     words = bloom_build(seen, key_col, n_bits, n_hashes)
-    flagged = with_bloom_flag(new, key_col, words, n_bits, n_hashes)
+    # localCheckpoint: the fresh/candidate split below consumes `flagged`
+    # twice — without it the upstream scan of `new` AND all k bloom
+    # probes re-ran for each side (the docstring's scan accounting only
+    # covered `seen`). One eager materialization serves both filters.
+    flagged = with_bloom_flag(
+        new, key_col, words, n_bits, n_hashes
+    ).localCheckpoint()
     # NULL key -> NULL probe -> NULL hit flag; those rows are fresh by
     # SQL equality semantics and must not vanish between the two filters
     hit = F.coalesce(F.col("__bloom_hit"), F.lit(False))

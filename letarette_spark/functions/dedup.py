@@ -33,15 +33,9 @@ def exact_duplicate_groups(
     )
 
 
-def shingles(
-    df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """(id, shingle) — distinct n-gram token shingles per document, built
-    with JVM array intrinsics (transform over a token array), no UDF.
-
-    Documents with fewer than *n* tokens yield no shingles (ANSI-safe: a
-    descending F.sequence would otherwise produce [0, -1] and element_at
-    past the array end throws under Spark 4's ANSI mode)."""
+def _shingle_array_expr(text_col: str, n: int):
+    """array<string> of DISTINCT n-gram token shingles, document order of
+    first occurrence irrelevant (set semantics via array_distinct)."""
     arr = token_array(text_col)
     idx = F.when(
         F.size(arr) >= n, F.sequence(F.lit(0), F.size(arr) - n)
@@ -52,10 +46,38 @@ def shingles(
             " ", *[F.element_at(arr, (i + j + 1).cast("int")) for j in range(n)]
         ),
     )
+    return F.array_distinct(sh)
+
+
+def shingle_arrays(
+    df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, _sh array<string>) — per-doc distinct shingle sets, one row per
+    document. The compact carrier for the shingle pipeline: signatures fold
+    over the array with ZERO shuffle, `shingles` (the exploded view) and
+    per-doc set sizes both derive from it, so the tokenize chain runs once
+    per evaluation instead of once per consumer."""
+    return df.select(
+        F.col(id_col), _shingle_array_expr(text_col, n).alias("_sh")
+    )
+
+
+def shingles(
+    df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, shingle) — distinct n-gram token shingles per document, built
+    with JVM array intrinsics (transform over a token array), no UDF.
+
+    Documents with fewer than *n* tokens yield no shingles (ANSI-safe: a
+    descending F.sequence would otherwise produce [0, -1] and element_at
+    past the array end throws under Spark 4's ANSI mode)."""
     # per-doc set semantics via array_distinct BEFORE the explode: identical
     # to a post-explode (id, shingle) DISTINCT but with ZERO shuffle — the
     # distinct would exchange the widest dataset in the whole pipeline.
-    return df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+    return df.select(
+        F.col(id_col),
+        F.explode(_shingle_array_expr(text_col, n)).alias("shingle"),
+    )
 
 
 def jaccard_pairs(
@@ -73,31 +95,49 @@ def jaccard_pairs(
     more than that many docs before pairing — standard df-cut used by
     near-dup pipelines. At web scale prefer minhash_lsh_pairs (candidate
     generation is linear in docs) and use this only to verify candidates."""
-    sh = shingles(df, n, id_col, text_col)
-    if max_shingle_df is not None:
-        w = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
-        sh = sh.join(F.broadcast(w.filter(F.col("sdf") <= max_shingle_df)), "shingle").drop("sdf")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("a"), "shingle")
-    b = sh.select(F.col(id_col).alias("b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("double").alias("i"))
-    )
-    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sa"))
-    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sb"))
-    return (
-        inter.join(sa, "a")
-        .join(sb, "b")
-        .select(
-            "a",
-            "b",
-            (F.col("i") / (F.col("sa") + F.col("sb") - F.col("i"))).alias("jaccard"),
+    # ONE tokenize+shingle evaluation feeds sizes and both join legs (the
+    # un-persisted exploded form re-ran the tokenize chain per consumer —
+    # three times); eager localCheckpoint of the (small) qualifying pair
+    # set releases the cache deterministically, the same contract as
+    # minhash_lsh_pairs.
+    arr = shingle_arrays(df, n, id_col, text_col).persist()
+    try:
+        sh = arr.select(F.col(id_col), F.explode("_sh").alias("shingle"))
+        if max_shingle_df is not None:
+            w = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+            sh = sh.join(
+                F.broadcast(w.filter(F.col("sdf") <= max_shingle_df)), "shingle"
+            ).drop("sdf")
+            # sizes are over the CUT shingle set when the df-cut is active
+            sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+        else:
+            # |distinct shingles| per doc == the array length: no shuffle
+            sizes = arr.select(F.col(id_col), F.size("_sh").alias("sz"))
+        a = sh.select(F.col(id_col).alias("a"), "shingle")
+        b = sh.select(F.col(id_col).alias("b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("double").alias("i"))
         )
-        .filter(F.col("jaccard") >= threshold)
-    )
+        sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sa"))
+        sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sb"))
+        return (
+            inter.join(sa, "a")
+            .join(sb, "b")
+            .select(
+                "a",
+                "b",
+                (
+                    F.col("i") / (F.col("sa") + F.col("sb") - F.col("i"))
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .localCheckpoint()
+        )
+    finally:
+        arr.unpersist()
 
 
 def jaccard_for_pairs(
@@ -106,6 +146,7 @@ def jaccard_for_pairs(
     threshold: float,
     id_col: str = "doc_id",
     _persisted: list | None = None,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle Jaccard for an explicit candidate-pair set.
 
@@ -124,7 +165,8 @@ def jaccard_for_pairs(
     csh = sh.join(cand_docs, id_col, "left_semi").persist()
     if _persisted is not None:
         _persisted.append(csh)  # caller unpersists after materializing
-    sizes = csh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    if sizes is None:
+        sizes = csh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sa = csh.select(F.col(id_col).alias("a"), "shingle")
     sb = csh.select(F.col(id_col).alias("b"), "shingle")
     inter = (
@@ -159,6 +201,24 @@ def minhash_signatures_from_shingles(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def _sig_cols(sh_arr, k: int):
+    """k MinHash signature columns folded over a shingle ARRAY: per
+    permutation i, array_min over md5(shingle || '#' || i) — the same
+    min-over-set as the groupBy form (array elements are the per-doc
+    distinct shingle set), evaluated per row with no explode, no shuffle."""
+    # NB: the lambda must be unary — PySpark binds a second lambda param
+    # to the ARRAY INDEX (not a closure default), which would corrupt the
+    # permutation tag.
+    def one(i: int):
+        return F.array_min(
+            F.transform(
+                sh_arr, lambda s: F.md5(F.concat_ws("#", s, F.lit(str(i))))
+            )
+        )
+
+    return [one(i).alias(f"sig_{i}") for i in range(k)]
+
+
 def minhash_signatures(
     df: DataFrame,
     k: int = 8,
@@ -171,10 +231,15 @@ def minhash_signatures(
     the signature bit-identical across engines (oracle-checkable) and
     deterministic across cluster sizes.
 
-    Scale: one groupBy(id) with k mins — partial-aggregable, no skew."""
-    return minhash_signatures_from_shingles(
-        shingles(df, n, id_col, text_col), k, id_col
+    Scale: a per-row fold over each doc's distinct-shingle array — ZERO
+    shuffle (the earlier explode + groupBy(id) shape exchanged every
+    shingle instance to rebuild exactly this per-doc grouping the rows
+    started in). Docs with no shingles (< n tokens) are dropped, matching
+    the groupBy form where they produce no group."""
+    sh_df = shingle_arrays(df, n, id_col, text_col).filter(
+        F.size("_sh") > 0
     )
+    return sh_df.select(F.col(id_col), *_sig_cols(F.col("_sh"), k))
 
 
 def minhash_lsh_pairs(
@@ -201,9 +266,15 @@ def minhash_lsh_pairs(
     jaccard_pairs stays as the exhaustive all-pairs oracle for tests."""
     k = bands * rows_per_band
     # ONE shingle pipeline feeds signatures AND verification (tokenize +
-    # explode + distinct is the dominant cost — never run it twice)
-    sh = shingles(df, n, id_col, text_col).persist()
-    sigs = minhash_signatures_from_shingles(sh, k, id_col)
+    # shingle + distinct is the dominant cost — never run it twice). The
+    # compact per-doc ARRAY form is what persists: signatures fold over it
+    # with zero shuffle (no explode + groupBy(id) round trip), and the
+    # exploded view for verification derives from the cache.
+    arr = shingle_arrays(df, n, id_col, text_col).persist()
+    sh = arr.select(F.col(id_col), F.explode("_sh").alias("shingle"))
+    sigs = arr.filter(F.size("_sh") > 0).select(
+        F.col(id_col), *_sig_cols(F.col("_sh"), k)
+    )
     band_cols = [
         F.md5(
             F.concat_ws(
@@ -228,8 +299,11 @@ def minhash_lsh_pairs(
         .distinct()
         .persist()  # reused: cand_docs derivation + the intersection join
     )
-    persisted = [sh, cand]
-    verified = jaccard_for_pairs(sh, cand, threshold, id_col, _persisted=persisted)
+    persisted = [arr, cand]
+    verified = jaccard_for_pairs(
+        sh, cand, threshold, id_col, _persisted=persisted,
+        sizes=arr.select(F.col(id_col), F.size("_sh").alias("sz")),
+    )
     if not eager_cleanup:
         return verified
     # materialize the (small) verified pair set eagerly, then release every
@@ -336,19 +410,34 @@ def lsh_embedding_duplicate_pairs(
     Recall per pair at angle θ is 1-(1-(1-θ/π)^planes)^bands — tune bands
     up for recall, planes_per_band up for precision/bucket size.
     embedding_duplicate_pairs is the exhaustive oracle."""
-    from letarette_spark.functions.similarity import banded_lsh_buckets, cosine_expr
+    from letarette_spark.functions.similarity import (
+        _blas_cosine_candidates,
+        banded_lsh_buckets,
+        cosine_expr,
+    )
 
+    # Candidate generation: the old shape self-joined the bucket table and
+    # paid one interpreted-cosine evaluation per within-bucket pair
+    # (quadratic per bucket, ~µs/pair). New shape: ship each bucket's
+    # vectors to ONE applyInPandas group and let a BLAS matmul prefilter
+    # propose pairs within `margin` of the cut; the exact JVM fold below
+    # re-scores every candidate with the exact >= threshold test, so the
+    # verified pair set is bit-identical (see _blas_cosine_candidates).
+    # Bucket VALUES still come from the JVM plane-dot expression — sign
+    # flips at the hyperplane boundary would change candidates, so that
+    # computation is not moved to numpy.
     buckets = banded_lsh_buckets(
         emb, bands, planes_per_band, dim, seed, id_col, vec_col
-    ).persist()  # both self-join legs reuse the bands*planes dot products
-    l = buckets.select(F.col(id_col).alias("a"), "band", "bucket")
-    r = buckets.select(F.col(id_col).alias("b"), "band", "bucket")
-    cand = (
-        l.join(r, ["band", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
     )
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    assigned = buckets.withColumnRenamed(id_col, "id").join(v, "id")
+    cand = _blas_cosine_candidates(
+        assigned, ["band", "bucket"], threshold
+    ).distinct()  # a pair colliding in several bands verifies once
+    idt = v.schema["id"].dataType.simpleString()
     va = emb.select(
         F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("va")
     )
@@ -358,15 +447,16 @@ def lsh_embedding_duplicate_pairs(
     verified = (
         cand.join(va, "a")
         .join(vb, "b")
-        .select("a", "b", cosine_expr("va", "vb").alias("cos"))
+        .select(
+            F.col("a").cast(idt).alias("a"),
+            F.col("b").cast(idt).alias("b"),
+            cosine_expr("va", "vb").alias("cos"),
+        )
         .filter(F.col("cos") >= threshold)
     )
     if not eager_cleanup:
         return verified
-    try:
-        return verified.localCheckpoint()  # materialize the small pair set
-    finally:
-        buckets.unpersist()  # released even when the job fails
+    return verified.localCheckpoint()  # materialize the small pair set  # released even when the job fails
 
 
 def connected_components(

@@ -142,15 +142,16 @@ def pq_encode(
     a billion-vector corpus actually stores. NULL embeddings are dropped
     (they have no meaningful code; without the filter a null vector
     would tie-break to codes [0]*m and compete in ADC top-k)."""
+    from letarette_spark.functions.similarity import _spread
+
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     v = F.col(vec_col).cast("array<double>")
     codes = F.array(
         *[_code_expr(_sub(v, s, dsub), codebooks[s]) for s in range(m)]
     )
-    return (
-        emb.filter(F.col(vec_col).isNotNull())
-        .select(F.col(id_col), codes.alias("codes"))
+    return _spread(emb.filter(F.col(vec_col).isNotNull())).select(
+        F.col(id_col), codes.alias("codes")
     )
 
 
@@ -292,19 +293,26 @@ def pq_index_write(
     ~nprobe/n_cells of the files) and each surviving row is ~4 bytes of
     codes instead of the full vector (reads ~1/100 of the bytes per
     file). Raw vectors live elsewhere for optional exact re-ranking."""
-    from letarette_spark.functions.similarity import _ivf_cell_expr
+    from letarette_spark.functions.similarity import (
+        _ivf_cell_expr,
+        _spread,
+    )
 
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     v = F.col(vec_col).cast("array<double>")
-    out = emb.filter(F.col(vec_col).isNotNull()).select(
+    out = _spread(emb.filter(F.col(vec_col).isNotNull())).select(
         F.col(id_col),
         F.array(
             *[_code_expr(_sub(v, s, dsub), codebooks[s]) for s in range(m)]
         ).alias("codes"),
         _ivf_cell_expr(v, centroids).alias("cell"),
     )
-    out.write.mode("overwrite").partitionBy("cell").parquet(path)
+    # encode in parallel (spread above), then one hash exchange on cell so
+    # each cell directory stays ~one file instead of one per encode task
+    out.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
 
 
 def pq_index_topk(

@@ -30,9 +30,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from letarette_spark.functions.similarity import (
+    _blas_cosine_candidates,
     _centroids_lit,
     _cosine_cols,
     _ivf_cell_expr,
+    _spread,
     cosine_expr,
     ivf_centroids,
 )
@@ -47,8 +49,10 @@ def _assigned(
     """(id, v, cell, ccos) — cell assignment plus cosine-to-own-centroid,
     both from the same centroid literal: one scan, no shuffle."""
     v = F.col(vec_col).cast("array<double>")
-    base = emb.select(F.col(id_col).alias("id"), v.alias("v")).filter(
-        F.col("v").isNotNull()
+    base = _spread(
+        emb.select(F.col(id_col).alias("id"), v.alias("v")).filter(
+            F.col("v").isNotNull()
+        )
     )
     cell = _ivf_cell_expr("v", centroids)
     return base.select(
@@ -85,16 +89,26 @@ def semdedup_pairs(
             emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col
         )
     assigned = _assigned(emb, centroids, id_col, vec_col)
-    a = assigned.select(
+    idt = assigned.schema["id"].dataType.simpleString()
+    # BLAS prefilter proposes within-cell pairs; the exact JVM fold
+    # re-scores every candidate and applies the exact >= threshold cut,
+    # so the result is bit-identical to the naive within-cell pair join
+    # (see _blas_cosine_candidates) — but the quadratic comparison work
+    # runs as one dgemm per cell instead of interpreted µs-per-pair.
+    cand = _blas_cosine_candidates(assigned, ["cell"], threshold)
+    pa = assigned.select(
         F.col("id").alias("a"), F.col("v").alias("va"), "cell"
     )
-    b = assigned.select(
-        F.col("id").alias("b"), F.col("v").alias("vb"), "cell"
-    )
+    pb = assigned.select(F.col("id").alias("b"), F.col("v").alias("vb"))
     return (
-        a.join(b, "cell")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "cell", cosine_expr("va", "vb").alias("cos"))
+        cand.join(pa, "a")
+        .join(pb, "b")
+        .select(
+            F.col("a").cast(idt).alias("a"),
+            F.col("b").cast(idt).alias("b"),
+            "cell",
+            cosine_expr("va", "vb").alias("cos"),
+        )
         .filter(F.col("cos") >= threshold)
     )
 
@@ -121,24 +135,34 @@ def semdedup_kept(
         )
     assigned = _assigned(emb, centroids, id_col, vec_col).persist()
     try:
-        a = assigned.select(
-            F.col("id").alias("xa"), F.col("v").alias("va"),
-            "cell", F.col("ccos").alias("ca"),
+        # BLAS prefilter proposes within-cell pairs (a < b, cosine within
+        # margin of the cut); the exact JVM fold then re-scores each
+        # candidate pair and applies the exact >= threshold test, so the
+        # surviving pair set — and therefore the kept set — is
+        # bit-identical to the old all-within-cell pair join, while the
+        # quadratic comparison work runs as one dgemm per cell instead of
+        # interpreted µs-per-pair rows concentrated in n_cells tasks.
+        cand = _blas_cosine_candidates(assigned, ["cell"], threshold)
+        pa = assigned.select(
+            F.col("id").alias("a"), F.col("v").alias("va"),
+            F.col("ccos").alias("ca"),
         )
-        b = assigned.select(
-            F.col("id").alias("xb"), F.col("v").alias("vb"),
-            "cell", F.col("ccos").alias("cb"),
+        pb = assigned.select(
+            F.col("id").alias("b"), F.col("v").alias("vb"),
+            F.col("ccos").alias("cb"),
         )
         dup = (
-            a.join(b, "cell")
-            .filter(F.col("xa") != F.col("xb"))
+            cand.join(pa, "a")
+            .join(pb, "b")
             .filter(cosine_expr("va", "vb") >= F.lit(threshold))
         )
-        # x=xa loses to y=xb when y ranks before x under (ccos ASC, id ASC)
-        losers = dup.filter(
-            (F.col("cb") < F.col("ca"))
-            | ((F.col("cb") == F.col("ca")) & (F.col("xb") < F.col("xa")))
-        ).select(F.col("xa").alias("id")).distinct()
+        # within a duplicate pair the LATER-ranked member under
+        # (ccos ASC, id ASC) loses; a < b, so ties (ca == cb) lose b
+        losers = dup.select(
+            F.when(F.col("ca") > F.col("cb"), F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("id")
+        ).distinct()
         kept = (
             assigned.select("id")
             .join(losers, "id", "left_anti")

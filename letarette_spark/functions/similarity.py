@@ -12,6 +12,112 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame, min_rows_hint: int = 0) -> DataFrame:
+    """Rebalance a narrow input across the cluster before per-row-heavy
+    vector expressions (guide §2.5 "input skew": a single parquet file
+    arrives as ONE split, so every downstream higher-order-function
+    expression runs on one core). Round-robin repartition is deterministic
+    under retries (sort-before-repartition is on by default) and every
+    consumer here is per-row math followed by order-insensitive
+    aggregation/top-k, so results are bit-identical. No-op when the input
+    is already spread out (cluster-scale inputs arrive as many splits)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        nparts = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - defensive
+        return df
+    if nparts >= max(2, target // 2):
+        return df
+    # The trailing filter is an always-true NON-DETERMINISTIC predicate
+    # (spark_partition_id) acting as a pushdown barrier: without it,
+    # Catalyst pushes expensive deterministic filters applied on top of
+    # this frame (e.g. the IVF probe-cell membership test) back through
+    # the Repartition into the single-split scan stage, and the whole
+    # point of spreading is lost. Filters never reorder across a
+    # non-deterministic predicate, so per-row work stays above the
+    # exchange. Zero rows are dropped and values are untouched.
+    return df.repartition(target).filter(F.spark_partition_id() >= 0)
+
+
+def _blas_cosine_candidates(
+    assigned: DataFrame,
+    group_cols: list[str],
+    threshold: float,
+    margin: float = 1e-6,
+) -> DataFrame:
+    """(a, b) long pairs (a < b) within each group whose cosine is
+    >= threshold - margin, computed group-at-a-time with BLAS (numpy
+    matmul over the normalized row matrix) inside applyInPandas.
+
+    This is a PREFILTER, not the answer (guide §3.2's Bloom-prefilter
+    shape, applied to cosine): callers re-score every returned pair with
+    the exact JVM fold expression (cosine_expr) and apply the exact
+    ``>= threshold`` cut, so the final result is bit-identical to the
+    naive within-group pair join — numpy only has to never *miss* a
+    truly-qualifying pair. float64 matmul and the sequential fold agree
+    to ~dim*eps (< 1e-12 at dim 4096); margin 1e-6 leaves six orders of
+    magnitude of slack and admits only a vanishing sliver of extra
+    pairs for the exact pass to reject. Zero-norm / NaN vectors drop out
+    exactly like in SQL (NaN comparisons are false both places).
+
+    Why BLAS: the quadratic within-group pair work is the whole cost of
+    semantic dedup; as a row-at-a-time JVM join it is interpreted
+    HigherOrderFunction evaluation per pair (zip_with + aggregate do not
+    codegen), ~µs/pair, concentrated in one task per group key. One
+    dgemm per group does the same comparisons at memory bandwidth. Row
+    blocks of 4096 bound the score matrix at ~32 MB regardless of group
+    size."""
+    import pandas as pd
+
+    cut = float(threshold) - margin
+
+    def find(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"a": np.array([], dtype=np.int64),
+                 "b": np.array([], dtype=np.int64)}
+            )
+        ids = pdf["id"].to_numpy()
+        V = np.array(
+            [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
+        )
+        norms = np.sqrt(np.einsum("ij,ij->i", V, V))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            Vn = V / norms[:, None]
+        out_a: list = []
+        out_b: list = []
+        B = 4096
+        for s in range(0, n, B):
+            with np.errstate(invalid="ignore"):
+                block = Vn[s:s + B] @ Vn.T
+                bi, bj = np.nonzero(block >= cut)
+            bi = bi + s
+            keep = bi < bj
+            bi, bj = bi[keep], bj[keep]
+            if bi.size:
+                ia, ib = ids[bi], ids[bj]
+                # duplicate-id input rows never pair with themselves
+                # (matches the JVM join's a != b / a < b id filters)
+                keep = ia != ib
+                ia, ib = ia[keep], ib[keep]
+                out_a.append(np.minimum(ia, ib))
+                out_b.append(np.maximum(ia, ib))
+        if not out_a:
+            return pd.DataFrame(
+                {"a": np.array([], dtype=np.int64),
+                 "b": np.array([], dtype=np.int64)}
+            )
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        )
+
+    return assigned.groupBy(*group_cols).applyInPandas(find, "a long, b long")
+
+
 def _cosine_cols(a: Column, b: Column) -> Column:
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -43,8 +149,13 @@ def cosine_topk(
         F.col(vec_col).cast("array<double>").alias("qv")
     )
     return (
-        emb.filter(F.col(id_col) != query_id)
-        .select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        _spread(
+            emb.filter(F.col(id_col) != query_id)
+            .select(
+                F.col(id_col),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
+        )
         .crossJoin(F.broadcast(q))
         .select(F.col(id_col), cosine_expr("v", "qv").alias("cos"))
         .orderBy(F.desc("cos"), F.asc(id_col))
@@ -67,7 +178,11 @@ def cosine_topk_per_query(
         F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("qv")
     )
     scored = (
-        emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        _spread(
+            emb.select(
+                F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+            )
+        )
         .crossJoin(F.broadcast(q))
         .select(query_id_col, id_col, cosine_expr("v", "qv").alias("cos"))
     )
@@ -133,7 +248,9 @@ def banded_lsh_buckets(
                 F.lit(0).alias("band"),
                 F.lit(0).cast("long").alias("bucket"),
             ).limit(0)
-    v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    v = _spread(
+        emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    )
     per_band = [
         F.struct(
             F.lit(bnd).alias("band"),
@@ -166,7 +283,9 @@ def lsh_cosine_candidates(
                 F.col(id_col), F.lit(0).cast("long").alias("bucket")
             ).limit(0)
     planes = _hyperplanes(dim, n_planes, seed)
-    v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    v = _spread(
+        emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    )
     return v.select(F.col(id_col), lsh_bucket_expr("v", planes).alias("bucket"))
 
 
@@ -305,8 +424,10 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, cell) assignment — one scan, no shuffle."""
-    return emb.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    return _spread(
+        emb.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+        )
     ).select(F.col(id_col), _ivf_cell_expr("v", centroids).alias("cell"))
 
 
@@ -365,8 +486,10 @@ def ivf_topk(
     if qrow is None:
         return emb.select(F.col(id_col), F.lit(0.0).alias("cos")).limit(0)
     probes = ivf_probe_cells(list(qrow["qv"]), centroids, nprobe)
-    v = emb.filter(F.col(id_col) != query_id).select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    v = _spread(
+        emb.filter(F.col(id_col) != query_id).select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+        )
     ).filter(_ivf_cell_expr("v", centroids).isin(probes))
     q = emb.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).cast("array<double>").alias("qv")
@@ -390,13 +513,19 @@ def ivf_index_write(
     dirs). This is the 100-TB layout: ivf_index_topk's cell filter then
     prunes at the DIRECTORY level, so a query reads ~nprobe/n_cells of
     the bytes regardless of corpus size."""
-    assigned = emb.select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("v"),
+    assigned = _spread(
+        emb.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
     ).select(
         F.col(id_col), F.col("v"), _ivf_cell_expr("v", centroids).alias("cell")
     )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    # assign in parallel (spread above), then one hash exchange on cell so
+    # each cell directory stays ~one file instead of one per assign task
+    assigned.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
 
 
 def ivf_index_topk(
@@ -456,7 +585,11 @@ def hard_negatives(
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
     scored = (
-        emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        _spread(
+            emb.select(
+                F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+            )
+        )
         .crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("query_id"))
         .select("query_id", F.col(id_col).alias("neg_id"), cosine_expr("v", "qv").alias("cos"))
