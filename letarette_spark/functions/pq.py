@@ -47,7 +47,13 @@ def _sub(vec: Column, s: int, dsub: int) -> Column:
 
 
 def _codebook_lit(codebook: list[list[float]]) -> Column:
-    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in codebook])
+    from letarette_spark.functions.similarity import _nested_double_lit
+
+    # one SQL-string parse instead of one py4j round trip per element
+    # (m*k*dsub literal elements are bounded by the ~4-byte-code design:
+    # k <= 256, dsub small — the runaway-size knob is the IVF n_cells,
+    # which has the broadcast-frame switch in similarity._centroids_ref)
+    return _nested_double_lit(codebook)
 
 
 def _code_expr(sub: Column, codebook: list[list[float]]) -> Column:
@@ -162,9 +168,9 @@ def _adist_expr(lut: list[list[float]]) -> Column:
     The ONE definition both pq_adc_topk and pq_index_topk score with —
     the cross-engine determinism contract depends on this exact fold
     shape staying identical everywhere."""
-    lut_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in js]) for js in lut]
-    )
+    from letarette_spark.functions.similarity import _nested_double_lit
+
+    lut_lit = _nested_double_lit(lut)
     return F.aggregate(
         F.zip_with(
             F.col("codes"),
@@ -368,10 +374,12 @@ def ivf_pq_rerank_topk(
         emb, query_id, centroids, codebooks,
         k=shortlist, nprobe=nprobe, id_col=id_col, vec_col=vec_col,
     ).select(id_col)
+    from letarette_spark.functions.similarity import _double_array_lit
+
     row = emb.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).cast("array<double>").alias("v")
     ).first()
-    qv = F.array(*[F.lit(float(x)) for x in row["v"]])
+    qv = _double_array_lit([float(x) for x in row["v"]])
     return (
         emb.join(short, id_col, "left_semi")
         .select(

@@ -31,9 +31,9 @@ from pyspark.sql import functions as F
 
 from letarette_spark.functions.similarity import (
     _blas_cosine_candidates,
-    _centroids_lit,
+    _cell_expr_over,
+    _centroids_ref,
     _cosine_cols,
-    _ivf_cell_expr,
     _spread,
     cosine_expr,
     ivf_centroids,
@@ -54,17 +54,18 @@ def _assigned(
             F.col("v").isNotNull()
         )
     )
-    cell = _ivf_cell_expr("v", centroids)
+    base, cents = _centroids_ref(base, centroids)
     return base.select(
         "id",
         "v",
-        cell.alias("cell"),
+        _cell_expr_over("v", cents).alias("cell"),
+        cents.alias("__c"),
     ).select(
         "id",
         "v",
         "cell",
         _cosine_cols(
-            F.col("v"), F.element_at(_centroids_lit(centroids), F.col("cell") + 1)
+            F.col("v"), F.element_at(F.col("__c"), F.col("cell") + 1)
         ).alias("ccos"),
     )
 

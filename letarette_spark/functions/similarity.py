@@ -217,7 +217,7 @@ def lsh_bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:
         dot = F.aggregate(
             F.zip_with(
                 F.col(vec_col),
-                F.array(*[F.lit(float(c)) for c in plane]),
+                _double_array_lit(plane),
                 lambda x, y: x * y,
             ),
             F.lit(0.0),
@@ -383,13 +383,97 @@ def ivf_centroids(
     return cents
 
 
+def _dlit(x: float) -> str:
+    """SQL double literal with the exact bits of the Python float:
+    repr() is the shortest round-tripping decimal and both Python and
+    the JVM parse decimal-to-double correctly rounded, so `<repr>D`
+    re-creates the identical IEEE-754 value (bit-exactness covered by
+    tests)."""
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return repr(x) + "D"
+
+
+def _double_array_lit(values: list[float]) -> Column:
+    """array<double> literal built from ONE SQL-string parse. Per-element
+    `F.array(*[F.lit(x) ...])` construction costs one py4j round trip per
+    element (~0.8 s per 1k elements of pure serial driver time, measured);
+    the parser does the same thing in microseconds per element."""
+    return F.expr(
+        "array(" + ",".join(_dlit(float(x)) for x in values) + ")"
+    )
+
+
+def _nested_double_lit(nested: list[list[float]]) -> Column:
+    """array<array<double>> literal from ONE SQL-string parse (see
+    _double_array_lit)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_dlit(float(x)) for x in c) + ")"
+            for c in nested
+        )
+        + ")"
+    )
+
+
 def _centroids_lit(centroids: list[list[float]]) -> Column:
     """The (tiny) centroid table baked into the plan as ONE nested
     literal array — the broadcast-dim analog; no join, stays inside
     codegen."""
-    return F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    return _nested_double_lit(centroids)
+
+
+# above this many ELEMENTS (cells × dims), even the one-parse literal is
+# the wrong shape: Catalyst analysis of a quarter-million-element literal
+# measured ~14 s of serial driver time (and the SemDeDup paper's 50k cells
+# × 768 dims ≈ 38M elements would hang the driver for minutes). A 1-row
+# broadcast Arrow frame carries any size in milliseconds — the same
+# switch bloom.py uses for big filter words (bloom.py:_LIT_WORDS_MAX).
+_LIT_ELEMS_MAX = 4096
+
+
+def _centroids_ref(
+    df: DataFrame, centroids: list[list[float]]
+) -> tuple[DataFrame, Column]:
+    """(df', cents_col): a centroid table usable in expressions over df'.
+    Small sets ride the plan as a literal (zero joins, codegen); big sets
+    ship as a broadcast 1-row Arrow frame crossJoined in (each executor
+    holds ONE copy; no data shuffle — BroadcastNestedLoopJoin against one
+    row). Cell assignment math is IDENTICAL either way: the same
+    transform/array_min expression evaluates over the column."""
+    total = len(centroids) * (len(centroids[0]) if centroids else 0)
+    if total <= _LIT_ELEMS_MAX:
+        return df, _centroids_lit(centroids)
+    import pyarrow as pa
+
+    tbl = pa.table(
+        {
+            "__cents": pa.array(
+                [centroids], type=pa.list_(pa.list_(pa.float64()))
+            )
+        }
     )
+    cdf = df.sparkSession.createDataFrame(tbl)
+    return df.crossJoin(F.broadcast(cdf)), F.col("__cents")
+
+
+def _cell_expr_over(vec: "str | Column", cents_col: Column) -> Column:
+    """argmax_j cosine(v, cents_col[j]) with ties to the lowest index —
+    the ONE cell-assignment rule, over any array<array<double>> column
+    (literal or broadcast-frame; see _ivf_cell_expr for the algebra)."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    scored = F.transform(
+        cents_col,
+        lambda c, i: F.struct(
+            (-_cosine_cols(v, c)).alias("negcos"), i.alias("cell")
+        ),
+    )
+    return F.array_min(scored)["cell"]
 
 
 def _ivf_cell_expr(
@@ -407,14 +491,7 @@ def _ivf_cell_expr(
     expression (pq.py assigns cells to a derived projection) — the ONE
     definition of cell assignment everywhere, so indexes are encoded and
     queried with the same rule."""
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    scored = F.transform(
-        _centroids_lit(centroids),
-        lambda c, i: F.struct(
-            (-_cosine_cols(v, c)).alias("negcos"), i.alias("cell")
-        ),
-    )
-    return F.array_min(scored)["cell"]
+    return _cell_expr_over(vec_col, _centroids_lit(centroids))
 
 
 def ivf_assign(
@@ -423,12 +500,17 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, cell) assignment — one scan, no shuffle."""
-    return _spread(
+    """(id, cell) assignment — one scan, no shuffle (big centroid sets
+    ride a broadcast 1-row frame instead of a plan literal; same rule)."""
+    base = _spread(
         emb.select(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
         )
-    ).select(F.col(id_col), _ivf_cell_expr("v", centroids).alias("cell"))
+    )
+    base, cents = _centroids_ref(base, centroids)
+    return base.select(
+        F.col(id_col), _cell_expr_over("v", cents).alias("cell")
+    )
 
 
 def ivf_probe_cells(
@@ -490,7 +572,11 @@ def ivf_topk(
         emb.filter(F.col(id_col) != query_id).select(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
         )
-    ).filter(_ivf_cell_expr("v", centroids).isin(probes))
+    )
+    v, cents = _centroids_ref(v, centroids)
+    v = v.filter(_cell_expr_over("v", cents).isin(probes)).select(
+        F.col(id_col), "v"
+    )
     q = emb.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).cast("array<double>").alias("qv")
     )
@@ -513,13 +599,15 @@ def ivf_index_write(
     dirs). This is the 100-TB layout: ivf_index_topk's cell filter then
     prunes at the DIRECTORY level, so a query reads ~nprobe/n_cells of
     the bytes regardless of corpus size."""
-    assigned = _spread(
+    base = _spread(
         emb.select(
             F.col(id_col),
             F.col(vec_col).cast("array<double>").alias("v"),
         )
-    ).select(
-        F.col(id_col), F.col("v"), _ivf_cell_expr("v", centroids).alias("cell")
+    )
+    base, cents = _centroids_ref(base, centroids)
+    assigned = base.select(
+        F.col(id_col), F.col("v"), _cell_expr_over("v", cents).alias("cell")
     )
     # assign in parallel (spread above), then one hash exchange on cell so
     # each cell directory stays ~one file instead of one per assign task
@@ -540,7 +628,7 @@ def ivf_index_topk(
     """Query a materialized IVF index: partition-pruned scan of the
     nprobe nearest cells + cosine top-k against the literal query."""
     probes = ivf_probe_cells(query_vec, centroids, nprobe)
-    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    qv = _double_array_lit(query_vec)
     return (
         spark.read.parquet(path)
         .filter(F.col("cell").isin(probes))
