@@ -189,6 +189,42 @@ def jaccard_for_pairs(
     )
 
 
+def _jaccard_verify_arrays(
+    arr: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact shingle Jaccard for an explicit candidate-pair set, computed
+    from the per-doc distinct-shingle ARRAYS: attach both docs' arrays to
+    each pair (two id-keyed joins of |cand| rows) and evaluate
+    ``i = size(array_intersect(sha, shb))`` natively per row. Integer set
+    math + one double division — bit-identical to the exploded
+    join/groupBy formulation (arrays are per-doc distinct sets, so the
+    intersection size equals the (a, b, shingle) match count), but the
+    verification moves |cand| rows instead of |cand| x |shingles(a)|
+    exploded rows through two shuffles and an aggregation."""
+    sa = arr.select(
+        F.col(id_col).alias("a"), F.col("_sh").alias("_sha")
+    )
+    sb = arr.select(
+        F.col(id_col).alias("b"), F.col("_sh").alias("_shb")
+    )
+    inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
+    sz_a = F.size("_sha").cast("double")
+    sz_b = F.size("_shb").cast("double")
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            (inter / (sz_a + sz_b - inter)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_signatures_from_shingles(
     sh: DataFrame, k: int = 8, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -261,8 +297,9 @@ def minhash_lsh_pairs(
     the returned frame is garbage-collected).
 
     Scale: candidate generation is groupBy(band_hash) — linear in corpus
-    size — and verification (jaccard_for_pairs) touches only the candidate
-    docs' shingles, so the whole plan is linear in corpus + candidates.
+    size — and verification (_jaccard_verify_arrays) moves only |cand|
+    rows carrying the two docs' shingle arrays, so the whole plan is
+    linear in corpus + candidates.
     jaccard_pairs stays as the exhaustive all-pairs oracle for tests."""
     k = bands * rows_per_band
     # ONE shingle pipeline feeds signatures AND verification (tokenize +
@@ -271,7 +308,6 @@ def minhash_lsh_pairs(
     # with zero shuffle (no explode + groupBy(id) round trip), and the
     # exploded view for verification derives from the cache.
     arr = shingle_arrays(df, n, id_col, text_col).persist()
-    sh = arr.select(F.col(id_col), F.explode("_sh").alias("shingle"))
     sigs = arr.filter(F.size("_sh") > 0).select(
         F.col(id_col), *_sig_cols(F.col("_sh"), k)
     )
@@ -297,13 +333,10 @@ def minhash_lsh_pairs(
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
-        .persist()  # reused: cand_docs derivation + the intersection join
+        .persist()  # both verification join legs read it
     )
     persisted = [arr, cand]
-    verified = jaccard_for_pairs(
-        sh, cand, threshold, id_col, _persisted=persisted,
-        sizes=arr.select(F.col(id_col), F.size("_sh").alias("sz")),
-    )
+    verified = _jaccard_verify_arrays(arr, cand, threshold, id_col)
     if not eager_cleanup:
         return verified
     # materialize the (small) verified pair set eagerly, then release every

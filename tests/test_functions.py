@@ -159,14 +159,20 @@ class TestDedupScaleShapes:
         assert {r["doc_id"] for r in sigs} == {4, 5}
 
     def test_lsh_verify_restricted_to_candidates(self, near_dup_docs):
-        # the verification join must semi-join shingles to candidate docs
-        # (linear at scale), never recompute the all-pairs jaccard
+        # verification must stay candidate-scoped (linear at scale), never
+        # recompute the all-pairs jaccard: the candidate pairs join the
+        # per-doc shingle ARRAYS by id and intersect natively per row —
+        # there must be no exploded (id, shingle) self-join anywhere
         from letarette_spark.functions.dedup import minhash_lsh_pairs
 
         df = minhash_lsh_pairs(near_dup_docs, bands=8, rows_per_band=1,
                                n=3, threshold=0.3, eager_cleanup=False)
         plan = df._jdf.queryExecution().optimizedPlan().toString()
-        assert "LeftSemi" in plan
+        assert "array_intersect" in plan
+        # the only explode left feeds candidate GENERATION (band buckets),
+        # whose join key is the band hash — a shingle-keyed join would
+        # mean the exhaustive formulation sneaked back in
+        assert "Join Inner, (shingle" not in plan
 
     def test_jaccard_for_pairs_matches_exhaustive(self, near_dup_docs):
         from letarette_spark.functions.dedup import (
