@@ -189,7 +189,32 @@ def build_prefix_aggregates(
     dir + a startswith row-group-pruned scan, O(matching postings) at
     any vocabulary size — the dictionary-expansion/full-scan fallback
     is unreachable for tail-enabled indexes."""
-    lens = F.array(*([F.lit(-1)] + [F.lit(int(x)) for x in prefix_lengths]))
+    # two writes land under dest (tail first, lengths appended): a stale
+    # dest from a crashed earlier attempt must not leak rows into the
+    # append, so start from an empty dir like the old single
+    # mode-overwrite write did
+    if os.path.exists(dest):
+        shutil.rmtree(dest)
+    # The tail (plen=-1) groups by (prefix=term, rowid) — already UNIQUE
+    # in postings (one row per term per live doc; chunk-disjoint builds
+    # and tombstoned compaction both preserve it), so its "aggregation"
+    # is the identity: skip the groupBy exchange and the collect_list
+    # machinery outright and lay the rows out with ONE hash exchange.
+    # The tail is the largest slice (full postings volume vs. the
+    # prefix-merged lengths), so this halves the shuffled bytes.
+    tail = postings.select(
+        F.col("term").alias("prefix"), "rowid", "space", "dl", "pos0", "pos1"
+    ).withColumn("pb", prefix_bucket_expr("prefix", n_buckets))
+    (
+        tail.repartition(max(2, files_per_len), "pb")
+        .sortWithinPartitions("pb", "prefix", "rowid")
+        .write.partitionBy("pb")
+        .mode("overwrite")
+        .parquet(os.path.join(dest, "plen=-1"))
+    )
+    if not prefix_lengths:
+        return
+    lens = F.array(*[F.lit(int(x)) for x in prefix_lengths])
     rows = (
         postings.select(
             F.explode(lens).alias("plen"),
@@ -198,10 +223,7 @@ def build_prefix_aggregates(
         .filter(F.length("term") >= F.col("plen"))
         .select(
             "plen",
-            F.expr(
-                "case when plen = -1 then term"
-                " else substring(term, 1, plen) end"
-            ).alias("prefix"),
+            F.expr("substring(term, 1, plen)").alias("prefix"),
             "rowid", "space", "dl", "pos0", "pos1",
         )
         .groupBy("plen", "prefix", "rowid")
@@ -215,11 +237,11 @@ def build_prefix_aggregates(
     )
     (
         rows.repartition(
-            max(2, files_per_len * (len(prefix_lengths) + 1)), "plen", "pb"
+            max(2, files_per_len * len(prefix_lengths)), "plen", "pb"
         )
         .sortWithinPartitions("plen", "pb", "prefix", "rowid")
         .write.partitionBy("plen", "pb")
-        .mode("overwrite")
+        .mode("append")
         .parquet(dest)
     )
 
@@ -396,12 +418,6 @@ def build_index(
             raise RuntimeError(f"injected failure after {built} chunks")
         parts = list(range(start, min(start + chunk_size, n_build_partitions)))
         chunk_docs = docs.filter(F.col("build_part").isin(parts)).drop("build_part")
-        # Tokenization is CPU-bound Python: spread it over all cores even
-        # when the source is a single parquet file (one input split would
-        # otherwise serialize the whole chunk through one task).
-        chunk_docs = chunk_docs.repartition(
-            max(spark.sparkContext.defaultParallelism, files_per_chunk)
-        )
 
         docs_dir = os.path.join(root, "docs", f"chunk={ci}")
         post_dir = os.path.join(root, "postings", f"chunk={ci}")
@@ -429,7 +445,19 @@ def build_index(
         # gives row-group min/max pruning for prefix scans. Head-term skew
         # is bounded: one term is one bucket slice, and buckets >> tasks
         # average the rest out.
-        postings = tokenize_postings(chunk_docs.filter(F.col("alive")), config)
+        # Tokenization is CPU-bound Python: spread it over all cores even
+        # when the source is a single parquet file (one input split would
+        # otherwise serialize the whole chunk through one task). The
+        # spread repartition sits ONLY on the tokenize branch — the docs
+        # write above has its own rb hash exchange, and a shared upstream
+        # round-robin pass would shuffle every document body a second
+        # time for nothing.
+        postings = tokenize_postings(
+            chunk_docs.filter(F.col("alive")).repartition(
+                max(spark.sparkContext.defaultParallelism, files_per_chunk)
+            ),
+            config,
+        )
         (
             postings.withColumn("bucket", bucket_expr(n_buckets))
             .repartition(files_per_chunk, "bucket")
