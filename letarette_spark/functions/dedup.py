@@ -49,17 +49,111 @@ def _shingle_array_expr(text_col: str, n: int):
     return F.array_distinct(sh)
 
 
+def _shingle_sig_frame(
+    df: DataFrame,
+    n: int,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, _sh array<string>[, sig_0..sig_{k-1}]) in ONE Arrow stage.
+
+    Tokenization stays a JVM codegen expression (token_array: split +
+    lower + length filter — bit-exact across engines); the per-shingle
+    work — building the n-gram strings, per-doc distinct, and the k
+    MinHash permutations — moves to mapInArrow (guide §4.2): the
+    interpreted HigherOrderFunction chain (transform + n×element_at +
+    concat_ws, then k×md5 per shingle) measured ~5 s + ~5.7 s at 50k
+    docs on local[32], vs well under a second for the same loop in
+    Python/hashlib over Arrow batches.
+
+    Bit-identical by construction: ``' '.join`` == concat_ws(' ') over
+    non-null tokens, dict.fromkeys == array_distinct (first-occurrence
+    order, and every consumer is order-insensitive anyway), and
+    hashlib.md5(...).digest() byte order == Spark md5's lowercase-hex
+    order (hex is a monotone byte map), so the per-permutation min is
+    the same value the JVM fold produced. Docs with < n tokens emit an
+    empty _sh and NULL sigs, matching the expression form."""
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    id_field = df.schema[id_col]
+    fields = [
+        T.StructField(id_col, id_field.dataType),
+        T.StructField("_sh", T.ArrayType(T.StringType())),
+    ] + [T.StructField(f"sig_{i}", T.StringType()) for i in range(k)]
+    out_schema = T.StructType(fields)
+    nn, kk = int(n), int(k)
+
+    def build(batches):
+        import hashlib
+
+        import pyarrow as pa  # noqa: F811 — workers import locally
+
+        md5 = hashlib.md5
+        sufs = [("#%d" % i).encode() for i in range(kk)]
+        for batch in batches:
+            idcol = batch.column(0)
+            toks = batch.column(1).to_pylist()
+            offs = [0]
+            flat: list[str] = []
+            sig_lists: list[list] = [[] for _ in range(kk)]
+            for lst in toks:
+                if lst and len(lst) >= nn:
+                    join = " ".join
+                    sh = list(
+                        dict.fromkeys(
+                            join(lst[i: i + nn])
+                            for i in range(len(lst) - nn + 1)
+                        )
+                    )
+                else:
+                    sh = []
+                flat.extend(sh)
+                offs.append(len(flat))
+                if kk:
+                    if sh:
+                        mins: list = [None] * kk
+                        for s in sh:
+                            e = s.encode()
+                            for i, suf in enumerate(sufs):
+                                d = md5(e + suf).digest()
+                                m = mins[i]
+                                if m is None or d < m:
+                                    mins[i] = d
+                        for i in range(kk):
+                            sig_lists[i].append(mins[i].hex())
+                    else:
+                        for i in range(kk):
+                            sig_lists[i].append(None)
+            arrays = [
+                idcol,
+                pa.ListArray.from_arrays(
+                    pa.array(offs, pa.int32()), pa.array(flat, pa.string())
+                ),
+            ] + [pa.array(sig_lists[i], pa.string()) for i in range(kk)]
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=[f.name for f in fields]
+            )
+
+    from letarette_spark.functions.simple_text import token_array
+
+    src = df.select(F.col(id_col), token_array(text_col).alias("_toks"))
+    return src.mapInArrow(build, schema=out_schema)
+
+
 def shingle_arrays(
     df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(id, _sh array<string>) — per-doc distinct shingle sets, one row per
-    document. The compact carrier for the shingle pipeline: signatures fold
-    over the array with ZERO shuffle, `shingles` (the exploded view) and
-    per-doc set sizes both derive from it, so the tokenize chain runs once
-    per evaluation instead of once per consumer."""
-    return df.select(
-        F.col(id_col), _shingle_array_expr(text_col, n).alias("_sh")
-    )
+    document. The compact carrier for the shingle pipeline: `shingles`
+    (the exploded view) and per-doc set sizes both derive from it, so the
+    tokenize chain runs once per evaluation instead of once per consumer.
+    Shingle construction runs in the Arrow stage (_shingle_sig_frame);
+    the JVM expression twin (_shingle_array_expr) remains for the
+    exploded `shingles()` view and as the equivalence oracle in tests."""
+    return _shingle_sig_frame(df, n, 0, id_col, text_col)
 
 
 def shingles(
@@ -78,6 +172,116 @@ def shingles(
         F.col(id_col),
         F.explode(_shingle_array_expr(text_col, n)).alias("shingle"),
     )
+
+
+# Above this many shingle instances the driver-built inverted index for
+# the SPA candidate scan (16 bytes/instance + 12 bytes/doc) stops being a
+# sensible broadcast; jaccard_pairs then falls back to the distributed
+# hash-keyed self-join. 64M instances ~= 1 GB driver-side, far beyond any
+# oracle-scale corpus this operator is for (the scale path is
+# minhash_lsh_pairs — see the jaccard_pairs docstring).
+_SPA_MAX_INSTANCES = 64 * 1024 * 1024
+
+
+def _spa_candidate_pairs(
+    arr: DataFrame, threshold: float, id_col: str
+):
+    """Candidate (a, b) pairs whose shingle-hash intersection count passes
+    the division-free jaccard bound ih*(1+t) >= t*(sa+sb), computed with a
+    sparse-accumulator scan against a broadcast inverted index — the
+    guide §8 shape: the quadratic pair intermediate (~sum over shingles of
+    df^2 rows; 116M distinct pairs at 50k docs) never exists as a Spark
+    dataset, only the ~bound-passing survivors do (283k at 50k docs).
+
+    Returns (cand_df, broadcast_handle) — the caller destroys the handle
+    after materializing — or None when the corpus exceeds
+    _SPA_MAX_INSTANCES or the id type is non-numeric (fallback to the
+    distributed join). Hash collisions only inflate ih (superset; the
+    exact array_intersect verification downstream decides), and the bound
+    carries a 1e-9 slack so float rounding can never drop a
+    truly-qualifying pair."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    id_type = arr.schema[id_col].dataType
+    if not isinstance(
+        id_type, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    ):
+        return None
+    spark = arr.sparkSession
+    hs_frame = arr.select(
+        F.col(id_col),
+        F.size("_sh").alias("sz"),
+        F.transform("_sh", lambda s: F.xxhash64(s)).alias("hs"),
+    )
+    total = hs_frame.agg(
+        F.coalesce(F.sum("sz"), F.lit(0)).alias("t")
+    ).collect()[0]["t"]
+    if total > _SPA_MAX_INSTANCES:
+        return None
+    idt = id_type.simpleString()
+    out_schema = f"a {idt}, b {idt}"
+    if total == 0:
+        return spark.createDataFrame([], out_schema), None
+
+    # ---- driver-side index: ~16 bytes per shingle instance ----
+    pdf = hs_frame.toPandas().sort_values(id_col, kind="mergesort")
+    ids_np = pdf[id_col].to_numpy(np.int64)
+    sz_np = pdf["sz"].to_numpy(np.int64)
+    flat = np.concatenate(
+        [np.asarray(x, np.int64) for x in pdf["hs"] if len(x)]
+    ) if sz_np.sum() else np.empty(0, np.int64)
+    dis = np.repeat(np.arange(len(pdf), dtype=np.int32), sz_np)
+    order = np.argsort(flat, kind="stable")
+    bc = spark.sparkContext.broadcast(
+        (flat[order], dis[order], sz_np.astype(np.int32), ids_np)
+    )
+
+    cut = float(threshold)
+    mul = 1.0 + cut
+
+    def scan(batches):
+        import numpy as np  # noqa: F811
+        import pandas as pd
+
+        H, D, SZ, ID = bc.value
+        for b in batches:
+            ids = b[id_col].to_numpy(np.int64)
+            dia = np.searchsorted(ID, ids)
+            out_a: list = []
+            out_b: list = []
+            hs_col = b["hs"]
+            for j in range(len(b)):
+                hs = hs_col.iloc[j]
+                if hs is None or not len(hs):
+                    continue
+                h = np.asarray(hs, np.int64)
+                lo = np.searchsorted(H, h, "left")
+                hi = np.searchsorted(H, h, "right")
+                da = dia[j]
+                cand = np.concatenate(
+                    [D[lv:rv] for lv, rv in zip(lo.tolist(), hi.tolist())]
+                )
+                cand = cand[cand > da]
+                if cand.size == 0:
+                    continue
+                bs, cnts = np.unique(cand, return_counts=True)
+                mask = cnts * mul >= cut * (SZ[da] + SZ[bs]) - 1e-9
+                bs = bs[mask]
+                if bs.size:
+                    out_a.append(np.full(bs.size, ID[da], np.int64))
+                    out_b.append(ID[bs])
+            if out_a:
+                yield pd.DataFrame(
+                    {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+                )
+            else:
+                yield pd.DataFrame(
+                    {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)}
+                )
+
+    return hs_frame.mapInPandas(scan, out_schema), bc
 
 
 def jaccard_pairs(
@@ -102,40 +306,98 @@ def jaccard_pairs(
     # minhash_lsh_pairs.
     arr = shingle_arrays(df, n, id_col, text_col).persist()
     try:
-        sh = arr.select(F.col(id_col), F.explode("_sh").alias("shingle"))
         if max_shingle_df is not None:
+            # df-cut path: jaccard is over the CUT shingle sets, so the
+            # exact intersection must be counted over the cut exploded
+            # rows — keep the string-keyed formulation
+            sh = arr.select(F.col(id_col), F.explode("_sh").alias("shingle"))
             w = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
             sh = sh.join(
                 F.broadcast(w.filter(F.col("sdf") <= max_shingle_df)), "shingle"
             ).drop("sdf")
-            # sizes are over the CUT shingle set when the df-cut is active
             sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-        else:
-            # |distinct shingles| per doc == the array length: no shuffle
-            sizes = arr.select(F.col(id_col), F.size("_sh").alias("sz"))
-        a = sh.select(F.col(id_col).alias("a"), "shingle")
-        b = sh.select(F.col(id_col).alias("b"), "shingle")
-        inter = (
-            a.join(b, "shingle")
-            .filter(F.col("a") < F.col("b"))
-            .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).cast("double").alias("i"))
-        )
-        sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sa"))
-        sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sb"))
-        return (
-            inter.join(sa, "a")
-            .join(sb, "b")
-            .select(
-                "a",
-                "b",
-                (
-                    F.col("i") / (F.col("sa") + F.col("sb") - F.col("i"))
-                ).alias("jaccard"),
+            a = sh.select(F.col(id_col).alias("a"), "shingle")
+            b = sh.select(F.col(id_col).alias("b"), "shingle")
+            inter = (
+                a.join(b, "shingle")
+                .filter(F.col("a") < F.col("b"))
+                .groupBy("a", "b")
+                .agg(F.count(F.lit(1)).cast("double").alias("i"))
             )
-            .filter(F.col("jaccard") >= threshold)
-            .localCheckpoint()
-        )
+            sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sa"))
+            sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sb"))
+            return (
+                inter.join(sa, "a")
+                .join(sb, "b")
+                .select(
+                    "a",
+                    "b",
+                    (
+                        F.col("i") / (F.col("sa") + F.col("sb") - F.col("i"))
+                    ).alias("jaccard"),
+                )
+                .filter(F.col("jaccard") >= threshold)
+                .localCheckpoint()
+            )
+        # Full-set path. Candidate generation never materializes the
+        # quadratic pair intermediate when the corpus fits the SPA index
+        # (_spa_candidate_pairs, guide §8: decide with small proxies —
+        # shingle hashes — and let only bound-passing survivors exist as
+        # rows). Oversized/non-numeric-id corpora fall back to a
+        # distributed self-join keyed on xxhash64(shingle) — 8-byte keys
+        # instead of ~n*word-size strings through the exchange (guide
+        # §2.3 "narrower types"). Either way hash collisions only INFLATE
+        # the per-pair match count (ih >= true i: equal shingles always
+        # hash equal), so the division-free prefilter
+        # ih*(1+t) >= t*(sa+sb) passes a SUPERSET of the truly-qualifying
+        # pairs, and the final jaccard for every survivor is recomputed
+        # EXACTLY from the string shingle arrays (size(array_intersect))
+        # with the same double arithmetic as before: the output is
+        # bit-identical and collision-independent.
+        bc = None
+        spa = _spa_candidate_pairs(arr, threshold, id_col)
+        if spa is not None:
+            cand, bc = spa
+        else:
+            hsh = arr.select(
+                F.col(id_col),
+                F.size("_sh").alias("sz"),
+                F.explode("_sh").alias("_s"),
+            ).select(F.col(id_col), "sz", F.xxhash64("_s").alias("h"))
+            a = hsh.select(
+                F.col(id_col).alias("a"), F.col("sz").alias("sa"), "h"
+            )
+            b = hsh.select(
+                F.col(id_col).alias("b"), F.col("sz").alias("sb"), "h"
+            )
+            cand = (
+                a.join(b, "h")
+                .filter(F.col("a") < F.col("b"))
+                .groupBy("a", "b")
+                .agg(
+                    F.count(F.lit(1)).alias("ih"),
+                    F.first("sa").alias("sa"),
+                    F.first("sb").alias("sb"),
+                )
+                .filter(
+                    F.col("ih") * F.lit(1.0 + threshold)
+                    >= F.lit(float(threshold)) * (F.col("sa") + F.col("sb"))
+                    - F.lit(1e-9)
+                )
+                .select("a", "b")
+            )
+        try:
+            verified = _jaccard_verify_arrays(arr, cand, threshold, id_col)
+            if threshold <= 0:
+                # the string-keyed formulation only ever emitted pairs
+                # sharing >= 1 TRUE shingle (i >= 1 <=> jaccard > 0); at
+                # threshold <= 0 a hash-collision-only candidate would
+                # otherwise slip through with jaccard == 0
+                verified = verified.filter(F.col("jaccard") > 0)
+            return verified.localCheckpoint()
+        finally:
+            if bc is not None:
+                bc.destroy()
     finally:
         arr.unpersist()
 
@@ -270,12 +532,15 @@ def minhash_signatures(
     Scale: a per-row fold over each doc's distinct-shingle array — ZERO
     shuffle (the earlier explode + groupBy(id) shape exchanged every
     shingle instance to rebuild exactly this per-doc grouping the rows
-    started in). Docs with no shingles (< n tokens) are dropped, matching
-    the groupBy form where they produce no group."""
-    sh_df = shingle_arrays(df, n, id_col, text_col).filter(
-        F.size("_sh") > 0
+    started in), with the k permutations computed in the Arrow stage
+    alongside shingle construction (hashlib.md5 == Spark md5 byte-for-
+    byte; see _shingle_sig_frame). Docs with no shingles (< n tokens)
+    are dropped, matching the groupBy form where they produce no
+    group."""
+    frame = _shingle_sig_frame(df, n, k, id_col, text_col)
+    return frame.filter(F.size("_sh") > 0).select(
+        F.col(id_col), *[F.col(f"sig_{i}") for i in range(k)]
     )
-    return sh_df.select(F.col(id_col), *_sig_cols(F.col("_sh"), k))
 
 
 def minhash_lsh_pairs(
@@ -304,12 +569,13 @@ def minhash_lsh_pairs(
     k = bands * rows_per_band
     # ONE shingle pipeline feeds signatures AND verification (tokenize +
     # shingle + distinct is the dominant cost — never run it twice). The
-    # compact per-doc ARRAY form is what persists: signatures fold over it
-    # with zero shuffle (no explode + groupBy(id) round trip), and the
+    # compact per-doc ARRAY form is what persists, with the k MinHash
+    # permutations computed in the same Arrow stage (zero shuffle, no
+    # explode + groupBy(id) round trip; see _shingle_sig_frame); the
     # exploded view for verification derives from the cache.
-    arr = shingle_arrays(df, n, id_col, text_col).persist()
+    arr = _shingle_sig_frame(df, n, k, id_col, text_col).persist()
     sigs = arr.filter(F.size("_sh") > 0).select(
-        F.col(id_col), *_sig_cols(F.col("_sh"), k)
+        F.col(id_col), *[F.col(f"sig_{i}") for i in range(k)]
     )
     band_cols = [
         F.md5(
