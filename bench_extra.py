@@ -161,13 +161,34 @@ def main() -> None:
         ),
     }
 
+    # lazy (eager_cleanup=False) twins used ONLY for plan capture: the
+    # timed factories localCheckpoint, which truncates .explain to a
+    # bare ExistingRDD scan
+    plan_ops: dict = {
+        "semdedup_kept": lambda: semdedup_kept(
+            embeddings, n_cells=16, threshold=0.3, eager_cleanup=False
+        ),
+        "jaccard_pairs": lambda: jaccard_pairs(
+            documents, n=3, threshold=0.05, eager_cleanup=False
+        ),
+        "minhash_lsh_pairs": lambda: minhash_lsh_pairs(
+            documents, bands=4, rows_per_band=2, n=3, threshold=0.05,
+            eager_cleanup=False,
+        ),
+        "lsh_embedding_dups": lambda: lsh_embedding_duplicate_pairs(
+            embeddings, threshold=0.3, bands=2, planes_per_band=4, dim=64,
+            eager_cleanup=False,
+        ),
+    }
+
     wanted = [o for o in args.ops.split(",") if o] or list(ops)
     results: dict[str, float] = {}
     for name in wanted:
         factory, terminal = ops[name]
         if args.plans:
+            factory_for_plan = plan_ops.get(name, factory)
             os.makedirs(args.plans, exist_ok=True)
-            plan = factory()._jdf.queryExecution().explainString(
+            plan = factory_for_plan()._jdf.queryExecution().explainString(
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                     "formatted"
                 )

@@ -291,8 +291,14 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_shingle_df: int | None = None,
+    eager_cleanup: bool = True,
 ) -> DataFrame:
     """(a, b, jaccard) for document pairs with n-gram Jaccard >= threshold.
+
+    ``eager_cleanup`` (default) materializes the (small) qualifying pair
+    set and releases every persisted intermediate deterministically; pass
+    False to get the fully lazy plan (for .explain / plan capture;
+    intermediates are then cleaned when the frame is garbage-collected).
 
     Scale: the shingle self-join explodes on high-frequency shingles
     (quadratic per shingle); *max_shingle_df* drops shingles appearing in
@@ -386,20 +392,23 @@ def jaccard_pairs(
                 )
                 .select("a", "b")
             )
+        verified = _jaccard_verify_arrays(arr, cand, threshold, id_col)
+        if threshold <= 0:
+            # the string-keyed formulation only ever emitted pairs
+            # sharing >= 1 TRUE shingle (i >= 1 <=> jaccard > 0); at
+            # threshold <= 0 a hash-collision-only candidate would
+            # otherwise slip through with jaccard == 0
+            verified = verified.filter(F.col("jaccard") > 0)
+        if not eager_cleanup:
+            return verified
         try:
-            verified = _jaccard_verify_arrays(arr, cand, threshold, id_col)
-            if threshold <= 0:
-                # the string-keyed formulation only ever emitted pairs
-                # sharing >= 1 TRUE shingle (i >= 1 <=> jaccard > 0); at
-                # threshold <= 0 a hash-collision-only candidate would
-                # otherwise slip through with jaccard == 0
-                verified = verified.filter(F.col("jaccard") > 0)
             return verified.localCheckpoint()
         finally:
             if bc is not None:
                 bc.destroy()
     finally:
-        arr.unpersist()
+        if eager_cleanup:
+            arr.unpersist()
 
 
 def jaccard_for_pairs(

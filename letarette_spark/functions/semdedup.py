@@ -121,8 +121,13 @@ def semdedup_kept(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    eager_cleanup: bool = True,
 ) -> DataFrame:
     """(id) — the ids SemDeDup keeps.
+
+    ``eager_cleanup`` (default) materializes the (small) kept-id set and
+    releases the persisted assignment frame deterministically; pass False
+    for the fully lazy plan (.explain / plan capture).
 
     Paper keep rule (arXiv:2303.09540 §3): within each duplicate pair keep
     the example LESS similar to its cluster centroid; ties to the lower
@@ -169,6 +174,9 @@ def semdedup_kept(
             .join(losers, "id", "left_anti")
             .select(F.col("id").alias(id_col))
         )
+        if not eager_cleanup:
+            return kept
         return kept.localCheckpoint()
     finally:
-        assigned.unpersist()
+        if eager_cleanup:
+            assigned.unpersist()

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import os
 import shutil
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -426,17 +427,21 @@ def build_index(
         keep = ["rowid", "doc_id", "space", "title", "body", "alive"]
         if "content_sha256" in chunk_docs.columns:
             keep.append("content_sha256")
+
         # docs laid out by rowid-hash dirs (rb): point lookups by rowid
         # (upsert old-version subtraction, top-k metadata joins) prune to
         # the target buckets instead of scanning the whole docs table.
-        (
-            chunk_docs.select(*keep)
-            .withColumn("rb", F.pmod(F.col("rowid"), F.lit(docs_buckets)).cast("int"))
-            .repartition(max(2, min(files_per_chunk, docs_buckets)), "rb")
-            .write.partitionBy("rb")
-            .mode("overwrite")
-            .parquet(docs_dir)
-        )
+        def _write_docs(chunk_docs=chunk_docs, docs_dir=docs_dir):
+            (
+                chunk_docs.select(*keep)
+                .withColumn(
+                    "rb", F.pmod(F.col("rowid"), F.lit(docs_buckets)).cast("int")
+                )
+                .repartition(max(2, min(files_per_chunk, docs_buckets)), "rb")
+                .write.partitionBy("rb")
+                .mode("overwrite")
+                .parquet(docs_dir)
+            )
 
         # Layout: hash-bucket directories + term-sorted rows. A single hash
         # shuffle (no sampling pass, unlike repartitionByRange — tokenize
@@ -452,20 +457,32 @@ def build_index(
         # write above has its own rb hash exchange, and a shared upstream
         # round-robin pass would shuffle every document body a second
         # time for nothing.
-        postings = tokenize_postings(
-            chunk_docs.filter(F.col("alive")).repartition(
-                max(spark.sparkContext.defaultParallelism, files_per_chunk)
-            ),
-            config,
-        )
-        (
-            postings.withColumn("bucket", bucket_expr(n_buckets))
-            .repartition(files_per_chunk, "bucket")
-            .sortWithinPartitions("bucket", "term", "rowid")
-            .write.partitionBy("bucket")
-            .mode("overwrite")
-            .parquet(post_dir)
-        )
+        def _write_postings(chunk_docs=chunk_docs, post_dir=post_dir):
+            postings = tokenize_postings(
+                chunk_docs.filter(F.col("alive")).repartition(
+                    max(spark.sparkContext.defaultParallelism, files_per_chunk)
+                ),
+                config,
+            )
+            (
+                postings.withColumn("bucket", bucket_expr(n_buckets))
+                .repartition(files_per_chunk, "bucket")
+                .sortWithinPartitions("bucket", "term", "rowid")
+                .write.partitionBy("bucket")
+                .mode("overwrite")
+                .parquet(post_dir)
+            )
+
+        # The two chunk writes are independent jobs over independent
+        # scans into disjoint dirs: submit both so the docs write's I/O
+        # tail back-fills the tokenize stage's cores (guide §2.6 overlap;
+        # Spark schedules concurrent jobs FIFO, which is exactly the
+        # back-fill behavior). Chunk commit (record_chunk) only after
+        # BOTH succeed — resume semantics unchanged.
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [pool.submit(_write_docs), pool.submit(_write_postings)]
+            for f in futs:
+                f.result()
         man.record_chunk(ci, {"parts": parts, "status": "done"})
         built += 1
 
@@ -475,28 +492,42 @@ def build_index(
         T.StructType(POSTINGS_SCHEMA.fields
                      + [T.StructField("bucket", T.IntegerType())]),
     )
-    term_stats = postings_all.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df"),
-        F.sum(F.col("tf0") + F.col("tf1")).alias("cnt"),
-    )
-    ts_tmp = os.path.join(root, "term_stats.tmp")
     ts_dir = os.path.join(root, "term_stats")
-    # repartitionByRange SAMPLES its child: without a persist the full
-    # postings scan + groupBy would run twice (sample pass + write pass).
-    # The aggregated frame is one row per term — cheap to hold; the range
-    # layout is worth it (term_stats lookups range-prune by term).
-    term_stats = term_stats.persist()
-    try:
-        term_stats.repartitionByRange(
-            max(2, files_per_chunk), "term"
-        ).sortWithinPartitions("term").write.mode("overwrite").parquet(ts_tmp)
-    finally:
-        term_stats.unpersist()
-    if os.path.exists(ts_dir):
-        shutil.rmtree(ts_dir)
-    os.replace(ts_tmp, ts_dir)
 
-    if prefix_lengths:
+    def _finalize_term_stats():
+        term_stats = postings_all.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum(F.col("tf0") + F.col("tf1")).alias("cnt"),
+        )
+        ts_tmp = os.path.join(root, "term_stats.tmp")
+        # repartitionByRange SAMPLES its child: without a persist the full
+        # postings scan + groupBy would run twice (sample pass + write
+        # pass). The aggregated frame is one row per term — cheap to hold;
+        # the range layout is worth it (term_stats lookups range-prune by
+        # term).
+        ts = term_stats.persist()
+        try:
+            ts.repartitionByRange(
+                max(2, files_per_chunk), "term"
+            ).sortWithinPartitions("term").write.mode("overwrite").parquet(
+                ts_tmp
+            )
+        finally:
+            ts.unpersist()
+        if os.path.exists(ts_dir):
+            shutil.rmtree(ts_dir)
+        os.replace(ts_tmp, ts_dir)
+        # global stats from the (small) term_stats table — no extra
+        # postings scan: sum over terms of cnt == total tokens == sum
+        # over docs of dl
+        return spark.read.parquet(ts_dir).agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("sum_dl"),
+            F.count(F.lit(1)).alias("nterms"),
+        ).collect()[0]
+
+    def _finalize_prefix():
+        if not prefix_lengths:
+            return
         pf_tmp = os.path.join(root, "prefix.tmp")
         pf_dir = os.path.join(root, "prefix")
         build_prefix_aggregates(
@@ -507,14 +538,26 @@ def build_index(
             shutil.rmtree(pf_dir)
         os.replace(pf_tmp, pf_dir)
 
-    docs_all = _read_tree(spark, os.path.join(root, "docs"), "chunk=*", DOCS_SCHEMA)
-    ndocs = docs_all.filter(F.col("alive")).count()
-    # global stats from the (small) term_stats table — no extra postings scan:
-    # sum over terms of cnt == total tokens == sum over docs of dl
-    agg = spark.read.parquet(ts_dir).agg(
-        F.coalesce(F.sum("cnt"), F.lit(0)).alias("sum_dl"),
-        F.count(F.lit(1)).alias("nterms"),
-    ).collect()[0]
+    def _finalize_ndocs():
+        docs_all = _read_tree(
+            spark, os.path.join(root, "docs"), "chunk=*", DOCS_SCHEMA
+        )
+        return docs_all.filter(F.col("alive")).count()
+
+    # The three finalize jobs are independent (two disjoint postings
+    # scans + one docs scan, into disjoint output dirs / a scalar):
+    # overlap them so each job's straggler tail back-fills the others
+    # (guide §2.6). The snapshot commit below happens only after ALL
+    # futures resolve, so crash atomicity is unchanged — an interrupted
+    # finalize leaves tmp dirs and an uncommitted manifest exactly as
+    # the sequential form did.
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_ts = pool.submit(_finalize_term_stats)
+        f_pf = pool.submit(_finalize_prefix)
+        f_nd = pool.submit(_finalize_ndocs)
+        agg = f_ts.result()
+        f_pf.result()
+        ndocs = f_nd.result()
     nterms = int(agg["nterms"])
 
     man.reset_history()  # a full (re)build starts a fresh snapshot history
