@@ -71,8 +71,19 @@ def _h1_h2(key: Column) -> tuple[Column, Column]:
 _BIT_VALUES = [1 << i for i in range(63)] + [-(1 << 63)]
 
 
+def _long_array_lit(values: list[int]) -> Column:
+    """array<bigint> literal from ONE SQL-string parse. Per-element
+    ``F.lit(list)`` costs one py4j round trip per element (~0.8 s per 1k
+    elements of serial driver time — the 3.7k-word filter for a 25k-item
+    corpus alone cost ~3 s per plan build); integer decimal literals
+    parse exactly, so the values are bit-identical."""
+    return F.expr(
+        "array(" + ",".join(f"{int(v)}L" for v in values) + ")"
+    )
+
+
 def _bit_value(bit: Column) -> Column:
-    return F.element_at(F.lit(_BIT_VALUES), bit.cast("int") + 1)
+    return F.element_at(_long_array_lit(_BIT_VALUES), bit.cast("int") + 1)
 
 
 def _positions(key: Column, n_bits: int, n_hashes: int) -> Column:
@@ -152,12 +163,12 @@ def bloom_might_contain(
     `with_bloom_flag`, which ships the array as a 1-row Arrow frame
     instead (milliseconds at any size)."""
     k = F.col(key) if isinstance(key, str) else key
-    return _might_expr(k, F.lit(words), n_bits, n_hashes)
+    return _might_expr(k, _long_array_lit(words), n_bits, n_hashes)
 
 
-# above this, F.lit(list)'s per-element py4j conversion dominates — ship
-# the words as a broadcast 1-row frame instead (measured: 72k-word
-# literal = ~30 s serial driver build vs ~0s for the Arrow frame)
+# above this, even the one-parse SQL-string literal starts paying real
+# Catalyst analysis time (similarity.py measured ~14 s at 262k literal
+# elements) — ship the words as a broadcast 1-row frame instead
 _LIT_WORDS_MAX = 4096
 
 
@@ -176,7 +187,7 @@ def with_bloom_flag(
     driver-side literal construction)."""
     k = F.col(key_col)
     if len(words) <= _LIT_WORDS_MAX:
-        return df.withColumn(out_col, _might_expr(k, F.lit(words), n_bits, n_hashes))
+        return df.withColumn(out_col, _might_expr(k, _long_array_lit(words), n_bits, n_hashes))
     import pandas as pd
 
     wdf = df.sparkSession.createDataFrame(

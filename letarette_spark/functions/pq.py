@@ -137,17 +137,16 @@ def pq_codebooks(
     return books
 
 
-def pq_encode(
+def pq_encode_expr(
     emb: DataFrame,
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, codes array<int>[m]) — one scan, zero shuffle, no Python.
-    At m=8, k=16 the codes column is ~4 bytes/vector: the representation
-    a billion-vector corpus actually stores. NULL embeddings are dropped
-    (they have no meaningful code; without the filter a null vector
-    would tie-break to codes [0]*m and compete in ADC top-k)."""
+    """(id, codes array<int>[m]) via the pure-JVM expression form
+    (_code_expr per subspace) — the equivalence twin the Arrow encoder
+    below is pinned against in tests; also the form whose SQL-literal
+    algebra the DuckDB oracle mirrors."""
     from letarette_spark.functions.similarity import _spread
 
     m = len(codebooks)
@@ -159,6 +158,110 @@ def pq_encode(
     return _spread(emb.filter(F.col(vec_col).isNotNull())).select(
         F.col(id_col), codes.alias("codes")
     )
+
+
+def _seqdot(a, b) -> float:
+    """Python-float sequential left-fold dot — the same op sequence as
+    _dot_cols' aggregate fold, so the result is the identical double."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>[m]) — one scan, zero shuffle. At m=8, k=16
+    the codes column is ~4 bytes/vector: the representation a
+    billion-vector corpus actually stores. NULL embeddings are dropped
+    (they have no meaningful code; without the filter a null vector
+    would tie-break to codes [0]*m and compete in ADC top-k).
+
+    The per-row argmin (m*k*dsub fold ops as interpreted
+    HigherOrderFunction expressions — the dominant cost of pq_adc /
+    ivf_pq at any corpus size) runs in an Arrow stage whose numpy math
+    mirrors the JVM fold OP FOR OP: d2 accumulates dimension-by-
+    dimension exactly like the sequential zip_with/aggregate fold
+    ((t1 - 2.0*dot(s,c)) + dot(c,c), left-associated; numpy elementwise
+    mul-then-add never fuses), so every distance is the identical
+    IEEE-754 double and np.argmin's first-minimum matches the
+    array_min-struct tie-break (lowest code). NaN distances sort last
+    (Spark NaN ordering), mirrored via np.inf replacement — pinned by
+    tests against pq_encode_expr. Vectors must all have dim == m*dsub
+    (raises loudly on ragged input rather than diverging silently)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    from letarette_spark.functions.similarity import _spread
+
+    m = len(codebooks)
+    k = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    dim = m * dsub
+    cc = [
+        [_seqdot(c, c) for c in codebooks[s]] for s in range(m)
+    ]
+    books_np = [
+        np.asarray(codebooks[s], dtype=np.float64) for s in range(m)
+    ]
+    id_field = emb.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def enc(batches):
+        import numpy as np  # noqa: F811
+        import pyarrow as pa
+
+        for batch in batches:
+            idcol = batch.column(0)
+            n = len(idcol)
+            if n == 0:
+                continue
+            rows = batch.column(1).to_pylist()
+            if any(r is None or len(r) != dim for r in rows):
+                raise ValueError(
+                    f"pq_encode: vectors must all have dim {dim} (m*dsub)"
+                )
+            V = np.array(rows, dtype=np.float64)
+            codes = np.empty((n, m), dtype=np.int32)
+            for s in range(m):
+                S = V[:, s * dsub: (s + 1) * dsub]
+                t1 = np.zeros(n)
+                for d in range(dsub):
+                    t1 = t1 + S[:, d] * S[:, d]
+                d2 = np.empty((n, k))
+                B = books_np[s]
+                for j in range(k):
+                    acc = np.zeros(n)
+                    cj = B[j]
+                    for d in range(dsub):
+                        acc = acc + S[:, d] * cj[d]
+                    d2[:, j] = (t1 - 2.0 * acc) + cc[s][j]
+                d2 = np.where(np.isnan(d2), np.inf, d2)
+                codes[:, s] = np.argmin(d2, axis=1)
+            offs = pa.array(
+                np.arange(0, (n + 1) * m, m, dtype=np.int32)
+            )
+            codes_arr = pa.ListArray.from_arrays(
+                offs, pa.array(codes.reshape(-1))
+            )
+            yield pa.RecordBatch.from_arrays(
+                [idcol, codes_arr], names=[id_col, "codes"]
+            )
+
+    src = _spread(emb.filter(F.col(vec_col).isNotNull())).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    return src.mapInArrow(enc, schema=out_schema)
 
 
 def _adist_expr(lut: list[list[float]]) -> Column:

@@ -40,14 +40,15 @@ from letarette_spark.functions.similarity import (
 )
 
 
-def _assigned(
+def _assigned_expr(
     emb: DataFrame,
     centroids: list[list[float]],
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
-    """(id, v, cell, ccos) — cell assignment plus cosine-to-own-centroid,
-    both from the same centroid literal: one scan, no shuffle."""
+    """(id, v, cell, ccos) via the pure-JVM expression form (centroid
+    literal / broadcast frame) — the equivalence twin _assigned's Arrow
+    stage is pinned against in tests."""
     v = F.col(vec_col).cast("array<double>")
     base = _spread(
         emb.select(F.col(id_col).alias("id"), v.alias("v")).filter(
@@ -68,6 +69,28 @@ def _assigned(
             F.col("v"), F.element_at(F.col("__c"), F.col("cell") + 1)
         ).alias("ccos"),
     )
+
+
+def _assigned(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, v, cell, ccos) — cell assignment plus cosine-to-own-centroid
+    in one Arrow stage (similarity._arrow_cell_assign: numpy math
+    mirrored op-for-op to the expression twin _assigned_expr, ccos read
+    from the same score column the argmax used): one scan, no shuffle,
+    no interpreted per-row fold."""
+    from letarette_spark.functions.similarity import _arrow_cell_assign
+
+    v = F.col(vec_col).cast("array<double>")
+    base = _spread(
+        emb.select(F.col(id_col).alias("id"), v.alias("v")).filter(
+            F.col("v").isNotNull()
+        )
+    )
+    return _arrow_cell_assign(base, centroids, "v", with_ccos=True)
 
 
 def semdedup_pairs(

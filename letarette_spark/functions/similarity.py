@@ -7,6 +7,7 @@ bucketing as the approximate scale path. All vector math is JVM-side
 
 from __future__ import annotations
 
+import math
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -360,8 +361,11 @@ def ivf_centroids(
     if n_iter > 0 and sample_fraction is not None:
         train = train.sample(fraction=sample_fraction, seed=seed)
     for _ in range(n_iter):
-        assigned = train.select(
-            "v", _ivf_cell_expr("v", cents).alias("cell")
+        # Arrow-exact assignment (bit-identical to _ivf_cell_expr; see
+        # _arrow_cell_assign) — the interpreted per-row fold dominated
+        # each Lloyd round's scan
+        assigned = _arrow_cell_assign(
+            _spread(train.select("v")), cents, "v"
         )
         dim = len(cents[0])
         means = (
@@ -494,14 +498,111 @@ def _ivf_cell_expr(
     return _cell_expr_over(vec_col, _centroids_lit(centroids))
 
 
-def ivf_assign(
+def _seqdot_py(a, b) -> float:
+    """Python-float sequential left-fold dot — the identical op sequence
+    to _cosine_cols' aggregate fold, so the result is the same double."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _arrow_cell_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "v",
+    with_ccos: bool = False,
+) -> DataFrame:
+    """df + ``cell`` int column (+ ``ccos`` double when requested): IVF
+    cell assignment in an Arrow stage whose numpy math mirrors
+    _cell_expr_over/_cosine_cols OP FOR OP — cosines accumulate
+    dimension-by-dimension like the sequential fold, the denominator is
+    (||v||*||c||) then one divide, ties go to the lowest cell
+    (np.argmin first-minimum == array_min struct ordering), and NaN
+    cosines sort last (Spark NaN ordering) via np.inf replacement on the
+    negated score. The interpreted HigherOrderFunction form costs
+    ~n_cells fold evaluations per row; this runs the same arithmetic
+    vectorized. Centroids ride the task closure (or an explicit
+    SparkContext broadcast above ~4 MB), so there is no plan-literal or
+    broadcast-frame machinery at any n_cells. ``ccos`` (cosine to the
+    OWN centroid) reads the already-computed score column — the same
+    double the JVM re-fold produced. Equivalence pinned in tests against
+    the retained expression form (ivf_assign_expr). Raises on ragged
+    vectors rather than silently truncating like zip_with would."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    C = np.asarray(centroids, dtype=np.float64)
+    n_cells, dim = C.shape
+    # sqrt of the python-float sequential self-dot per centroid — the
+    # exact double the JVM fold + sqrt produces
+    ncj = np.array(
+        [math.sqrt(_seqdot_py(c, c)) for c in centroids], dtype=np.float64
+    )
+    spark = df.sparkSession
+    if C.nbytes > 4 * 1024 * 1024:
+        bc = spark.sparkContext.broadcast((C, ncj))
+        get = lambda: bc.value  # noqa: E731
+    else:
+        get = lambda: (C, ncj)  # noqa: E731
+
+    in_fields = list(df.schema.fields)
+    vec_idx = [f.name for f in in_fields].index(vec_col)
+    out_fields = in_fields + [T.StructField("cell", T.IntegerType())]
+    if with_ccos:
+        out_fields = out_fields + [T.StructField("ccos", T.DoubleType())]
+    out_schema = T.StructType(out_fields)
+    names = [f.name for f in out_fields]
+
+    def assign(batches):
+        import numpy as np  # noqa: F811
+        import pyarrow as pa
+
+        Cb, ncb = get()
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            rows = batch.column(vec_idx).to_pylist()
+            if any(r is None or len(r) != dim for r in rows):
+                raise ValueError(
+                    f"cell assignment: vectors must all have dim {dim}"
+                )
+            V = np.array(rows, dtype=np.float64)
+            nv = np.zeros(n)
+            for d in range(dim):
+                nv = nv + V[:, d] * V[:, d]
+            nv = np.sqrt(nv)
+            cos = np.empty((n, n_cells))
+            for j in range(n_cells):
+                acc = np.zeros(n)
+                cj = Cb[j]
+                for d in range(dim):
+                    acc = acc + V[:, d] * cj[d]
+                cos[:, j] = acc / (nv * ncb[j])
+            neg = -cos
+            neg = np.where(np.isnan(neg), np.inf, neg)
+            cells = np.argmin(neg, axis=1).astype(np.int32)
+            arrays = [batch.column(i) for i in range(len(in_fields))]
+            arrays.append(pa.array(cells))
+            if with_ccos:
+                arrays.append(pa.array(cos[np.arange(n), cells]))
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return df.mapInArrow(assign, schema=out_schema)
+
+
+def ivf_assign_expr(
     emb: DataFrame,
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, cell) assignment — one scan, no shuffle (big centroid sets
-    ride a broadcast 1-row frame instead of a plan literal; same rule)."""
+    """(id, cell) via the pure-JVM expression form (plan literal /
+    broadcast-frame centroid table) — the equivalence twin the Arrow
+    assignment is pinned against in tests; also the algebra the DuckDB
+    oracle mirrors."""
     base = _spread(
         emb.select(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
@@ -510,6 +611,25 @@ def ivf_assign(
     base, cents = _centroids_ref(base, centroids)
     return base.select(
         F.col(id_col), _cell_expr_over("v", cents).alias("cell")
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell) assignment — one scan, no shuffle; the per-row argmax
+    runs in the Arrow stage (_arrow_cell_assign, bit-identical to the
+    expression form ivf_assign_expr)."""
+    base = _spread(
+        emb.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+        )
+    )
+    return _arrow_cell_assign(base, centroids, "v").select(
+        F.col(id_col), "cell"
     )
 
 
@@ -573,9 +693,10 @@ def ivf_topk(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
         )
     )
-    v, cents = _centroids_ref(v, centroids)
-    v = v.filter(_cell_expr_over("v", cents).isin(probes)).select(
-        F.col(id_col), "v"
+    v = (
+        _arrow_cell_assign(v, centroids, "v")
+        .filter(F.col("cell").isin(probes))
+        .select(F.col(id_col), "v")
     )
     q = emb.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).cast("array<double>").alias("qv")
@@ -605,10 +726,7 @@ def ivf_index_write(
             F.col(vec_col).cast("array<double>").alias("v"),
         )
     )
-    base, cents = _centroids_ref(base, centroids)
-    assigned = base.select(
-        F.col(id_col), F.col("v"), _cell_expr_over("v", cents).alias("cell")
-    )
+    assigned = _arrow_cell_assign(base, centroids, "v")
     # assign in parallel (spread above), then one hash exchange on cell so
     # each cell directory stays ~one file instead of one per assign task
     assigned.repartition("cell").write.mode("overwrite").partitionBy(

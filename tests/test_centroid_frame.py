@@ -40,13 +40,23 @@ def _force_frame(monkeypatch):
 
 
 def test_assign_identical_between_paths(spark, emb, monkeypatch):
+    # the JVM expression form still has literal/frame variants (it is the
+    # twin the DuckDB oracle mirrors); both must agree with each other AND
+    # with the Arrow assignment that production paths now use
     cents = S.ivf_centroids(emb, n_cells=8)
-    lit = {r["vec_id"]: r["cell"] for r in S.ivf_assign(emb, cents).collect()}
-    _force_frame(monkeypatch)
-    frame = {
+    arrow = {
         r["vec_id"]: r["cell"] for r in S.ivf_assign(emb, cents).collect()
     }
-    assert lit == frame and len(lit) == 300
+    lit = {
+        r["vec_id"]: r["cell"]
+        for r in S.ivf_assign_expr(emb, cents).collect()
+    }
+    _force_frame(monkeypatch)
+    frame = {
+        r["vec_id"]: r["cell"]
+        for r in S.ivf_assign_expr(emb, cents).collect()
+    }
+    assert lit == frame == arrow and len(lit) == 300
 
 
 def test_semdedup_identical_between_paths(spark, emb, monkeypatch):
@@ -69,7 +79,7 @@ def test_frame_path_plan_has_no_data_shuffle(spark, emb, monkeypatch):
     _force_frame(monkeypatch)
     cents = S.ivf_centroids(emb, n_cells=8)
     plan = (
-        S.ivf_assign(emb, cents)
+        S.ivf_assign_expr(emb, cents)
         ._jdf.queryExecution().executedPlan().toString()
     )
     # the only exchanges allowed: the _spread round-robin rebalance and
@@ -98,3 +108,18 @@ def test_sql_double_literals_bit_exact(spark):
         [struct.pack("<d", x) for x in row["b"]],
     )
     assert pa == pb
+
+
+def test_semdedup_assigned_arrow_matches_expr_twin(spark, emb):
+    from letarette_spark.functions.semdedup import _assigned, _assigned_expr
+
+    cents = S.ivf_centroids(emb, n_cells=8)
+    arrow = {
+        r["id"]: (r["cell"], r["ccos"])
+        for r in _assigned(emb, cents, "vec_id", "embedding").collect()
+    }
+    jvm = {
+        r["id"]: (r["cell"], r["ccos"])
+        for r in _assigned_expr(emb, cents, "vec_id", "embedding").collect()
+    }
+    assert arrow == jvm and len(arrow) == 300  # ccos compared EXACTLY

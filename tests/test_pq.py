@@ -298,3 +298,28 @@ def test_null_embeddings_dropped_from_codes_and_topk(spark):
     top = pq_adc_topk(emb, 0, books, k=11).collect()
     assert len(top) == 11
     assert all(r["vec_id"] != 99 for r in top)
+
+
+def test_arrow_encode_matches_jvm_expr_twin(spark):
+    """The Arrow encoder (pq_encode) must be code-for-code identical to
+    the JVM expression formulation (pq_encode_expr) — including near-tie
+    distances, negative values, and the corpus embeddings."""
+    import numpy as np
+
+    from letarette_spark.functions.pq import pq_encode_expr
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((64, 16)).astype(np.float64)
+    # plant exact ties: duplicate codeword subvectors
+    vecs[10] = vecs[11]
+    books = pq_codebooks(_df(spark, vecs), m=4, k=8, n_iter=1)
+    df = _df(spark, vecs)
+    arrow = {r["vec_id"]: list(r["codes"]) for r in pq_encode(df, books).collect()}
+    jvm = {r["vec_id"]: list(r["codes"]) for r in pq_encode_expr(df, books).collect()}
+    assert arrow == jvm
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    books2 = pq_codebooks(emb, m=8, k=16, n_iter=1)
+    arrow2 = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, books2).collect()}
+    jvm2 = {r["vec_id"]: list(r["codes"]) for r in pq_encode_expr(emb, books2).collect()}
+    assert arrow2 == jvm2
