@@ -330,6 +330,23 @@ class Analyzer:
 
     # -- stage 2: term finalization (stemming) --
     def term_of(self, folded: str) -> str:
+        """Memoized: stemming is a pure function of the folded token, and
+        token frequencies are Zipf-distributed, so one dict lookup
+        replaces the stemmer chain for every repeat occurrence (an
+        Analyzer lives for a whole task in tokenize_postings — the memo
+        amortizes across every batch the task processes). Bounded so a
+        pathological vocabulary cannot grow without limit."""
+        cache = self.__dict__.setdefault("_term_memo", {})
+        hit = cache.get(folded)
+        if hit is not None:
+            return hit
+        term = self._term_of_uncached(folded)
+        if len(cache) > 1_000_000:
+            cache.clear()
+        cache[folded] = term
+        return term
+
+    def _term_of_uncached(self, folded: str) -> str:
         mode = self.config.mode
         if mode == "simple":
             return folded

@@ -196,6 +196,11 @@ def _choose_disjoint(
     return chosen
 
 
+# pending lazy merge folds before the working table is re-checkpointed:
+# bounds nested-HOF plan depth and the per-round recompute of the chain
+_CKPT_DEPTH = 8
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int = 64,
@@ -217,7 +222,18 @@ def bpe_train(
     # each round's plan flat (swap for a reliable checkpoint on a cluster)
     words = words.localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
+    # Rounds chain their merge folds LAZILY onto the last checkpoint —
+    # each round then costs ONE job (the candidate collect) instead of
+    # two, and the final round's fold is never evaluated at all (only
+    # the merge list leaves this function). The chain re-evaluates prior
+    # pending folds on the vocab-sized table (cheap); a checkpoint every
+    # _CKPT_DEPTH pending merges bounds both that recompute and the
+    # nested-fold plan depth for long (batch=1, n_merges=500) trainings.
+    pending = 0
     while len(merges) < n_merges:
+        if pending >= _CKPT_DEPTH:
+            words = words.localCheckpoint(eager=True)
+            pending = 0
         take = min(batch, n_merges - len(merges))
         # over-collect so the disjointness filter can skip conflicts; the
         # collect is O(batch) rows, never the table. If the batch doesn't
@@ -249,7 +265,8 @@ def bpe_train(
         merges.extend(chosen)
         words = words.select(
             apply_merges_expr(F.col("syms"), chosen).alias("syms"), "cnt"
-        ).localCheckpoint(eager=True)
+        )
+        pending += len(chosen)
     return merges
 
 

@@ -157,45 +157,163 @@ def dsir_log_weights(
         # and nothing anywhere materializes (doc, bucket) pairs.
         import math
 
+        import numpy as np
+
+        from pyspark.sql import types as T
+
+        from letarette_spark.functions.simple_text import token_array
+
+        # The gram machinery (unigram+bigram build, md5 bucket) runs ONCE
+        # in an Arrow stage producing a compact per-doc bucket-sequence
+        # array — hashlib.md5 hex == Spark md5 hex byte-for-byte, and
+        # ' '.join == concat_ws over the identical JVM token arrays, so
+        # the bucket sequence is exactly what the explode + conv(md5)
+        # expression produced (pinned at 1e-9 against the two-frame path
+        # like before). The persisted (id, tgt, buckets) frame then feeds
+        # BOTH jobs — the old shape re-ran tokenize + 20M md5s twice —
+        # and neither job shuffles gram-level rows: the histogram ships
+        # 2*n_buckets longs per batch, the scorer one row per doc.
+        nb = int(n_buckets)
         flagged = raw.select(
-            F.col(id_col), F.col(text_col), target_filter.alias("__tgt")
-        )
-        g = flagged.select(
-            F.col(id_col), F.col("__tgt"), F.explode(_grams(text_col)).alias("gram")
-        ).select(
             F.col(id_col),
-            F.col("__tgt"),
-            _bucket_expr(F.col("gram"), n_buckets).alias("bucket"),
+            target_filter.alias("__tgt"),
+            token_array(text_col).alias("_toks"),
         )
+        id_type = raw.schema[id_col].dataType
+
+        def to_buckets(batches):
+            import hashlib
+
+            import pyarrow as pa  # noqa: F811
+
+            md5 = hashlib.md5
+            for batch in batches:
+                toks = batch.column(2).to_pylist()
+                offs = [0]
+                flat: list[int] = []
+                for lst in toks:
+                    if lst:
+                        grams = list(lst)
+                        grams.extend(
+                            lst[i] + " " + lst[i + 1]
+                            for i in range(len(lst) - 1)
+                        )
+                        flat.extend(
+                            int(md5(g.encode()).hexdigest()[:8], 16) % nb
+                            for g in grams
+                        )
+                    offs.append(len(flat))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        batch.column(0),
+                        batch.column(1),
+                        pa.ListArray.from_arrays(
+                            pa.array(offs, pa.int32()),
+                            pa.array(flat, pa.int32()),
+                        ),
+                    ],
+                    names=[id_col, "__tgt", "_bk"],
+                )
+
+        bk_schema = T.StructType(
+            [
+                T.StructField(id_col, id_type),
+                T.StructField("__tgt", T.BooleanType()),
+                T.StructField("_bk", T.ArrayType(T.IntegerType())),
+            ]
+        )
+        bk = flagged.mapInArrow(to_buckets, schema=bk_schema).persist()
+
+        def hist_fn(batches):
+            import pyarrow as pa  # noqa: F811
+
+            for batch in batches:
+                tgt = batch.column(1).to_pylist()
+                bl = batch.column(2)
+                flat = np.asarray(bl.flatten(), dtype=np.int64)
+                lens = np.diff(np.asarray(bl.offsets))
+                h_raw = np.bincount(flat, minlength=nb)
+                tmask = np.repeat(
+                    np.asarray([bool(t) for t in tgt]), lens
+                )
+                h_tgt = np.bincount(flat[tmask], minlength=nb)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(range(nb), pa.int32()),
+                        pa.array(h_raw, pa.int64()),
+                        pa.array(h_tgt, pa.int64()),
+                    ],
+                    names=["bucket", "c_raw", "c_tgt"],
+                )
+
         hist = (
-            g.groupBy("bucket")
+            bk.mapInArrow(hist_fn, schema="bucket int, c_raw long, c_tgt long")
+            .groupBy("bucket")
             .agg(
-                F.count(F.lit(1)).alias("c_raw"),
-                F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("c_tgt"),
+                F.sum("c_raw").alias("c_raw"), F.sum("c_tgt").alias("c_tgt")
             )
             .collect()
         )
-        c_raw = [0] * n_buckets
-        c_tgt = [0] * n_buckets
+        c_raw = [0] * nb
+        c_tgt = [0] * nb
         for r in hist:
             c_raw[r["bucket"]] = int(r["c_raw"])
             c_tgt[r["bucket"]] = int(r["c_tgt"])
         t_raw, t_tgt = sum(c_raw), sum(c_tgt)
         lr = [
-            math.log((c_tgt[b] + alpha) / (t_tgt + alpha * n_buckets))
-            - math.log((c_raw[b] + alpha) / (t_raw + alpha * n_buckets))
-            for b in range(n_buckets)
+            math.log((c_tgt[b] + alpha) / (t_tgt + alpha * nb))
+            - math.log((c_raw[b] + alpha) / (t_raw + alpha * nb))
+            for b in range(nb)
         ]
-        scored = (
-            g.select(
-                F.col(id_col),
-                F.element_at(
-                    F.lit(lr), F.col("bucket").cast("int") + 1
-                ).alias("r"),
-            )
-            .groupBy(id_col)
-            .agg(F.sum("r").alias("log_w"))
+        lr_np = np.asarray(lr, dtype=np.float64)
+
+        def score_fn(batches):
+            import pyarrow as pa  # noqa: F811
+
+            for batch in batches:
+                bl = batch.column(2)
+                offs = np.asarray(bl.offsets)
+                offs = offs - offs[0]  # rebase: flatten() follows slices
+                flat = np.asarray(bl.flatten(), dtype=np.int64)
+                out_ids = []
+                out_w = []
+                vals = lr_np[flat] if flat.size else lr_np[:0]
+                idcol = batch.column(0)
+                for j in range(batch.num_rows):
+                    lo, hi = offs[j], offs[j + 1]
+                    if hi <= lo:
+                        continue
+                    # sequential left-fold in gram order — the same
+                    # accumulation the partial-agg SUM performed over the
+                    # exploded rows of one doc (all in one partition)
+                    acc = None
+                    for v in vals[lo:hi]:
+                        acc = v if acc is None else acc + v
+                    out_ids.append(j)
+                    out_w.append(float(acc))
+                yield pa.RecordBatch.from_arrays(
+                    [idcol.take(pa.array(out_ids, pa.int32())),
+                     pa.array(out_w, pa.float64())],
+                    names=[id_col, "log_w"],
+                )
+
+        import pyarrow as pa  # noqa: F401 — referenced in closures
+
+        scored = bk.mapInArrow(
+            score_fn,
+            schema=T.StructType(
+                [
+                    T.StructField(id_col, id_type),
+                    T.StructField("log_w", T.DoubleType()),
+                ]
+            ),
         )
+        # materialize the (one-row-per-doc) weights eagerly so the
+        # persisted bucket frame can be released deterministically
+        try:
+            scored = scored.localCheckpoint()
+        finally:
+            bk.unpersist()
     else:
         raw_b = hashed_ngram_counts(raw, n_buckets, id_col, text_col)
         tgt_b = hashed_ngram_counts(target, n_buckets, id_col, text_col)

@@ -147,10 +147,13 @@ class TestDSIR:
 
 
     def test_target_filter_plan_is_shuffle_light(self, dsir_docs):
-        """The fast path's scoring job tokenizes once (ONE Generate) and
+        """The fast path never explodes grams into rows at all (the Arrow
+        bucket stage emits one compact array per doc — zero Generate) and
         never exchanges gram- or (doc, bucket)-level rows: every hash
         exchange keys on the doc id alone (PLANS.md §13). The histogram
-        job is eager inside the call and map-side by construction."""
+        job is eager inside the call and map-side by construction; the
+        scoring output joins in as a materialized one-row-per-doc
+        frame."""
         from letarette_spark.functions.dsir import dsir_log_weights
 
         df = dsir_log_weights(
@@ -158,7 +161,7 @@ class TestDSIR:
         )
         df.count()
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("Generate") == 1
+        assert plan.count("Generate") == 0
         for line in plan.splitlines():
             if "Exchange hashpartitioning" in line:
                 assert "bucket" not in line
