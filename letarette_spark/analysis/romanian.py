@@ -75,8 +75,10 @@ _VERB_A = (
     "ai", "am", "are", "ară", "arăm", "ase", "asem", "aseră",
     "aserăm", "aserăţi", "aseşi", "au", "aşi", "ea", "eai", "eam",
     "ească",
-    "eau", "ează", "ere", "esc", "ez", "eze", "ezi", "eşte", "eşti",
-    "ia", "iai", "iam", "iau", "ind", "indu", "iră", "ire", "irăm",
+    "eau", "eaţi", "ează", "ere", "esc", "ez", "eze", "ezi", "eşte",
+    "eşti",
+    "ia", "iai", "iam", "iau", "iaţi", "ind", "indu", "iră", "ire",
+    "irăm",
     "ise", "isem", "iseră", "iserăm", "iserăţi", "iseşi", "işi", "ui",
     "ură", "urăm", "use", "usem", "useră", "userăm", "userăţi",
     "useşi", "uşi", "âi", "ând", "ându", "âră", "âre", "ârăm", "âse",

@@ -189,3 +189,26 @@ def test_rank_identity(spark, tmp_path):
         assert [r for r, _ in got] == [r for r, _ in exp], q
         for (_, sg), (_, se) in zip(got, exp):
             assert math.isclose(sg, se, rel_tol=1e-9, abs_tol=1e-12), q
+
+
+def test_verb_suffix_longest_match_commit_regression():
+    """'eaţi'/'iaţi' are among entries of the library's verb step: the
+    longest match COMMITS (condition failure removes nothing — no
+    fallback to 'aţi'), and the preceding-char test cannot reach outside
+    RV. Both entries were missing from the probe-derived table; found by
+    the unseeded fuzz (word 'irxrââeaţie')."""
+    cases = {
+        # vowel before 'eaţi' in RV: condition fails, only step-4 'i' drops
+        "irxrââeaţie": "irxrââeaţ",
+        "zrzomââeaţi": "zrzomââeaţ",
+        # consonant / u before: removed
+        "vorbeaţi": "vorb",
+        "zrzombueaţi": "zrzombu",
+        # 'iaţi' whose preceding char sits OUTSIDE RV (marked 'I'): kept
+        "ioiiaţi": "ioiiaţ",
+        # 'eaţi' not fitting RV: falls through to fitting shorter entries
+        "rxeaţi": "rxe",
+        "xeaţi": "xeaţ",
+    }
+    for w, want in cases.items():
+        assert romanian.stem(w) == want, (w, romanian.stem(w), want)
