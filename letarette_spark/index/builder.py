@@ -190,9 +190,9 @@ def build_prefix_aggregates(
     dir + a startswith row-group-pruned scan, O(matching postings) at
     any vocabulary size — the dictionary-expansion/full-scan fallback
     is unreachable for tail-enabled indexes."""
-    # two writes land under dest (tail first, lengths appended): a stale
-    # dest from a crashed earlier attempt must not leak rows into the
-    # append, so start from an empty dir like the old single
+    # two independent writes land under dest (the plen=-1 tail and the
+    # merged plen=L dirs): a stale dest from a crashed earlier attempt
+    # must not leak rows, so start from an empty dir like the old single
     # mode-overwrite write did
     if os.path.exists(dest):
         shutil.rmtree(dest)
@@ -206,18 +206,22 @@ def build_prefix_aggregates(
     tail = postings.select(
         F.col("term").alias("prefix"), "rowid", "space", "dl", "pos0", "pos1"
     ).withColumn("pb", prefix_bucket_expr("prefix", n_buckets))
-    (
-        # 2x files_per_len: the tail is the full-postings-volume write and
-        # was the narrowest stage of the build (measured 2.0s at 8 tasks
-        # vs 1.4s at 16 for 1.26M postings); pb dirs still cap the
-        # per-query file count at tasks-per-dir
-        tail.repartition(max(2, files_per_len * 2), "pb")
-        .sortWithinPartitions("pb", "prefix", "rowid")
-        .write.partitionBy("pb")
-        .mode("overwrite")
-        .parquet(os.path.join(dest, "plen=-1"))
-    )
+
+    def _write_tail():
+        (
+            # 2x files_per_len: the tail is the full-postings-volume write
+            # and was the narrowest stage of the build (measured 2.0s at 8
+            # tasks vs 1.4s at 16 for 1.26M postings); pb dirs still cap
+            # the per-query file count at tasks-per-dir
+            tail.repartition(max(2, files_per_len * 2), "pb")
+            .sortWithinPartitions("pb", "prefix", "rowid")
+            .write.partitionBy("pb")
+            .mode("overwrite")
+            .parquet(os.path.join(dest, "plen=-1"))
+        )
+
     if not prefix_lengths:
+        _write_tail()
         return
     # NOTE(r6): a one-exchange variant (hash on (plen, pb) + in-partition
     # sort + Arrow adjacent-row merge) was implemented and A/B-measured
@@ -246,15 +250,38 @@ def build_prefix_aggregates(
         )
         .withColumn("pb", prefix_bucket_expr("prefix", n_buckets))
     )
-    (
-        rows.repartition(
-            max(2, files_per_len * len(prefix_lengths)), "plen", "pb"
+    # The tail write and the merged-lengths write are independent jobs
+    # over independent scans into disjoint plen dirs: overlap them
+    # (guide §2.6 back-fill). The merged write goes to a sibling staging
+    # dir (NOT a concurrent append into dest — two committers listing
+    # the same target would race) and its plen=L dirs are renamed in
+    # after both jobs succeed; the caller's pf_tmp -> pf_dir swap
+    # remains the atomic commit.
+    lens_tmp = dest + ".lens"
+    if os.path.exists(lens_tmp):
+        shutil.rmtree(lens_tmp)
+
+    def _write_lens():
+        (
+            rows.repartition(
+                max(2, files_per_len * len(prefix_lengths)), "plen", "pb"
+            )
+            .sortWithinPartitions("plen", "pb", "prefix", "rowid")
+            .write.partitionBy("plen", "pb")
+            .mode("overwrite")
+            .parquet(lens_tmp)
         )
-        .sortWithinPartitions("plen", "pb", "prefix", "rowid")
-        .write.partitionBy("plen", "pb")
-        .mode("append")
-        .parquet(dest)
-    )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(_write_tail), pool.submit(_write_lens)]
+        for f in futs:
+            f.result()
+    for name in os.listdir(lens_tmp):
+        if name.startswith("plen="):
+            os.rename(
+                os.path.join(lens_tmp, name), os.path.join(dest, name)
+            )
+    shutil.rmtree(lens_tmp, ignore_errors=True)
 
 
 def tokenize_postings(docs: DataFrame, config: AnalyzerConfig) -> DataFrame:
